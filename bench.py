@@ -1,0 +1,75 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed via a count()-style terminal action plus a full
+materialization (collect of aggregated / limited results stays small;
+wide results use a count to avoid driver OOM while still forcing the
+full plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_otel_clickhouse_ingestor_spark.registry import load_all
+from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+#: Headline set: one per operator family, weighted toward the
+#: shuffle/join/window-heavy plans that dominate at scale.
+HEADLINE = [
+    "agg_groupby",
+    "join_multiway_star",
+    "join_asof",
+    "agg_count_distinct",
+    "win_rank_latest_per_key",
+    "win_frame_rows",
+    "topk_per_group",
+    "cdc_current_state",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    reg = load_all()
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,712 @@
+"""Relational core: scans, filters, joins, aggregations, sorts, set ops.
+
+The reference performs no reads and no relational algebra at all (its
+total SQL surface is two INSERTs — ``internal/ingestion/clickhouse.go:74,109``);
+this module is the derived query surface (SURVEY.md §2.B) the engine
+serves over the tables the reference's pipeline feeds.
+
+Scale notes (100 TB): every query here is a pure declarative DataFrame
+plan — Catalyst gets predicate pushdown, column pruning and join
+selection for free.  Joins against the small dimensions (region,
+nation, supplier) are explicitly ``broadcast()`` so no shuffle of the
+fact side ever happens for them; the big fact-fact joins
+(orders⋈lineitem, customer⋈orders) shuffle on their natural keys and
+benefit from AQE skew handling (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+# ---------------------------------------------------------------- scans
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + narrow projection; Catalyst prunes the read schema
+    to 4 of 11 columns (visible as ReadSchema in the physical plan)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@query(
+    "scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
+    """,
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter placed before projection so Catalyst pushes both predicates
+    into the parquet scan (PushedFilters: GreaterThanOrEqual, LessThan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# ------------------------------------------------------- filters / CASE
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_totalprice BETWEEN 100000 AND 300000
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+       OR o_orderstatus LIKE 'P%'
+       OR o_custkey IS NULL
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates: BETWEEN, IN, LIKE, IS NULL."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (
+            F.col("o_totalprice").between(100000, 300000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        | F.col("o_orderstatus").like("P%")
+        | F.col("o_custkey").isNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "case_when_project",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN lower(event_type) = 'click'    THEN 1
+                WHEN lower(event_type) = 'purchase' THEN 2
+                WHEN lower(event_type) = 'signup'   THEN 3
+                ELSE 0 END AS type_enum,
+           CASE WHEN value >= 250 THEN 'high'
+                WHEN value >= 50  THEN 'mid'
+                ELSE 'low' END AS value_band
+    FROM events
+    """,
+)
+def case_when_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN branching — the reference's op→enum scalar map and
+    branch-on-op translation (A6/A9, ``internal/ingestion/cdc.go:100-156``)
+    re-expressed as when/otherwise chains."""
+    ev = table(spark, sf_dir, "events")
+    et = F.lower(F.col("event_type"))
+    return ev.select(
+        "event_id",
+        F.when(et == "click", 1)
+        .when(et == "purchase", 2)
+        .when(et == "signup", 3)
+        .otherwise(0)
+        .alias("type_enum"),
+        F.when(F.col("value") >= 250, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+    )
+
+
+@query(
+    "coalesce_defaults",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS event_type_clean,
+           coalesce(nullif(value, 0.0), -1.0) AS value_or_default
+    FROM events
+    """,
+)
+def coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-default coalescing — the reference's lsn:nil→0 / ts:nil→epoch
+    defaults (A7, ``internal/ingestion/cdc.go:101-109``) as coalesce/nullif."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")).alias(
+            "event_type_clean"
+        ),
+        F.coalesce(F.nullif(F.col("value"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "value_or_default"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 200000
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join customer⋈orders; planner picks shuffled-hash/SMJ
+    (or broadcast at small SF via AQE) — both shuffle on the join key,
+    which is the natural co-location key at scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension broadcast join: region is O(5) rows at any scale,
+    so it ships to every executor and the fact side never shuffles."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name AS nation,
+           cast(round(sum(cast(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - cast(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact⋈fact shuffles on orderkey/custkey,
+    dimensions broadcast; region filter prunes before the join."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            # Exact decimal arithmetic: double sums differ between engines by
+            # ~1 ulp (partial-sum order), which flips round() on .005 ties.
+            # Decimals are exact, so the rounded result is bit-stable.
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice as decimal(12,2))"
+                " * (1 - cast(l_discount as decimal(4,2)))), 2) as double)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_big_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null padding; count(col) skips the padded
+    nulls so customers without big orders report 0."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.c_custkey AS left_key, b.o_custkey AS right_key,
+           a.c_acctbal, b.total_spend
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) a
+    FULL OUTER JOIN (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 3000000
+    ) b ON a.c_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two filtered sides; unmatched rows from
+    both sides survive with null padding."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("_spend"))
+        .filter(F.col("_spend") > 3000000)
+        .select("o_custkey", F.round("_spend", 2).alias("total_spend"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").alias("left_key"),
+        F.col("o_custkey").alias("right_key"),
+        "c_acctbal",
+        "total_spend",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one large order;
+    semi joins never duplicate or widen the left side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): complement of join_semi."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey
+     AND c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (equi + band) join: the equi part shuffles/co-locates on
+    nationkey, the band predicate is evaluated post-match — avoids the
+    cartesian blowup a pure range join would have at scale."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & c.c_acctbal.between(
+        s.s_acctbal - 500, s.s_acctbal + 500
+    )
+    return s.join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts)::BIGINT AS purchase_ts_us,
+           max(epoch_us(c.ts))::BIGINT AS last_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND epoch_us(c.ts) <= epoch_us(p.ts)
+    GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior click by the
+    same user.  Expressed as equi-join on the key + time predicate +
+    argmax, which co-locates on user_id (one shuffle) instead of a range
+    join.  At 100 TB the same plan holds: both sides hash-partition on
+    user_id and the per-key candidate set stays small; a
+    sort-merge + per-partition merge_asof (applyInPandas) variant is the
+    escape hatch for very dense keys."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.unix_micros("ts").alias("click_ts_us")
+    )
+    cond = (p.user_id == c.c_user_id) & (c.click_ts_us <= p.purchase_ts_us)
+    return (
+        p.join(c, cond)
+        .groupBy("purchase_id", "user_id", "purchase_ts_us")
+        .agg(F.max("click_ts_us").alias("last_click_ts_us"))
+    )
+
+
+# --------------------------------------------------------- aggregations
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - cast(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - cast(l_discount AS DECIMAL(4,2)))
+                          * (1 + cast(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)      AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation: Spark plans partial (map-side)
+    + final aggregation automatically, so the shuffle carries 6 groups,
+    not 600k rows."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    # Money sums run in exact decimal (see join_multiway_star note) and
+    # cast back to double only after rounding.
+    disc_price_dec = (
+        "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.expr(f"cast(round(sum({disc_price_dec}), 2) as double)").alias("sum_disc_price"),
+        F.expr(
+            f"cast(round(sum({disc_price_dec} * (1 + cast(l_tax as decimal(4,2)))), 2) as double)"
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase aggregate)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for distinct
+    counts — no exact-distinct expansion, single aggregation pass.
+    Rows-only check: sketch estimates are engine-specific."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals: (status, priority), (status), ()."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over nation×segment with a broadcast dimension join."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
+        .cube("nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (the DataFrame API exposes
+    only rollup/cube; grouping sets is SQL-first in Spark too)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_argmax_latest",
+    oracle="""
+    SELECT user_id,
+           max_by(value, event_id)      AS latest_value,
+           max_by(event_type, event_id) AS latest_type,
+           max(epoch_us(ts))::BIGINT    AS latest_ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key via max_by — the aggregate form of the reference's
+    ReplacingMergeTree latest-row-wins contract (A16, README.md:121,
+    ``internal/model/cdc.go:33-41``).  One shuffle, no window sort;
+    event_id is the monotone version column (ts is the displayed time).
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("latest_value"),
+            F.max_by("event_type", "event_id").alias("latest_type"),
+            F.max(F.unix_micros("ts")).alias("latest_ts_us"),
+        )
+    )
+
+
+# ----------------------------------------------------- sorts / limits
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT row_number() OVER (
+             ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC) AS rn,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 450000
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort.  The driver's hash is order-insensitive,
+    so the sort position is materialized into ``rn`` to make ordering
+    semantics checkable."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    w = Window.orderBy(
+        F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        F.row_number().over(w).cast("long").alias("rn"), "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "topk_limit",
+    oracle="""
+    SELECT rn, o_orderkey, o_totalprice FROM (
+      SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+             o_orderkey, o_totalprice
+      FROM orders) t
+    WHERE rn <= 100
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    each partition keeps k rows, only k×partitions reach the driver-side
+    merge (no full sort, no full shuffle).  Tie-broken on o_orderkey so
+    the result set is deterministic; rn materializes the rank."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(F.row_number().over(w).cast("long").alias("rn"), "o_orderkey", "o_totalprice")
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT nation, rnk, c_custkey, c_acctbal FROM (
+      SELECT n.n_name AS nation,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rnk,
+             c.c_custkey, c.c_acctbal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) t
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k within group via ranked window + filter; the rank filter is
+    pushed into the window sort (WindowGroupLimit) so each partition
+    keeps only k rows."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "rnk", "c_custkey", "c_acctbal")
+    )
+
+
+# ----------------------------------------------------------- set ops
+
+_SET_A = "SELECT c_custkey AS custkey, c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000"
+_SET_B = "SELECT c_custkey AS custkey, c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+def _set_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    return a, b
+
+
+@query("set_union_all", oracle=f"{_SET_A} UNION ALL {_SET_B}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — no shuffle, pure concatenation of partitions."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.unionAll(b)
+
+
+@query("set_union_distinct", oracle=f"{_SET_A} UNION {_SET_B}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — union + distinct (one shuffle on all columns)."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics, plans as left-semi)."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (distinct semantics, plans as left-anti)."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.subtract(b)

@@ -1,0 +1,224 @@
+"""Scalar function surface: string / date / math / array / map / json.
+
+Each query exercises a function family in a projection, mirroring the
+scalar work the reference does imperatively in Go:
+
+- ``fn_string``  — A2's ``"user-" + uuid`` concat (``internal/generator/generator.go:21-23``)
+- ``fn_date``    — A10's μs→timestamp + ``"yyyy-MM-dd HH:mm:ss"`` formatting
+  (``internal/ingestion/cdc.go:106-109``, ``clickhouse.go:77,84,112``)
+- ``fn_map``     — A9's op→enum map (``internal/ingestion/cdc.go:145-156``)
+- ``fn_json``    — A4's JSON decode (``internal/ingestion/cdc.go:87-98``)
+
+All of these are built-in JVM expressions inside whole-stage codegen —
+no Python UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           'user-' || lower(c_name)                     AS user_tag,
+           upper(c_mktsegment)                          AS seg_upper,
+           substring(c_name, 10, 9)                     AS cust_num,
+           trim('  ' || c_name || ' ')                  AS trimmed,
+           (c_name LIKE '%7%')                          AS has_seven,
+           regexp_extract(c_name, '([0-9]+)', 1)        AS digits,
+           string_split(c_name, '#')[1]                 AS name_prefix,
+           length(c_name)::BIGINT                       AS name_len
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: concat (A2's user-id shape), case mapping,
+    substring, trim, LIKE, regexp_extract, split, length."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.lit("user-"), F.lower("c_name")).alias("user_tag"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.col("c_name").like("%7%").alias("has_seven"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.element_at(F.split("c_name", "#"), 1).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')  AS order_ts_s,
+           year(o_orderdate)::BIGINT                   AS yr,
+           month(o_orderdate)::BIGINT                  AS mon,
+           day(o_orderdate)::BIGINT                    AS dom,
+           date_trunc('month', o_orderdate)            AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT AS days_since,
+           o_orderdate + INTERVAL 30 DAY               AS due_date,
+           epoch_ms(o_orderdate)::BIGINT               AS epoch_ms
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions.  ``order_ts_s`` is exactly the reference's
+    sink wire format: UTC ``"yyyy-MM-dd HH:mm:ss"``, second precision
+    (A10, ``internal/ingestion/clickhouse.go:77,84,112``)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts_s"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        # o_orderdate is TIMESTAMP_NTZ from parquet; in a UTC session the
+        # NTZ->LTZ cast is the identity instant, so unix_millis is exact.
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).cast("long").alias("epoch_ms"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           cast(round(cast(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - cast(l_discount AS DECIMAL(4,2)))
+                      * (1 + cast(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS charge,
+           round(l_quantity / 7.0, 2)       AS qty_sevenths,
+           floor(l_extendedprice)::BIGINT   AS price_floor,
+           ceil(l_extendedprice)::BIGINT    AS price_ceil,
+           round(abs(l_discount - 0.05), 6) AS disc_dev,
+           round(power(l_quantity, 2), 2)   AS qty_sq,
+           round(sqrt(l_extendedprice), 6)  AS price_sqrt,
+           (l_orderkey % 7)::BIGINT         AS key_mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions incl. the TPC-H charge expression
+    price*(1-disc)*(1+tax)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # Exact decimal product: the 6-decimal charge value hits .005
+        # round-ties that double arithmetic resolves differently per engine.
+        F.expr(
+            "cast(round(cast(l_extendedprice as decimal(12,2))"
+            " * (1 - cast(l_discount as decimal(4,2)))"
+            " * (1 + cast(l_tax as decimal(4,2))), 2) as double)"
+        ).alias("charge"),
+        F.round(F.col("l_quantity") / 7.0, 2).alias("qty_sevenths"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::BIGINT            AS dim,
+           embedding[1]                      AS first_val,
+           list_max(embedding)               AS max_val,
+           list_sort(embedding)[1:3]         AS smallest3
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column (size, index access,
+    max, sort+slice)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.slice(F.sort_array("embedding"), 1, 3).alias("smallest3"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT vec_id, unnest(embedding) AS val
+    FROM embeddings
+    WHERE vec_id < 20
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest of an array column (UDTF-shaped lateral view)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select("vec_id", F.explode("embedding").alias("val"))
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           (CASE lower(event_type)
+              WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+              WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE 0 END)::BIGINT AS type_code
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map literal + element_at — the reference's op→enum scalar map
+    (A9, ``internal/ingestion/cdc.go:145-156``) as a map lookup with a
+    coalesced 0 default.  Oracle uses the equivalent CASE form."""
+    ev = table(spark, sf_dir, "events")
+    codes = F.create_map(
+        F.lit("click"), F.lit(1),
+        F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3),
+        F.lit("signup"), F.lit(4),
+        F.lit("error"), F.lit(5),
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(F.element_at(codes, F.lower("event_type")), F.lit(0))
+        .cast("long")
+        .alias("type_code"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT      AS k_val,
+           json_extract_string(props, '$.k')       AS k_str,
+           json_valid(props)                       AS is_valid
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the stringly-typed ``events.props`` column —
+    the batch face of A4's JSON decode (``internal/ingestion/cdc.go:87-98``):
+    ``from_json`` for the typed path, ``get_json_object`` for ad-hoc
+    extraction."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k long").getField("k").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k long").isNotNull().alias("is_valid"),
+    )

@@ -1,0 +1,71 @@
+"""SparkSession construction and scale-oriented configuration.
+
+The reference has no engine configuration at all (a hand-written Go
+loop, ``cmd/root.go:119-147``); everything here is the Spark-first
+replacement.  Settings are chosen for a large multi-executor cluster
+and merely *tested* on local[N]:
+
+- UTC session timezone: the reference formats every timestamp as UTC
+  ``"yyyy-MM-dd HH:mm:ss"`` (``internal/ingestion/clickhouse.go:77,84,112``);
+  keeping the session in UTC makes those semantics reproducible.
+- AQE on (incl. skew-join handling): at 100 TB, skewed join keys and
+  mis-estimated shuffle sizes are the norm; AQE re-plans at runtime.
+- Arrow on: every Pandas-UDF boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (session-settable) confs — safe to apply to a session we did
+#: not create, e.g. the driver-provided one.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] + sf<=0.1 fits comfortably in 32 shuffle partitions; on a
+    # real cluster this is overridden (or left to AQE coalescing) —
+    # initial partitions high, AQE shrinks.
+    "spark.sql.shuffle.partitions": "32",
+    # ANSI off: the reference's semantics are lenient (bad rows dropped,
+    # nulls defaulted — internal/ingestion/cdc.go:63-67,101-109).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours).
+
+    Only touches confs that are modifiable at runtime; never restarts
+    the session.
+    """
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # non-modifiable in this build — keep going
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "go-otel-clickhouse-ingestor-spark") -> SparkSession:
+    """Build (or get) a SparkSession sized for this host.
+
+    Tests and bench use ``local[$SPARK_GRAFT_CPUS]`` (default 32); on a
+    real cluster the master/executor topology comes from spark-submit
+    and only the SQL confs below matter.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    return apply_runtime_conf(builder.getOrCreate())
