@@ -1,1 +1,259 @@
-"""Placeholder — filled in by later milestone."""
+"""CDC pipeline semantics, batch replay (SURVEY.md §2 A4-A10, A16).
+
+The reference consumes Debezium-wrapped Postgres WAL envelopes from
+Kafka and emits flat versioned ``users_cur`` rows to ClickHouse
+(``internal/ingestion/cdc.go``).  Here the exact same translation is a
+pure column-expression pipeline — every branch of the Go code maps to
+a ``when``/``coalesce`` expression, which means it runs JVM-side inside
+whole-stage codegen, at any scale, in both batch and streaming (the
+streaming pipeline reuses these very functions on a Kafka source).
+
+Branch map (reference -> expression):
+
+- ``tryUnmarshalEnvelope`` direct/stringified/corrupt (cdc.go:87-98)
+  -> ``get_json_object(value, '$')`` normalizes one level of double
+  encoding and nulls out corrupt input, then ``from_json``.
+- malformed-record drop (cdc.go:63-67) -> filter on normalized JSON
+  being an object.
+- c/u takes ``after``, missing after drops (cdc.go:113-123)
+- d takes id from ``before.id`` if != 0 else Kafka key, unparseable
+  key -> 0 (cdc.go:125-134)
+- unknown / wrong-case op drops (cdc.go:113,139-141 — the switch is
+  case-sensitive)
+- lsn nil -> 0, ts_us nil -> epoch (cdc.go:101-109)
+- op enum c=1 u=2 d=3 (cdc.go:145-156)
+- A16 latest-per-key current-state view (README.md:121 —
+  ReplacingMergeTree contract): window by id, newest ``_lsn`` wins,
+  soft-deleted rows dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.fixtures import cdc_messages_df, cdc_messages_values_sql
+from ..tables import table
+
+#: Spark schema of the Debezium envelope (internal/model/cdc.go:7-26).
+ENVELOPE_SCHEMA = (
+    "before struct<id:long,name:string,email:string>, "
+    "after struct<id:long,name:string,email:string>, "
+    "source struct<lsn:long,ts_us:long,schema:string,table:string>, "
+    "op string, ts_us long"
+)
+
+
+def normalized_json(value: Column) -> Column:
+    """One-level JSON normalization (cdc.go:87-98): direct object JSON
+    passes through, a stringified envelope is unquoted, corrupt input
+    becomes NULL.  ``get_json_object(x, '$')`` does all three."""
+    return F.get_json_object(value, "$")
+
+
+def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Attach ``env`` (parsed envelope struct) and ``parse_ok``.
+
+    ``parse_ok`` mirrors Go's tryUnmarshalEnvelope success: the payload
+    (after at most one unquoting) must be a JSON *object* — scalars and
+    arrays fail Go's struct unmarshal just like garbage does."""
+    norm = normalized_json(F.col(value_col))
+    is_obj = norm.isNotNull() & F.ltrim(norm).startswith("{")
+    return df.withColumn("parse_ok", is_obj).withColumn(
+        "env", F.from_json(F.when(is_obj, norm), ENVELOPE_SCHEMA)
+    )
+
+
+def translate_envelope(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Envelope -> ``users_cur`` row (cdc.go:100-143), dropping rows the
+    reference drops.  Input needs ``env`` + ``parse_ok`` from
+    :func:`parse_envelope`."""
+    env = F.col("env")
+    op = env.getField("op")
+    after = env.getField("after")
+    before = env.getField("before")
+
+    key_id = F.coalesce(
+        F.from_json(F.col(key_col), "id long").getField("id"), F.lit(0)
+    )
+    # cdc.go:127: before != nil && before.ID != 0; a missing id field is
+    # Go's zero value, so coalesce(before.id, 0) != 0 covers both.
+    del_id = F.when(F.coalesce(before.getField("id"), F.lit(0)) != 0, before.getField("id")).otherwise(key_id)
+
+    is_cu = op.isin("c", "u") & after.isNotNull()
+    is_d = op == "d"
+
+    out = df.filter(F.col("parse_ok") & (is_cu | is_d)).select(
+        "msg_id",
+        F.when(is_cu, F.coalesce(after.getField("id"), F.lit(0)))
+        .otherwise(del_id)
+        .alias("id"),
+        F.when(is_cu, F.coalesce(after.getField("name"), F.lit("")))
+        .otherwise(F.lit(""))
+        .alias("name"),
+        F.when(is_cu, F.coalesce(after.getField("email"), F.lit("")))
+        .otherwise(F.lit(""))
+        .alias("email"),
+        F.when(is_d, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_deleted"),
+        F.when(op == "c", 1).when(op == "u", 2).otherwise(3).cast("long").alias("_op"),
+        F.coalesce(env.getField("source").getField("lsn"), F.lit(0)).alias("_lsn"),
+        F.coalesce(
+            F.timestamp_micros(env.getField("ts_us")), F.timestamp_micros(F.lit(0))
+        ).alias("_ts"),
+    )
+    return out
+
+
+def current_state(users_cur: DataFrame) -> DataFrame:
+    """A16: latest version per id (by _lsn, then _ts, then msg_id),
+    soft-deleted rows dropped — the engine-side equivalent of
+    ClickHouse ReplacingMergeTree background merges (README.md:121)."""
+    w = Window.partitionBy("id").orderBy(
+        F.col("_lsn").desc(), F.col("_ts").desc(), F.col("msg_id").desc()
+    )
+    return (
+        users_cur.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("is_deleted") == 0))
+        .select("id", "name", "email", "_op", "_lsn", "_ts")
+    )
+
+
+# ----------------------------------------------------------- oracles
+#
+# The DuckDB twins run the SAME translation from the SAME raw bytes
+# (VALUES literal) using DuckDB's JSON functions — a genuine two-engine
+# differential of every branch.
+
+_RAW = cdc_messages_values_sql()
+
+# One level of unquoting + corrupt -> NULL, as a reusable CTE.
+_NORM_CTE = f"""
+    WITH norm AS (
+      SELECT msg_id::BIGINT AS msg_id, key,
+             CASE
+               WHEN NOT json_valid(value) THEN NULL
+               WHEN json_type(value::JSON) = 'VARCHAR'
+                 THEN json_extract_string(value, '$')
+               ELSE value
+             END AS j
+      FROM {_RAW}
+    ),
+    parsed AS (
+      SELECT msg_id, key, j,
+             (j IS NOT NULL AND json_valid(j) AND json_type(j::JSON) = 'OBJECT') AS parse_ok
+      FROM norm
+    )
+"""
+
+_TRANSLATE_SQL = f"""
+    {_NORM_CTE},
+    rows_out AS (
+      SELECT msg_id,
+             json_extract_string(j, '$.op') AS op,
+             (json_type(j, '$.after') IS NOT NULL AND json_type(j, '$.after') <> 'NULL') AS has_after,
+             coalesce(try_cast(json_extract(j, '$.after.id') AS BIGINT), 0)  AS after_id,
+             coalesce(json_extract_string(j, '$.after.name'), '')            AS after_name,
+             coalesce(json_extract_string(j, '$.after.email'), '')           AS after_email,
+             coalesce(try_cast(json_extract(j, '$.before.id') AS BIGINT), 0) AS before_id,
+             CASE WHEN json_valid(key)
+                  THEN coalesce(try_cast(json_extract(key, '$.id') AS BIGINT), 0)
+                  ELSE 0 END                                                 AS key_id,
+             coalesce(try_cast(json_extract(j, '$.source.lsn') AS BIGINT), 0) AS lsn,
+             try_cast(json_extract(j, '$.ts_us') AS BIGINT)                   AS ts_us
+      FROM parsed WHERE parse_ok
+    )
+    SELECT msg_id,
+           CASE WHEN op IN ('c','u') THEN after_id
+                WHEN before_id <> 0 THEN before_id
+                ELSE key_id END                                   AS id,
+           CASE WHEN op IN ('c','u') THEN after_name ELSE '' END  AS name,
+           CASE WHEN op IN ('c','u') THEN after_email ELSE '' END AS email,
+           (CASE WHEN op = 'd' THEN 1 ELSE 0 END)::BIGINT         AS is_deleted,
+           (CASE WHEN op = 'c' THEN 1 WHEN op = 'u' THEN 2 ELSE 3 END)::BIGINT AS _op,
+           lsn                                                    AS _lsn,
+           coalesce(make_timestamp(ts_us), make_timestamp(0))     AS _ts
+    FROM rows_out
+    WHERE (op IN ('c','u') AND has_after) OR op = 'd'
+"""
+
+
+@query(
+    "cdc_envelope_parse",
+    oracle=f"""
+    {_NORM_CTE}
+    SELECT msg_id, parse_ok,
+           json_extract_string(j, '$.op')                        AS op,
+           try_cast(json_extract(j, '$.after.id') AS BIGINT)     AS after_id,
+           try_cast(json_extract(j, '$.before.id') AS BIGINT)    AS before_id,
+           try_cast(json_extract(j, '$.source.lsn') AS BIGINT)   AS lsn,
+           try_cast(json_extract(j, '$.ts_us') AS BIGINT)        AS ts_us
+    FROM parsed
+    """,
+)
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: JSON decode with double-encoding fallback and
+    malformed-record classification, over the full fixture set
+    (direct, stringified, corrupt)."""
+    df = parse_envelope(cdc_messages_df(spark))
+    env = F.col("env")
+    return df.select(
+        "msg_id",
+        "parse_ok",
+        env.getField("op").alias("op"),
+        env.getField("after").getField("id").alias("after_id"),
+        env.getField("before").getField("id").alias("before_id"),
+        env.getField("source").getField("lsn").alias("lsn"),
+        env.getField("ts_us").alias("ts_us"),
+    )
+
+
+@query("cdc_translate", oracle=_TRANSLATE_SQL)
+def cdc_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-A10: full envelope→users_cur translation — every branch of
+    ``translateEnvelopeToRow`` (cdc.go:100-143) differentially checked
+    against an independent DuckDB implementation."""
+    return translate_envelope(parse_envelope(cdc_messages_df(spark)))
+
+
+@query(
+    "cdc_current_state",
+    oracle=f"""
+    WITH users_cur AS ({_TRANSLATE_SQL})
+    SELECT id, name, email, _op, _lsn, _ts FROM (
+      SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY _lsn DESC, _ts DESC, msg_id DESC) AS rn
+      FROM users_cur) t
+    WHERE rn = 1 AND is_deleted = 0
+    """,
+)
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: the ReplacingMergeTree current-state view — latest _lsn per
+    id, soft deletes dropped."""
+    return current_state(translate_envelope(parse_envelope(cdc_messages_df(spark))))
+
+
+@query(
+    "events_insert_shape",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+           'user-' || user_id                AS user_id,
+           event_type                        AS action,
+           'example-payload'                 AS payload
+    FROM events
+    """,
+)
+def events_insert_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A10: the synthetic-event wire row exactly as the reference
+    serializes it (``clickhouse.go:78-88``): UTC second-truncated
+    timestamp string, ``"user-"+id``, action, constant payload."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("event_type").alias("action"),
+        F.lit("example-payload").alias("payload"),
+    )

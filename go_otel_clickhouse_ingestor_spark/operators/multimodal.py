@@ -1,1 +1,133 @@
-"""Placeholder — filled in by later milestone."""
+"""Multimodal columns (BASELINE.json north-star).
+
+Design: media (image/audio/video) travels as an opaque ``binary``
+column with a typed metadata struct alongside — the layout every
+large-scale multimodal corpus uses (WebDataset / Parquet-BLOB).  The
+Spark-side plumbing is real and tested: schema, struct bundling,
+nested access, and Arrow-batched ``mapInPandas`` decode with a
+documented batch shape.  The *codec* itself is stubbed: this container
+has no image/audio libraries, so ``decode_media_batch`` dispatches to
+a deterministic fake (clearly marked) and raises
+``NotImplementedError`` for real codecs.
+
+Since the driver fixtures carry no binary column, the payload here is
+the utf-8 encoding of ``documents.text`` — the plumbing doesn't care
+what the bytes mean.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+#: Output schema of the decode stage — what a real image decoder would
+#: emit (dimensions from the header, a tiny feature vector).
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width long, height long, "
+    "feat array<double>"
+)
+
+
+def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Decode one Arrow batch of media payloads.
+
+    Real codecs (PIL / torchaudio / pyav) are not available in this
+    container — attempting them raises ``NotImplementedError`` so the
+    gap is explicit.  The DETERMINISTIC FAKE derives "dimensions" and a
+    4-dim "feature" from the payload bytes (md5), which keeps the
+    Spark plumbing (schema, batching, partitioning) fully testable.
+    """
+    import hashlib
+
+    medias = pdf["media_type"]
+    if (medias != "fake").any():  # pragma: no cover - real codecs absent
+        raise NotImplementedError(
+            "real media decoding (image/audio/video) needs PIL/av; "
+            "only the deterministic 'fake' codec exists in this environment"
+        )
+    out = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        digest = hashlib.md5(bytes(payload)).digest()
+        out.append(
+            {
+                "doc_id": doc_id,
+                "media_type": "fake",
+                "n_bytes": len(payload),
+                "width": 16 + digest[0] % 64,
+                "height": 16 + digest[1] % 64,
+                "feat": [b / 255.0 for b in digest[:4]],
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def _decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf):
+            yield decode_media_batch(pdf)
+
+
+@query(
+    "multimodal_cols",
+    oracle="""
+    SELECT d.doc_id,
+           d.text                 AS meta_text,
+           d.lang                 AS meta_lang,
+           octet_length(encode(d.text)) AS payload_bytes,
+           len(e.embedding)::BIGINT AS dim,
+           e.embedding[1]         AS first_val
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: bundle text + metadata + binary
+    payload + embedding into one struct column, then project nested
+    fields back out (what a training-data loader does).  The struct is
+    built and consumed inside the plan — proof the nested schema works
+    end-to-end — while the output is flat for the oracle."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    rec = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.struct(
+            F.col("text").alias("text"),
+            F.col("lang").alias("lang"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.col("embedding").alias("embedding"),
+        ).alias("record"),
+    )
+    r = F.col("record")
+    return rec.select(
+        "doc_id",
+        r.getField("text").alias("meta_text"),
+        r.getField("lang").alias("meta_lang"),
+        F.octet_length(r.getField("payload")).cast("long").alias("payload_bytes"),
+        F.size(r.getField("embedding")).cast("long").alias("dim"),
+        F.element_at(r.getField("embedding"), 1).alias("first_val"),
+    )
+
+
+@query("multimodal_decode")  # rows-only: decode stage is a stubbed codec
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-decode stage: binary payloads through an Arrow-batched
+    ``mapInPandas`` decoder with a typed output schema.
+
+    Scale notes: decode is embarrassingly parallel — it inherits the
+    scan partitioning (``maxPartitionBytes`` sizes the batches) and
+    adds zero shuffles; the pandas UDF boundary is the right place for
+    a C codec because the payload bytes cross into Python exactly
+    once, Arrow-batched."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.lit("fake").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_decode_iter, DECODE_SCHEMA)

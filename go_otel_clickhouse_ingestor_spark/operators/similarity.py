@@ -1,1 +1,156 @@
-"""Placeholder — filled in by later milestone."""
+"""Similarity search over embeddings (BASELINE.json north-star).
+
+Two paths, mirroring how a 100 TB vector corpus is actually served:
+
+- ``sim_topk_cosine``: exact brute-force top-k — the recall baseline.
+  Query set × corpus via join + windowed top-k.  Fine when the query
+  set is small (broadcast) even if the corpus is huge; O(Q·N) compute
+  but zero extra shuffles beyond the broadcast.
+- ``sim_ann_lsh``: random-hyperplane (SimHash-for-vectors) LSH — the
+  scale path.  Sign-bit signatures are map-side; candidates come from
+  a bucket-equality join, then exact cosine re-ranks candidates only.
+  Hyperplanes are derived from xxhash64 so the whole thing stays in
+  JVM expressions with zero Python and zero driver-side state.
+
+The cosine kernel is shared: ``zip_with`` + ``aggregate`` over the
+float arrays cast to double — built-in higher-order functions, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@query(
+    "sim_topk_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(qemb, emb)
+                   / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 5) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, rnk, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored) t
+    WHERE rnk <= 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector
+    (vec_id % 50 == 0), brute force.  The query side is tiny and
+    broadcast; ranking runs on the *rounded* similarity with a vec_id
+    tie-break, so the selected set is deterministic across engines."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "vec_id", "cos_sim")
+    )
+
+
+#: Number of random hyperplanes = signature bits for the ANN path.
+_ANN_BITS = 32
+
+
+def _hyperplane_signature(emb: Column, dim: int = 64) -> Column:
+    """Sign-bit LSH signature: bit b = sign(<v, r_b>) where hyperplane
+    r_b[i] is a deterministic pseudo-random in [-0.5, 0.5) derived from
+    xxhash64(b, i).  Pure expressions — the planes never materialize."""
+    sig = F.lit(0).cast("long")
+    for b in range(_ANN_BITS):
+        comp = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.pmod(F.xxhash64(F.lit(b), i), F.lit(1000)).cast("double")
+                        / 1000.0
+                        - 0.5
+                    ),
+                ),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.shiftleft(F.when(comp > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b)
+        )
+    return sig
+
+
+@query("sim_ann_lsh")  # rows-only: xxhash64-derived planes are engine-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors via random-hyperplane LSH: 32-bit
+    sign signatures; candidates are vectors within Hamming distance 13
+    of the query signature (sign-bit agreement tracks the angle), exact
+    cosine re-ranks candidates only.
+
+    Cost shape: the Hamming screen is two 64-bit ops per (query,
+    vector) against a broadcast query side — the expensive cosine runs
+    on the ~20% of the corpus that survives.  On the driver fixtures
+    (random near-orthogonal embeddings, the LSH worst case) this holds
+    ≥0.5 recall of the true top-10; real clustered corpora separate
+    far better.  For corpus×corpus joins use banded signatures (see
+    dedup_simhash) instead of a per-query screen."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = e.withColumn("sig", _hyperplane_signature(F.col("embedding")))
+    q = sigs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("sig").alias("qsig"),
+    )
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+    cand = sigs.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).filter(ham <= 13)
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "vec_id", "cos_sim")
+    )

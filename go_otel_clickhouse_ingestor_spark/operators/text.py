@@ -1,1 +1,214 @@
-"""Placeholder — filled in by later milestone."""
+"""Text analysis for large-scale training-data pipelines.
+
+The reference is a pure ingestor with no text processing; these are
+the north-star extensions (BASELINE.json) a 100 TB document pipeline
+needs: language ID, quality scoring, token counting, fingerprinting.
+
+Everything here is built-in JVM expressions (split / filter /
+regexp_extract_all / md5 / aggregate) — no Python in the hot path, so
+the per-document cost is whole-stage-codegen cheap and the only
+shuffle anywhere is the explicit groupBy in the aggregate views.
+
+Determinism contract: every function is a pure expression implemented
+identically in the DuckDB oracle, so outputs (including the heuristic
+language guess) hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+#: Stopword marker sets per language for the n-gram/token heuristic.
+#: Tiny on purpose: broadcast as literals into the expression tree.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "es": ("el", "los", "las", "que", "de", "un"),
+}
+
+_PUNCT_RE = "[.,!?;:]"
+_WORD_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Non-empty whitespace tokens of lowercased text."""
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens fall in a marker set (JVM array ops)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),"
+        f" t -> list_contains([{lst}], t)))::BIGINT"
+    )
+
+
+@query(
+    "text_tokenize_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+           length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_nonspace_chars,
+           round(length(regexp_replace(text, '\\s', '', 'g'))
+                 / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')), 1), 6)
+             AS avg_token_len,
+           n_chars
+    FROM documents
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenization stats: token count, non-space chars,
+    mean token length.  Pure map-side projection — scales linearly,
+    zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nonspace = F.length(F.regexp_replace("text", "\\s", ""))
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        nonspace.cast("long").alias("n_nonspace_chars"),
+        F.round(nonspace / F.greatest(n_toks, F.lit(1)), 6).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+def _lang_pred_sql() -> str:
+    s = {k: _marker_sql(v) for k, v in LANG_MARKERS.items()}
+    return f"""
+    SELECT doc_id,
+           {s['en']} AS s_en, {s['de']} AS s_de, {s['fr']} AS s_fr, {s['es']} AS s_es,
+           CASE
+             WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en'
+             WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'
+             WHEN {s['fr']} >= {s['es']} THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred,
+           lang AS lang_label
+    FROM documents
+    """
+
+
+@query("text_lang_id", oracle=_lang_pred_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker counting — the classic cheap
+    n-gram heuristic (fasttext-free).  Deterministic argmax with a
+    fixed preference order (en > de > fr > es) so ties are stable.
+
+    The fixture texts are synthetic word soup, so ``lang_pred`` is not
+    expected to equal ``lang_label``; the differential check asserts
+    the *function*, not model accuracy."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    s = {k: marker_count(toks, v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        s["en"].alias("s_en"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+        s["es"].alias("s_es"),
+        pred.alias("lang_pred"),
+        F.col("lang").alias("lang_label"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(least(n_chars, 500) / 500.0, 6) AS len_norm,
+           round(len(regexp_extract_all(text, '{_PUNCT_RE}')) / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(n_chars, 1), 6) AS alpha_ratio,
+           round(0.4 * (least(n_chars, 500) / 500.0)
+               + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(n_chars, 1))
+               - 0.1 * (len(regexp_extract_all(text, '{_PUNCT_RE}')) / greatest(n_chars, 1)), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation, alphabetic ratio,
+    punctuation penalty — the usual pre-training corpus filter features,
+    combined into one bounded score."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.col("n_chars")
+    len_norm = F.least(n_chars, F.lit(500)) / 500.0
+    punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), F.lit(0))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.round(len_norm, 6).alias("len_norm"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(0.4 * len_norm + 0.5 * alpha - 0.1 * punct, 6).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_WORD_RE}'))::BIGINT AS n_bpe_ish,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_ws,
+           ceil(n_chars / 4.0)::BIGINT AS n_chars_div4
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: a BPE-ish regex (letters / digits /
+    punctuation pieces), whitespace tokens, and the chars/4 rule of
+    thumb — the cost estimators a data pipeline runs before training."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_chars_div4"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           count(*) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_same
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint + per-fingerprint
+    multiplicity — the exact-dedup key.  md5 (not xxhash64) because it
+    is bit-stable across every engine, so downstream systems can join
+    on it."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
+    from pyspark.sql.window import Window
+
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("n_same"),
+    )

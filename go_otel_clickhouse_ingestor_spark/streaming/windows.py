@@ -1,0 +1,95 @@
+"""Event-time windowing, watermarks, streaming dedup, stream-static
+enrichment (SURVEY.md §2.B streaming-only rows).
+
+The reference is processing-time only (a Go ticker); these are the
+event-time operators its sink tables exist to feed.  All builders take
+a *stream* of events shaped like the ``events`` fixture table
+(event_id, ts, user_id, event_type, value) and return streaming
+DataFrames; with a batch DataFrame they degrade to the batch
+equivalents (same expressions), which is how tests pin semantics.
+
+Scale notes: windowed aggregation state is partitioned by (window,
+keys) in the state store; the watermark bounds state size — without
+it a 100 TB stream grows state forever.  ``dropDuplicatesWithinWatermark``
+keeps only in-watermark keys for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: events older than max(ts) - delay are dropped
+    from stateful operators."""
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 minute") -> DataFrame:
+    """Event counts + value sum per tumbling window per event_type."""
+    return (
+        with_watermark(events)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 minute", slide: str = "30 seconds"
+) -> DataFrame:
+    """Overlapping (sliding) windows: each event lands in
+    width/slide windows."""
+    return (
+        with_watermark(events)
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (dynamic-width state)."""
+    return (
+        with_watermark(events)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Exactly-once-per-event_id within the watermark — the streaming
+    face of exact dedup; state holds only in-watermark ids."""
+    return with_watermark(events).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_with_users(events: DataFrame, users_cur: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (batch)
+    current-state user table (A16's output).  The static side is
+    re-read per micro-batch and broadcast when small."""
+    return events.join(
+        F.broadcast(users_cur.select("id", "name", "email")),
+        events.user_id == F.col("id"),
+        "left",
+    ).drop("id")

@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the scale properties the docstrings claim
+must be visible in `.explain` output — pushdown reaching the parquet
+scan, dimensions broadcast, whole-stage codegen on the hot paths, and
+top-k not globally sorting."""
+
+from __future__ import annotations
+
+from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY[name].fn(spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_project")
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_extendedprice" not in rs[0], "scan must not read unused columns"
+
+
+def test_dimensions_broadcast_in_star_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_plan_as_semi_joins(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_limit")
+    assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_groupby")
+    assert plan.count("HashAggregate") >= 2, "expect partial + final hash agg"
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    for name in ("agg_groupby", "fn_math", "text_quality_score"):
+        assert "WholeStageCodegen" in _plan(spark, sf_dir, name), name
+
+
+def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
+    """Everything oracle-checked must stay JVM-side (BatchEvalPython /
+    ArrowEvalPython in a plan means a Python UDF snuck in)."""
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} uses a Python UDF"

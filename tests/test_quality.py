@@ -1,0 +1,121 @@
+"""Quality gates for the approximate operators: the rows-only queries
+still have to be *good*, so tests measure them against their exact
+twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash-LSH must recover the strong exact-Jaccard pairs (≥0.5)
+    found by the exact verifier."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.5
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"MinHash recall {recall:.2f} on {len(exact)} strong pairs"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """The hyperplane-LSH ANN must find a reasonable share of the true
+    top-10 neighbors (16-bit signatures at ham<=2 -> modest recall by
+    design; the knob is _ANN_BITS/band width)."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"ANN recall {recall:.2f}"
+
+
+def test_ann_candidates_are_true_cosines(spark, sf_dir):
+    """Every ANN result must carry the same cosine the exact path
+    computes (the re-rank is exact, only the candidate set is approx)."""
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    for r in REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect():
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_simhash_pairs_have_high_jaccard(spark, sf_dir):
+    """SimHash candidates (ham<=12 of 64) should be enriched for real
+    similarity: precision vs exact jaccard>=0.2 must beat random."""
+    sim_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    if not sim_pairs:
+        return  # nothing claimed, nothing to verify
+    exactish = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.5
+    }
+    if strong:
+        assert strong & sim_pairs, "simhash should catch at least one planted near-dup"
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    """The fake codec is a pure function of the payload bytes."""
+    q = REGISTRY["multimodal_decode"].fn
+
+    def norm(rows):
+        return {
+            (r.doc_id, r.media_type, r.n_bytes, r.width, r.height, tuple(r.feat))
+            for r in rows
+        }
+
+    a = norm(q(spark, sf_dir).collect())
+    b = norm(q(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+
+
+def test_multimodal_decode_rejects_real_codecs():
+    """Real media types must fail loudly, not silently fake-decode."""
+    import pandas as pd
+    import pytest
+
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        decode_media_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "media_type": ["image/png"], "payload": [b"\x89PNG"]}
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media_batch(pdf)
+
+
+def test_dedup_exact_is_lossless_partition(spark, sf_dir):
+    """Keeper set + copy counts must cover every document exactly once."""
+    out = REGISTRY["dedup_exact"].fn(spark, sf_dir)
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    agg = out.agg(F.sum("n_copies").alias("s"), F.count(F.lit(1)).alias("k")).collect()[0]
+    assert agg.s == n_docs
+    assert agg.k == out.select("keeper_doc_id").distinct().count()

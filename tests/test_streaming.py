@@ -1,0 +1,293 @@
+"""Streaming parity tests (SURVEY.md §5.4): file-source streams with
+availableNow triggers, memory sinks, and batch equivalence checks.
+
+These pin the semantics the driver can't oracle-check: the synthetic
+generator (A1/A2), the streaming CDC translation (A3-A13), windowed
+aggregation, watermark dedup, the foreachBatch upsert (A16 online),
+and the metrics listener (A14).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_jsonl(spark, tmp_path, rows, name):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "part-0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def _run_available_now(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _run_complete(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    """The events fixture replayed as a file-source stream (ts as
+    timestamp via unix_micros round-trip)."""
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    rows = [
+        {
+            "event_id": r.event_id,
+            "ts_us": r.ts_us,
+            "user_id": r.user_id,
+            "event_type": r.event_type,
+            "value": r.value,
+        }
+        for r in ev.select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+        ).collect()
+    ]
+    path = _write_jsonl(spark, tmp_path, rows, "events_stream")
+    schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+    return (
+        spark.readStream.schema(schema)
+        .json(path)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+
+
+def test_synthetic_generator_batch_shape(spark):
+    """A2: wire shape of the generated event (generator.go:10-23)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.synthetic import (
+        ACTIONS,
+        synthetic_events_batch,
+    )
+
+    rows = synthetic_events_batch(spark, 200).collect()
+    assert len(rows) == 200
+    assert all(r.user_id.startswith("user-") for r in rows)
+    assert all(len(r.user_id) == len("user-") + 36 for r in rows)  # uuid4
+    assert {r.action for r in rows} <= set(ACTIONS)
+    assert {r.payload for r in rows} == {"example-payload"}
+
+
+def test_synthetic_rate_stream_runs(spark):
+    """A1: the rate source stands in for the ticker; one micro-batch
+    must produce rows with the A2 schema."""
+    from go_otel_clickhouse_ingestor_spark.streaming.synthetic import synthetic_events
+
+    name = f"synth_{uuid.uuid4().hex[:8]}"
+    q = (
+        synthetic_events(spark, rate=50)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(f"SELECT * FROM {name}").count() > 0:
+                break
+            time.sleep(0.5)
+        out = spark.sql(f"SELECT * FROM {name}")
+        assert out.count() > 0
+        assert set(out.columns) == {"timestamp", "user_id", "action", "payload"}
+    finally:
+        q.stop()
+
+
+def test_cdc_stream_matches_batch(spark, tmp_path):
+    """A3-A10 streaming == batch: the same translation expressions over
+    a file-source stream produce exactly the batch rows."""
+    from go_otel_clickhouse_ingestor_spark.operators.cdc import (
+        parse_envelope,
+        translate_envelope,
+    )
+    from go_otel_clickhouse_ingestor_spark.sources.fixtures import (
+        CDC_MESSAGES,
+        cdc_messages_df,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import translate_stream
+
+    rows = [{"msg_id": m, "key": k, "value": v} for m, k, v in CDC_MESSAGES]
+    path = _write_jsonl(spark, tmp_path, rows, "cdc_stream")
+    stream = spark.readStream.schema("msg_id long, key string, value string").json(path)
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    _run_available_now(translate_stream(stream), name)
+
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {
+        tuple(r)
+        for r in translate_envelope(parse_envelope(cdc_messages_df(spark))).collect()
+    }
+    assert got == want and len(got) == 8
+
+
+def test_tumbling_window_matches_batch(spark, events_stream, sf_dir):
+    """Windowed streaming aggregation equals the batch groupBy(window)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import tumbling_counts
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    name = f"tumb_{uuid.uuid4().hex[:8]}"
+    _run_complete(tumbling_counts(events_stream), name)
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    want = {tuple(r) for r in tumbling_counts(ev).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_window_runs(spark, events_stream):
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import session_counts
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_complete(session_counts(events_stream), name)
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.count() > 0
+    assert out.filter(F.col("win_end") < F.col("win_start")).count() == 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated event_ids collapse."""
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import dedup_events
+
+    base = [
+        {"event_id": i % 10, "ts_us": 1_700_000_000_000_000 + i * 1_000_000, "user_id": 1,
+         "event_type": "click", "value": 1.0}
+        for i in range(30)
+    ]
+    path = _write_jsonl(spark, tmp_path, base, "dup_stream")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .json(path)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_available_now(dedup_events(stream), name)
+    out = spark.sql(f"SELECT event_id FROM {name}")
+    assert out.count() == 10
+    assert out.distinct().count() == 10
+
+
+def test_foreach_batch_upsert_matches_current_state(spark, tmp_path):
+    """A16 online: the foreachBatch MERGE converges to the batch
+    current_state view."""
+    from go_otel_clickhouse_ingestor_spark.operators.cdc import (
+        current_state,
+        parse_envelope,
+        translate_envelope,
+    )
+    from go_otel_clickhouse_ingestor_spark.sources.fixtures import (
+        CDC_MESSAGES,
+        cdc_messages_df,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        translate_stream,
+        upsert_foreach_batch,
+    )
+
+    rows = [{"msg_id": m, "key": k, "value": v} for m, k, v in CDC_MESSAGES]
+    path = _write_jsonl(spark, tmp_path, rows, "cdc_upsert")
+    state_dir = str(tmp_path / "state")
+    stream = spark.readStream.schema("msg_id long, key string, value string").json(path)
+    q = (
+        translate_stream(stream)
+        .writeStream.foreachBatch(upsert_foreach_batch(state_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(state_dir + "/current").collect()}
+    want = {
+        tuple(r)
+        for r in current_state(
+            translate_envelope(parse_envelope(cdc_messages_df(spark)))
+        ).collect()
+    }
+    assert got == want and len(got) == 2  # ids 3 (Bo) and 9 (Di) survive
+
+
+def test_stream_static_enrich(spark, events_stream):
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import enrich_with_users
+
+    users = spark.createDataFrame(
+        [(1, "Ada", "ada@example.com"), (2, "Bo", "bo@example.com")],
+        "id long, name string, email string",
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    _run_available_now(enrich_with_users(events_stream, users), name)
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.count() == 500
+    assert "name" in out.columns
+
+
+def test_metrics_listener(spark, events_stream):
+    """A14: the listener accumulates the four reference series and
+    renders Prometheus text exposition."""
+    from go_otel_clickhouse_ingestor_spark.streaming.metrics import (
+        IngestionMetricsListener,
+    )
+
+    listener = IngestionMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        name = f"met_{uuid.uuid4().hex[:8]}"
+        _run_available_now(events_stream.select("event_id"), name)
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.generated_events_total == 0:
+            time.sleep(0.5)
+        assert listener.generated_events_total >= 500
+        text = listener.render()
+        assert "ingestion_generated_events_total" in text
+        assert 'le="10.0"' in text or 'le="+Inf"' in text
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_clickhouse_shape_second_truncation(spark):
+    """A10: the sink edge serializes timestamps as second-precision
+    strings (clickhouse.go:77,84,112)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.sinks import clickhouse_shape
+
+    df = spark.createDataFrame(
+        [(1,)], "id long"
+    ).select("id", F.timestamp_micros(F.lit(1_700_000_000_123_456)).alias("_ts"))
+    row = clickhouse_shape(df).collect()[0]
+    assert row._ts == "2023-11-14 22:13:20"
+
+
+def test_jdbc_sink_config_auth_rule():
+    """A11: basic auth only when BOTH user and password are set
+    (clickhouse.go:48-50)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.sinks import JdbcSinkConfig
+
+    assert "user" not in JdbcSinkConfig(url="u", table="t", user="a").properties()
+    props = JdbcSinkConfig(url="u", table="t", user="a", password="b").properties()
+    assert props["user"] == "a" and props["password"] == "b"
