@@ -25,24 +25,63 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..registry import query
 from ..tables import table
-from .text import tokens
 
 
-def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token array (JVM-side).
+def fast_tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, codegen-friendly.
 
-    ``sequence`` is guarded: Spark's sequence(1, 0) counts *down*, so
-    short documents must produce an explicit empty array."""
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    Equivalent to :func:`..text.tokens` (trim + split never produces
+    empty tokens on non-empty text) but avoids the interpreted
+    higher-order ``filter`` lambda — measurably faster in the shingle
+    hot path.  Empty/whitespace-only text yields ``[""]``, which the
+    callers drop via their ``size(grams) > 0`` filters."""
+    return F.split(F.trim(F.lower(text)), "\\s+")
+
+
+def materialized(df: DataFrame) -> DataFrame:
+    """Persist a multiply-consumed intermediate (MEMORY_AND_DISK).
+
+    Spark re-evaluates a DataFrame subtree once per consumer branch —
+    a self-joining LSH pipeline would tokenize + shingle the corpus
+    3-4×.  At 100 TB this intermediate is a materialized signature
+    table (checkpoint / persisted dataset); at test scale a persist
+    gives the same single-evaluation semantics.  Spark dedupes cache
+    entries by logical plan, so repeated query invocations reuse one
+    entry rather than piling up copies."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def gram_hashes(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct 64-bit-hashed 3-gram shingles: one row per
+    (doc_id, gram hash), plus any ``keep`` passthrough columns.
+
+    Deliberately HOF-free: an earlier formulation built shingles with
+    ``transform``/``element_at`` lambdas, which Spark evaluates
+    *interpreted* (outside whole-stage codegen) and re-inlines per
+    consumer — it dominated the dedup bench.  posexplode + window
+    ``lead`` + ``concat_ws`` + ``xxhash64`` all stay inside codegen.
+
+    Scale: one shuffle on doc_id for the window (per-document sort of
+    bounded token lists), one for the per-doc distinct; both partial
+    and skew-safe (a document's tokens are bounded, not corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+    return (
+        d.select(
+            "doc_id", *keep, F.posexplode(fast_tokens(F.col("text"))).alias("pos", "t")
+        )
+        .filter(F.col("t") != "")
+        .withColumn("g", F.when(t2.isNotNull(), F.concat_ws(" ", F.col("t"), t1, t2)))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", *keep, F.xxhash64("g").alias("gh"))
+        .dropDuplicates(["doc_id", "gh"])
     )
-    return F.array_distinct(F.transform(idx, gram))
 
 
 @query(
@@ -106,17 +145,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates; at scale it runs only on LSH candidate pairs, here it
     runs on source-blocked pairs so it stays oracle-checkable."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", shingles(tokens(F.col("text"))).alias("grams")
-    )
-    e = sh.select("doc_id", "source", F.explode("grams").alias("g"))
+    # Hashed-gram rows (64-bit xxhash64 of the gram string): joining on
+    # 8-byte hashes instead of gram text moves ~4× less shuffle data
+    # and collisions are negligible, so counts — and thus the Jaccard
+    # values the oracle checks — are identical.  Persisted because the
+    # self-join + size lookup consume it three times.
+    e = materialized(gram_hashes(d, keep=("source",)))
     a = e.alias("a")
     b = e.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -124,7 +165,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sz = sh.select("doc_id", F.size("grams").alias("sz"))
+    sz = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
     return (
         inter.join(sz.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -134,34 +175,88 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH hash family is engine-specific
+#: MinHash signature length and banding: 24 hashes = 12 bands × 2 rows.
+#: AND-OR banding: a pair is a candidate iff BOTH hashes of at least one
+#: band agree.  P(candidate | jaccard j) = 1-(1-j²)^12 — 0.97 at j=0.5,
+#: 0.9995 at j=0.7, yet only ~10⁻³ at the j≈0.01 of unrelated docs.
+_MINHASH_K = 24
+_MINHASH_BANDS = 12
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 hash family is engine-specific
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates — the linear-scale path
-    (shingle → HashingTF sparse vector → MinHash signature → banded
-    join inside ``approxSimilarityJoin``).  Seeded, so deterministic
-    per engine; rows-only check because the hash family is Spark's.
+    """MinHash-LSH near-dup pairs — the linear-scale path, as pure
+    DataFrame expressions (no ml.feature pipeline):
 
-    100 TB story: signatures are map-side; the only shuffle keys on
-    LSH bucket ids, so cost is O(candidates), not O(n²).  Tests assert
-    recall against the exact ``dedup_ngram_jaccard`` pairs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    1. signature: 24 minhashes per doc, ``min(xxhash64(gram, i))`` per
+       hash function i — one partial-aggregated groupBy(doc_id), all
+       map-side combinable.
+    2. candidates: explode 12 two-hash bands, self-join on exact band
+       value — the shuffle keys on (band, v1, v2); pairs only
+       materialize inside a bucket, never an unblocked self-join.
+    3. verify: exact Jaccard via ``array_intersect`` on the 64-bit
+       hashed-shingle sets of candidate pairs only (collision odds at
+       64 bits are negligible); keep pairs ≥ 0.3.
 
+    100 TB story: stages 1-2 are linear in corpus size; stage 3 is
+    linear in *candidates* (LSH-bounded).  This replaces an earlier
+    ``approxSimilarityJoin`` formulation whose per-candidate sparse
+    keyDistance over 2^18-dim vectors dominated the whole bench (~70 s
+    at sf0.1); this plan runs in seconds.  Tests assert recall ≥ 0.8
+    against the exact ``dedup_ngram_jaccard`` pairs."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("grams")
-    ).filter(F.size("grams") > 0)
-    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+    # Hashed-gram rows (16 bytes each): the K minhashes derive from the
+    # 8-byte gram hash (cheap fixed-width re-hash, not K string
+    # hashes), and the same rows feed the exact verify stage.
+    g = materialized(gram_hashes(d))
+    mins = materialized(
+        g.groupBy("doc_id").agg(
+            F.collect_set("gh").alias("ghs"),
+            *[
+                F.min(F.xxhash64("gh", F.lit(i))).alias(f"m{i}")
+                for i in range(_MINHASH_K)
+            ],
         )
+    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"m{2 * j}").alias("v1"),
+                        F.col(f"m{2 * j + 1}").alias("v2"),
+                    )
+                    for j in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.v1", "bv.v2")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.v1") == F.col("y.v1"))
+            & (F.col("x.v2") == F.col("y.v2"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = mins.select(F.col("doc_id").alias("doc_a"), F.col("ghs").alias("grams_a"))
+    gb = mins.select(F.col("doc_id").alias("doc_b"), F.col("ghs").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = inter / union
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_sim"))
     )
 
 
@@ -178,8 +273,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an unblocked self-join)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+        "doc_id", F.explode(fast_tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "").withColumn("h", F.xxhash64("t"))
     # per-bit vote: +1 when bit set, -1 otherwise; bit b of the
     # signature is 1 iff the vote is positive
     votes = tok.groupBy("doc_id").agg(

@@ -31,7 +31,7 @@ from ..tables import table
 #: emit (dimensions from the header, a tiny feature vector).
 DECODE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, width long, height long, "
-    "feat array<double>"
+    "f0 double, f1 double, f2 double, f3 double"
 )
 
 
@@ -62,7 +62,13 @@ def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 "n_bytes": len(payload),
                 "width": 16 + digest[0] % 64,
                 "height": 16 + digest[1] % 64,
-                "feat": [b / 255.0 for b in digest[:4]],
+                # Feature vector flattened to scalar columns: array cells
+                # are unhashable in the canonicalized comparison, so the
+                # 4-dim "feature" crosses the boundary as f0..f3.
+                "f0": digest[0] / 255.0,
+                "f1": digest[1] / 255.0,
+                "f2": digest[2] / 255.0,
+                "f3": digest[3] / 255.0,
             }
         )
     return pd.DataFrame(out)

@@ -248,6 +248,32 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM (SELECT c_custkey, c_name, c_mktsegment
+          FROM customer WHERE c_mktsegment = 'BUILDING') c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 350000
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every qualifying order survives, null-padded
+    when its customer isn't in the filtered (BUILDING) dimension —
+    completes the left/right/full outer family (SURVEY §2.B
+    ``join_left_right_outer``)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
     "join_full_outer",
     oracle="""
     SELECT a.c_custkey AS left_key, b.o_custkey AS right_key,

@@ -139,20 +139,32 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(embedding)::BIGINT            AS dim,
            embedding[1]                      AS first_val,
            list_max(embedding)               AS max_val,
-           list_sort(embedding)[1:3]         AS smallest3
+           list_sort(embedding)[1]           AS small1,
+           list_sort(embedding)[2]           AS small2,
+           list_sort(embedding)[3]           AS small3,
+           list_contains(embedding, embedding[1]) AS has_first
     FROM embeddings
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over the embedding column (size, index access,
-    max, sort+slice)."""
+    max, sort+slice, contains).
+
+    The sorted-slice result is projected as three scalar columns rather
+    than a raw ``array<double>`` — array cells are unhashable in the
+    order-insensitive value-hash comparison, so arrays stay inside the
+    plan and scalars cross the query boundary."""
     e = table(spark, sf_dir, "embeddings")
+    sorted3 = F.slice(F.sort_array("embedding"), 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
         F.array_max("embedding").alias("max_val"),
-        F.slice(F.sort_array("embedding"), 1, 3).alias("smallest3"),
+        F.element_at(sorted3, 1).alias("small1"),
+        F.element_at(sorted3, 2).alias("small2"),
+        F.element_at(sorted3, 3).alias("small3"),
+        F.array_contains("embedding", F.element_at("embedding", 1)).alias("has_first"),
     )
 
 

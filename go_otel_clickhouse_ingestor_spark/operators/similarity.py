@@ -87,26 +87,27 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Number of random hyperplanes = signature bits for the ANN path.
 _ANN_BITS = 32
 
+#: The hyperplanes themselves, precomputed ONCE driver-side with a
+#: seeded RNG and shipped into the plan as array literals.  An earlier
+#: formulation re-derived every plane component per row from xxhash64
+#: (~2048 hash calls per vector); the literal matrix is constant-folded
+#: by Catalyst, leaving only the 32 dot products per row.
+import random as _random
 
-def _hyperplane_signature(emb: Column, dim: int = 64) -> Column:
-    """Sign-bit LSH signature: bit b = sign(<v, r_b>) where hyperplane
-    r_b[i] is a deterministic pseudo-random in [-0.5, 0.5) derived from
-    xxhash64(b, i).  Pure expressions — the planes never materialize."""
+_rng = _random.Random(42)
+_PLANES = [
+    [_rng.uniform(-0.5, 0.5) for _ in range(64)] for _ in range(_ANN_BITS)
+]
+del _rng
+
+
+def _hyperplane_signature(emb: Column) -> Column:
+    """Sign-bit LSH signature: bit b = sign(<v, plane_b>), with the
+    planes as constant array literals (zero per-row derivation)."""
     sig = F.lit(0).cast("long")
-    for b in range(_ANN_BITS):
+    for b, plane in enumerate(_PLANES):
         comp = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: (
-                        F.pmod(F.xxhash64(F.lit(b), i), F.lit(1000)).cast("double")
-                        / 1000.0
-                        - 0.5
-                    ),
-                ),
-                lambda x, r: x.cast("double") * r,
-            ),
+            F.zip_with(emb, F.lit(plane), lambda x, r: x.cast("double") * r),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

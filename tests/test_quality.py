@@ -85,7 +85,7 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
 
     def norm(rows):
         return {
-            (r.doc_id, r.media_type, r.n_bytes, r.width, r.height, tuple(r.feat))
+            (r.doc_id, r.media_type, r.n_bytes, r.width, r.height, r.f0, r.f1, r.f2, r.f3)
             for r in rows
         }
 
