@@ -34,7 +34,11 @@ HEADLINE = [
     "cdc_current_state",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_topk_cosine",
+    "sim_ann_lsh",
+    "fn_json",
     "text_quality_score",
 ]
 

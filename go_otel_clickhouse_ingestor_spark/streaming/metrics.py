@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql.streaming import StreamingQueryListener
 
@@ -54,9 +55,14 @@ class IngestionMetricsListener(StreamingQueryListener):
             self.rows_inserted_total += rows  # sink rows == input rows here
             self.latency_sum += batch_s
             self.latency_count += 1
+            # Per-bucket storage: only the SMALLEST bucket that fits is
+            # incremented; render() produces the cumulative form.  (An
+            # earlier version stored cumulatively AND re-summed in
+            # render, double-counting every observation.)
             for b in DEF_BUCKETS:
                 if batch_s <= b:
                     self.latency_bucket_counts[b] += 1
+                    break
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -92,3 +98,35 @@ class IngestionMetricsListener(StreamingQueryListener):
                 f"ingestion_clickhouse_insert_latency_seconds_count {self.latency_count}",
             ]
         return "\n".join(lines) + "\n"
+
+
+def serve_metrics(
+    listener: IngestionMetricsListener, port: int = 8080
+) -> ThreadingHTTPServer:
+    """Serve ``GET /metrics`` with the listener's Prometheus text — the
+    reference's metrics endpoint (``internal/metrics/metrics.go:48-56``,
+    default port ``cmd/root.go:78``) on a stdlib HTTP server.
+
+    Runs on a daemon thread (the reference uses a goroutine).  Pass
+    ``port=0`` to bind an ephemeral port; read it back from
+    ``server.server_address[1]``.  Call ``server.shutdown()`` to stop."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.split("?")[0].rstrip("/") != "/metrics":
+                self.send_error(404)
+                return
+            body = listener.render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args) -> None:  # quiet scrapes
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

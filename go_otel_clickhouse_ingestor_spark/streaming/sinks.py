@@ -52,25 +52,42 @@ def clickhouse_shape(df: DataFrame) -> DataFrame:
     return out
 
 
-def jdbc_foreach_batch(cfg: JdbcSinkConfig):
+def jdbc_foreach_batch(cfg: JdbcSinkConfig, tracer=None):
     """foreachBatch writer: micro-batch append via JDBC.  A failed
     batch raises -> Structured Streaming retries from the checkpoint
     (at-least-once; the target table's ReplacingMergeTree contract
-    dedups, README.md:121)."""
+    dedups, README.md:121).  With a ``tracer``, each write is wrapped
+    in a ``clickhouse.post`` span (A15, ``clickhouse.go:28``)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        clickhouse_shape(batch_df).write.mode("append").jdbc(
-            cfg.url, cfg.table, properties=cfg.properties()
-        )
+        def write():
+            clickhouse_shape(batch_df).write.mode("append").jdbc(
+                cfg.url, cfg.table, properties=cfg.properties()
+            )
+
+        _traced_write(tracer, write, batch_df, batch_id, cfg.table)
 
     return apply
 
 
-def parquet_foreach_batch(path: str):
+def parquet_foreach_batch(path: str, tracer=None):
     """Test/demo sink: append micro-batches to a parquet directory
     (stands in for the JDBC sink where no database exists)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        clickhouse_shape(batch_df).write.mode("append").parquet(path)
+        def write():
+            clickhouse_shape(batch_df).write.mode("append").parquet(path)
+
+        _traced_write(tracer, write, batch_df, batch_id, path)
 
     return apply
+
+
+def _traced_write(tracer, write, batch_df: DataFrame, batch_id: int, target: str) -> None:
+    if tracer is None:
+        write()
+        return
+    from .tracing import SPAN_CLICKHOUSE_POST
+
+    with tracer.span(SPAN_CLICKHOUSE_POST, batch_id=batch_id, table=target):
+        write()

@@ -224,7 +224,12 @@ def test_foreach_batch_upsert_matches_current_state(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {tuple(r) for r in spark.read.parquet(state_dir + "/current").collect()}
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir + "/current")
+        .select("id", "name", "email", "_op", "_lsn", "_ts")
+        .collect()
+    }
     want = {
         tuple(r)
         for r in current_state(
@@ -232,6 +237,64 @@ def test_foreach_batch_upsert_matches_current_state(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2  # ids 3 (Bo) and 9 (Di) survive
+
+
+def test_upsert_incremental_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucketed state MERGE must leave untouched buckets' files
+    alone: batch 2 touches one id, so every versions partition outside
+    that id's bucket keeps its exact file set and mtimes."""
+    import glob
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.operators.cdc import (
+        current_state,
+        parse_envelope,
+        translate_envelope,
+    )
+    from go_otel_clickhouse_ingestor_spark.sources.fixtures import cdc_messages_df
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        N_STATE_BUCKETS,
+        upsert_foreach_batch,
+    )
+
+    all_rows = translate_envelope(parse_envelope(cdc_messages_df(spark)))
+    split_id = 3
+    state = str(tmp_path / "state")
+    apply_batch = upsert_foreach_batch(state)
+    apply_batch(all_rows.filter(F.col("id") != split_id), 0)
+
+    def snapshot():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(state + "/versions/bucket=*/*.parquet")
+        }
+
+    before = snapshot()
+    apply_batch(all_rows.filter(F.col("id") == split_id), 1)
+    after = snapshot()
+
+    split_bucket = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(split_id).cast("long")), F.lit(N_STATE_BUCKETS)).alias("b"))
+        .first()
+        .b
+    )
+    untouched = {p for p in before if f"{os.sep}bucket={split_bucket}{os.sep}" not in p}
+    assert untouched, "fixture should span more than one bucket"
+    assert all(p in after and after[p] == before[p] for p in untouched), (
+        "untouched buckets were rewritten"
+    )
+    touched_after = {p for p in after if f"{os.sep}bucket={split_bucket}{os.sep}" in p}
+    assert touched_after, "the touched bucket should have been written"
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/current")
+        .select("id", "name", "email", "_op", "_lsn", "_ts")
+        .collect()
+    }
+    want = {tuple(r) for r in current_state(all_rows).collect()}
+    assert got == want
 
 
 def test_stream_static_enrich(spark, events_stream):
