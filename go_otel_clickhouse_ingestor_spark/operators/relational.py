@@ -736,3 +736,139 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (distinct semantics, plans as left-anti)."""
     a, b = _set_sides(spark, sf_dir)
     return a.subtract(b)
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 5)            AS sd,
+           round(var_samp(value), 5)               AS var,
+           round(avg(value), 5)                    AS mean,
+           round(quantile_cont(value, 0.5), 5)     AS median,
+           round(corr(value, event_id), 5)         AS corr_vid,
+           round(covar_samp(value, event_id), 4)   AS covar_vid,
+           count(*)                                AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev/variance, exact
+    interpolated median (``percentile``, not the approx sketch),
+    correlation and covariance.  All partial-aggregatable except the
+    exact percentile, which buffers per group — the documented
+    trade-off vs ``approx_percentile`` at scale."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 5).alias("sd"),
+        F.round(F.var_samp("value"), 5).alias("var"),
+        F.round(F.avg("value"), 5).alias("mean"),
+        F.round(F.expr("percentile(value, 0.5)"), 5).alias("median"),
+        F.round(F.corr("value", "event_id"), 5).alias("corr_vid"),
+        F.round(F.covar_samp("value", "event_id"), 4).alias("covar_vid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS st_p,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status.  ``pivot`` with an
+    explicit value list stays a single partial+final aggregation (no
+    extra pass to discover pivot values — required practice at scale)."""
+    o = table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", F.lit(0)).alias("st_f"),
+        F.coalesce("O_cnt", F.lit(0)).alias("st_o"),
+        F.coalesce("P_cnt", F.lit(0)).alias("st_p"),
+        F.col("O_total").alias("open_total"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dimensions (5 × 25).
+    Fenced to dimension tables on purpose: ``crossJoin`` is only ever
+    sane when one side is broadcast-small, and the plan shows
+    BroadcastNestedLoopJoin, never a shuffled cartesian."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@query(
+    "sub_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+      AND c_acctbal > 0
+    """,
+)
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through the SQL front end — Catalyst rewrites it to
+    the same left-semi join ``join_semi`` builds with the DataFrame
+    API (asserted by the plan tests)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+          AND c_acctbal > 0
+        """
+    )
+
+
+@query(
+    "sub_scalar",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2) AS bal_delta
+    FROM customer
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: balance delta vs the global mean.
+    Catalyst plans the subquery once (a one-row broadcast), not per
+    outer row."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2) AS bal_delta
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY'
+        """
+    )

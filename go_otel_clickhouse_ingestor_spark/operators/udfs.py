@@ -1,0 +1,124 @@
+"""UDF surface (SURVEY §2.B): the three Python extension points the
+engine supports, each demonstrated by an oracle-checked query.
+
+- scalar ``pandas_udf``      — Arrow-batched vectorized scalar fn
+- grouped-agg ``pandas_udf`` — UDAF over a group's column batches
+- ``applyInPandas``          — grouped-map transform (full group in,
+                               full group out)
+
+The reference has no UDF framework (Go structs end to end); this is
+the engine capability a training-data pipeline needs when a kernel
+genuinely isn't expressible in built-ins.  Everything here that COULD
+be a built-in expression deliberately stays a UDF — these queries
+exist to differentially test the Python boundary itself (Arrow
+round-trip, grouping semantics, null handling), with the equivalent
+SQL as the oracle.
+
+Scale notes: all three run Arrow-batched (10-100× over row-at-a-time
+``udf``); scalar UDFs add zero shuffles, grouped forms shuffle once on
+the group key like any aggregation.  The perf cliff vs JVM expressions
+is real and documented — hot paths elsewhere in this repo never use
+Python (enforced by tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import query
+from ..tables import table
+
+
+# NOTE: the @pandas_udf wrappers are built INSIDE the query functions:
+# the decorator parses its DDL return type against the active session,
+# and Python workers re-import this module when unpickling the plain
+# grouped-map kernel — module-level construction would crash them.
+
+
+def _sigmoid_kernel(v: pd.Series) -> pd.Series:
+    """Vectorized scalar kernel: sigmoid over one Arrow batch."""
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+@query(
+    "udf_scalar_vectorized",
+    oracle="""
+    SELECT event_id, round(1.0 / (1.0 + exp(-(value / 100.0))), 6) AS squashed
+    FROM events
+    """,
+)
+def udf_scalar_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: numpy sigmoid over Arrow batches.  The plan
+    shows ArrowEvalPython fused into the projection — no shuffle, the
+    batch size is the Arrow batch knob, and the same math in SQL is the
+    oracle."""
+    ev = table(spark, sf_dir, "events")
+    sigmoid = pandas_udf(_sigmoid_kernel, "double")
+    return ev.select(
+        "event_id",
+        F.round(sigmoid(F.col("value") / 100.0), 6).alias("squashed"),
+    )
+
+
+def _wavg_kernel(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg kernel: quantity-weighted mean price."""
+    denom = qty.sum()
+    return float((price * qty).sum() / denom) if denom else float("nan")
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): weighted mean per group.
+    Plans as a real aggregation — shuffle on the group key, the UDAF
+    runs once per group over Arrow column batches."""
+    li = table(spark, sf_dir, "lineitem")
+    wavg = pandas_udf(_wavg_kernel, "double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: z-score each event within its group (ddof=1
+    to match SQL ``stddev_samp``)."""
+    sd = pdf["value"].std(ddof=1)
+    z = (pdf["value"] - pdf["value"].mean()) / sd if sd and sd == sd else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(4)}
+    )
+
+
+@query(
+    "udf_group_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group z-score normalization (the
+    canonical per-group embedding/feature normalize of a training
+    pipeline).  One shuffle on the group key; each group materializes
+    as one pandas frame — which is exactly why the group key must be
+    bounded-cardinality-per-key at 100 TB (event_type is; user_id would
+    need salting or the window-function form the oracle uses)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _zscore_group, "event_id long, event_type string, z double"
+    )

@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         scalar_fns,
         similarity,
         text,
+        udfs,
         windows,
     )
 

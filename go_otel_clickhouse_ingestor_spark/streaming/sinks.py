@@ -27,7 +27,15 @@ class JdbcSinkConfig:
     user: str | None = None
     password: str | None = None
     batchsize: int = 10_000
+    database: str = "appdb"  # default db, cmd/root.go:75
     options: dict[str, str] = field(default_factory=dict)
+
+    def qualified_table(self) -> str:
+        """A12 table routing: an unqualified table name gets the
+        configured database prefix, a qualified one is used verbatim —
+        mirroring ``InsertCDCUser``'s db/table defaulting
+        (``clickhouse.go:100-110``, defaults ``cmd/root.go:75-76``)."""
+        return self.table if "." in self.table else f"{self.database}.{self.table}"
 
     def properties(self) -> dict[str, str]:
         props = {"batchsize": str(self.batchsize), **self.options}
@@ -62,10 +70,10 @@ def jdbc_foreach_batch(cfg: JdbcSinkConfig, tracer=None):
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         def write():
             clickhouse_shape(batch_df).write.mode("append").jdbc(
-                cfg.url, cfg.table, properties=cfg.properties()
+                cfg.url, cfg.qualified_table(), properties=cfg.properties()
             )
 
-        _traced_write(tracer, write, batch_df, batch_id, cfg.table)
+        _traced_write(tracer, write, batch_df, batch_id, cfg.qualified_table())
 
     return apply
 

@@ -69,9 +69,28 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
 
 def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
     """Everything oracle-checked must stay JVM-side (BatchEvalPython /
-    ArrowEvalPython in a plan means a Python UDF snuck in)."""
+    ArrowEvalPython in a plan means a Python UDF snuck in) — except the
+    ``udf_*`` family, which exists to test the Python boundary itself."""
     for name, q in REGISTRY.items():
-        if q.oracle is None:
+        if q.oracle is None or name.startswith("udf_"):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_udf_queries_are_arrow_not_row_at_a_time(spark, sf_dir):
+    """The UDF-surface queries must run Arrow-batched (ArrowEvalPython /
+    FlatMapGroupsInPandas / AggregateInPandas), never row-at-a-time
+    BatchEvalPython."""
+    for name in ("udf_scalar_vectorized", "udf_grouped_agg", "udf_group_normalize"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-at-a-time"
+        assert any(
+            marker in plan
+            for marker in (
+                "ArrowEvalPython",
+                "FlatMapGroupsInPandas",
+                "AggregateInPandas",
+                "ArrowAggregatePython",  # Spark 4.x name for pandas UDAF
+            )
+        ), f"{name}: no Arrow-batched Python node in plan"

@@ -354,3 +354,16 @@ def test_jdbc_sink_config_auth_rule():
     assert "user" not in JdbcSinkConfig(url="u", table="t", user="a").properties()
     props = JdbcSinkConfig(url="u", table="t", user="a", password="b").properties()
     assert props["user"] == "a" and props["password"] == "b"
+
+
+def test_jdbc_sink_table_routing():
+    """A12: unqualified tables get the configured db prefix, qualified
+    ones pass through (clickhouse.go:100-110, cmd/root.go:75-76)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.sinks import JdbcSinkConfig
+
+    assert JdbcSinkConfig(url="u", table="users_cur").qualified_table() == "appdb.users_cur"
+    assert JdbcSinkConfig(url="u", table="app.users_cur").qualified_table() == "app.users_cur"
+    assert (
+        JdbcSinkConfig(url="u", table="users_cur", database="other").qualified_table()
+        == "other.users_cur"
+    )
