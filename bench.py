@@ -40,6 +40,9 @@ HEADLINE = [
     "sim_ann_lsh",
     "fn_json",
     "text_quality_score",
+    "join_skew_salted",
+    "pipeline_corpus_filter",
+    "udf_group_normalize",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Composed corpus-curation pipeline — the end-to-end shape a
+training-data run actually executes, as one oracle-checked plan.
+
+Stages (each individually tested elsewhere, here composed):
+exact dedup (keeper per fingerprint, ``dedup.py``) → language filter →
+quality filter (``text.py`` score) → token counting → cumulative token
+budget cut.
+
+Scale notes: dedup/filter/score are map + one window over the
+fingerprint; the BUDGET stage uses a global ordered window (single
+partition!) which is fine for the final cut of an already-filtered
+corpus but would bottleneck as a mid-pipeline op — at 100 TB you
+either budget per shard (partition the window) or binary-search a
+doc_id cutoff from an approximate cumulative-token quantile instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+from .text import _PUNCT_RE, tokens
+
+#: Quality floor and token budget for the final corpus cut.
+QUALITY_MIN = 0.5
+TOKEN_BUDGET = 20_000
+
+
+@query(
+    "pipeline_corpus_filter",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, text, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper FROM fp
+    ),
+    en AS (SELECT * FROM keep WHERE doc_id = keeper AND lang = 'en'),
+    q AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+             round(0.4 * (least(n_chars, 500) / 500.0)
+                 + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(n_chars, 1))
+                 - 0.1 * (len(regexp_extract_all(text, '{_PUNCT_RE}')) / greatest(n_chars, 1)), 6) AS quality
+      FROM en
+    ),
+    flt AS (SELECT * FROM q WHERE quality >= {QUALITY_MIN}),
+    cum AS (
+      SELECT doc_id, n_tokens, quality,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+      FROM flt
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup → lang filter → quality filter → token budget, one plan.
+    Catalyst fuses the map stages into a single codegen span; the only
+    shuffles are the fingerprint window and the final budget window."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
+    keep = d.withColumn("fingerprint", fp).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    en = keep.filter((F.col("doc_id") == F.col("keeper")) & (F.col("lang") == "en"))
+
+    n_chars = F.col("n_chars")
+    len_norm = F.least(n_chars, F.lit(500)) / 500.0
+    punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), F.lit(0))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    q = en.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(0.4 * len_norm + 0.5 * alpha - 0.1 * punct, 6).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+
+    budget_w = (
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return q.withColumn("cum_tokens", F.sum("n_tokens").over(budget_w)).filter(
+        F.col("cum_tokens") <= TOKEN_BUDGET
+    )

@@ -1,0 +1,75 @@
+"""Physical-plan audits: programmatic access to the plan properties
+this engine treats as correctness-of-scale — pushdown reaching the
+scan, small sides broadcast, Python kept off hot paths, codegen spans.
+
+The reference has no planner (straight-line Go, SURVEY §4); here the
+planner IS the performance story, so the audit is a first-class API:
+``tests/test_plans.py`` asserts these properties per query, and a user
+can call :func:`audit` on any DataFrame to see whether their plan
+would survive a 100× scale-up (a scan reading every column for a
+2-column projection, a missing broadcast, or a BatchEvalPython node in
+a hot path all show up here).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``explain("formatted")`` output as a string.  NOTE: with AQE on,
+    un-executed plans print ``AdaptiveSparkPlan isFinalPlan=false`` and
+    hide codegen stages — use :func:`executed_plan` for those."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Materialize the DataFrame and return its FINAL physical plan
+    (AQE re-planning applied).  Runs the query — use on test-scale
+    inputs."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (empty list = nothing
+    pushed — for a filtering query that usually means a bug)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of each scan — the column-pruning check: a scan
+    listing columns the query never touches reads wasted bytes."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call plan summary with the scale-relevant facts."""
+    plan = formatted_plan(df)
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "shuffle_exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "python_row_at_a_time": plan.count("BatchEvalPython"),
+        "python_arrow": plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("ArrowAggregatePython")
+        + plan.count("MapInPandas"),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "adaptive": "AdaptiveSparkPlan" in plan,
+    }

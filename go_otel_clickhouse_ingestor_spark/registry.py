@@ -57,9 +57,11 @@ def load_all() -> dict[str, Query]:
         cdc,
         dedup,
         multimodal,
+        pipeline,
         relational,
         scalar_fns,
         similarity,
+        skew,
         text,
         udfs,
         windows,

@@ -5,19 +5,14 @@ top-k not globally sorting."""
 
 from __future__ import annotations
 
+from go_otel_clickhouse_ingestor_spark.plans import audit, executed_plan, formatted_plan
 from go_otel_clickhouse_ingestor_spark.registry import load_all
 
 REGISTRY = load_all()
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        REGISTRY[name].fn(spark, sf_dir).explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -57,9 +52,7 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
     `AdaptiveSparkPlan isFinalPlan=false` with no codegen spans, so run
     the query first and assert on the *executed* plan."""
     for name in ("agg_groupby", "fn_math", "text_quality_score"):
-        df = REGISTRY[name].fn(spark, sf_dir)
-        df.collect()  # materialize THIS plan so AQE finalizes it in place
-        executed = df._jdf.queryExecution().executedPlan().toString()
+        executed = executed_plan(REGISTRY[name].fn(spark, sf_dir))
         # "*(n)" prefixes are the codegen stage markers in the simple
         # plan string (the word WholeStageCodegen only appears in the
         # formatted explain, which AQE hides pre-execution; shuffle-free
@@ -76,6 +69,28 @@ def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_audit_summary_flags_scale_properties(spark, sf_dir):
+    """The audit() API itself: pushdown + pruning visible for the scan
+    query, broadcasts counted for the star join, cross join stays a
+    broadcast nested loop (never a shuffled cartesian)."""
+    a = audit(REGISTRY["scan_filter_pushdown"].fn(spark, sf_dir))
+    assert a["pushed_filters"] and a["read_schemas"]
+    assert a["python_row_at_a_time"] == 0
+
+    star = audit(REGISTRY["join_multiway_star"].fn(spark, sf_dir))
+    assert star["broadcast_joins"] >= 2
+
+    cross = audit(REGISTRY["join_cross"].fn(spark, sf_dir))
+    assert cross["broadcast_joins"] >= 1 and cross["shuffle_exchanges"] == 0
+
+
+def test_salted_join_distributes_on_salt(spark, sf_dir):
+    """join_skew_salted must shuffle on (key, salt) — the whole point —
+    visible as both columns in the hashpartitioning clause."""
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    assert "salt" in plan and "user_id" in plan
 
 
 def test_udf_queries_are_arrow_not_row_at_a_time(spark, sf_dir):
