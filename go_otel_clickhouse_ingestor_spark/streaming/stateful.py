@@ -1,0 +1,61 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference keeps no stream state at all (every message is handled
+and forgotten; the only "state" is ClickHouse's ReplacingMergeTree,
+A16).  This module supplies the custom-state extension point a real
+pipeline needs when built-in stateful ops (windowed aggs, stream
+dedup, ``foreachBatch`` merge — all in ``windows.py``/``cdc_stream.py``)
+can't express the semantics: arbitrary per-key accumulators that
+survive across micro-batches in the state store.
+
+Scale notes: state lives in the executor state store partitioned by
+the grouping key — the same shuffle partitioning as any keyed agg; a
+key's state must stay small (two numbers here).  Production runs set
+a timeout (``GroupStateTimeout``) so abandoned keys age out instead of
+growing the store forever; the runner exposes that knob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output row per updated user; state is (total_value, n_events).
+_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "total double, cnt long"
+
+
+def _accumulate(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into the running state and
+    emit the updated totals (one row per user per batch)."""
+    total, cnt = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((total, cnt))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(total, 6)]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) maintained in the state
+    store across micro-batches — the A16-style 'current value per key'
+    pattern generalized to arbitrary accumulators."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

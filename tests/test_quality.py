@@ -119,3 +119,21 @@ def test_dedup_exact_is_lossless_partition(spark, sf_dir):
     agg = out.agg(F.sum("n_copies").alias("s"), F.count(F.lit(1)).alias("k")).collect()[0]
     assert agg.s == n_docs
     assert agg.k == out.select("keeper_doc_id").distinct().count()
+
+
+def test_ann_ivf_recall_and_exact_rerank(spark, sf_dir):
+    """IVF recall is bounded by probed-fraction (~nprobe/ncells = 0.3)
+    on the uniform-random fixtures; assert the floor AND that every
+    returned candidate carries the true exact cosine."""
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    ivf = REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    assert ivf, "IVF should return candidates"
+    hits = [(r.query_id, r.vec_id) for r in ivf if (r.query_id, r.vec_id) in exact]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.1, f"IVF recall {recall:.2f}"
+    for r in ivf:
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9

@@ -367,3 +367,55 @@ def test_jdbc_sink_table_routing():
         JdbcSinkConfig(url="u", table="users_cur", database="other").qualified_table()
         == "other.users_cur"
     )
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must carry state across
+    micro-batches (two files, one per trigger) and converge to the
+    batch groupBy."""
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    half1 = [{"user_id": i % 5, "value": float(i)} for i in range(20)]
+    half2 = [{"user_id": i % 5, "value": float(i)} for i in range(20, 40)]
+    d = tmp_path / "stateful_stream"
+    d.mkdir()
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in half1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in half2))
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql(f"SELECT * FROM {name}")
+    # update mode emits one row per user per batch; the final row per
+    # user (max n_events) must equal the batch aggregate over all rows
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    want = {
+        uid: (8, float(sum(i for i in range(40) if i % 5 == uid)))
+        for uid in range(5)
+    }
+    assert final == want
+    # statefulness: more output rows than users proves multi-batch emission
+    assert out.count() > 5
