@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
     # Imports are side-effecting by design: each module registers its
     # queries at import time.
     from .operators import (  # noqa: F401
+        bucketed,
         cdc,
         dedup,
         multimodal,

@@ -109,3 +109,18 @@ def test_udf_queries_are_arrow_not_row_at_a_time(spark, sf_dir):
                 "ArrowAggregatePython",  # Spark 4.x name for pandas UDAF
             )
         ), f"{name}: no Arrow-batched Python node in plan"
+
+
+def test_bucketed_join_plans_shuffle_free(spark, sf_dir):
+    """join_bucketed: with broadcast disabled, the bucketed layout must
+    satisfy both the join and the aggregation distribution — zero
+    Exchange nodes anywhere in the plan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["join_bucketed"].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
