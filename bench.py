@@ -50,8 +50,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     reg = load_all()
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and the
+    # Python worker pool with a tiny pandas-UDF pass (otherwise the
+    # first Arrow-batched query pays the fork/startup cost)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

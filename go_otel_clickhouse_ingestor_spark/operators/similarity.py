@@ -7,13 +7,16 @@ Two paths, mirroring how a 100 TB vector corpus is actually served:
   set is small (broadcast) even if the corpus is huge; O(Q·N) compute
   but zero extra shuffles beyond the broadcast.
 - ``sim_ann_lsh``: random-hyperplane (SimHash-for-vectors) LSH — the
-  scale path.  Sign-bit signatures are map-side; candidates come from
-  a bucket-equality join, then exact cosine re-ranks candidates only.
-  Hyperplanes are derived from xxhash64 so the whole thing stays in
-  JVM expressions with zero Python and zero driver-side state.
+  scale path.  Sign-bit signatures come from ONE numpy matmul per
+  Arrow batch (``mapInPandas``); candidates from a Hamming screen,
+  then exact cosine re-ranks candidates only.
+- ``sim_ann_ivf``: inverted-file cells + nprobe probing — the other
+  standard ANN layout.
 
 The cosine kernel is shared: ``zip_with`` + ``aggregate`` over the
-float arrays cast to double — built-in higher-order functions, no UDF.
+float arrays cast to double — acceptable for the rerank's candidate
+counts; the signature hot loop is numpy (interpreted HOFs don't
+codegen, see the kernel's docstring).
 """
 
 from __future__ import annotations
@@ -87,11 +90,11 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Number of random hyperplanes = signature bits for the ANN path.
 _ANN_BITS = 32
 
-#: The hyperplanes themselves, precomputed ONCE driver-side with a
-#: seeded RNG and shipped into the plan as array literals.  An earlier
-#: formulation re-derived every plane component per row from xxhash64
-#: (~2048 hash calls per vector); the literal matrix is constant-folded
-#: by Catalyst, leaving only the 32 dot products per row.
+#: The hyperplanes, precomputed ONCE driver-side with a seeded RNG and
+#: shipped to executors inside the mapInPandas closure.  (Earlier
+#: generations: per-row xxhash64 derivation ~2048 hashes/row, then
+#: Catalyst array literals with 32 interpreted-HOF dot products/row;
+#: the numpy matmul replaces both.)
 import random as _random
 
 _rng = _random.Random(42)
@@ -101,20 +104,36 @@ _PLANES = [
 del _rng
 
 
-def _hyperplane_signature(emb: Column) -> Column:
-    """Sign-bit LSH signature: bit b = sign(<v, plane_b>), with the
-    planes as constant array literals (zero per-row derivation)."""
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(_PLANES):
-        comp = F.aggregate(
-            F.zip_with(emb, F.lit(plane), lambda x, r: x.cast("double") * r),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def _signature_batches(batches):
+    """mapInPandas kernel: sign-bit signatures for a whole Arrow batch
+    with ONE matmul — (batch × dim) @ (dim × bits) — instead of
+    per-row expression evaluation.  Spark's higher-order functions run
+    interpreted (outside codegen), so 32 ``aggregate`` dot products per
+    row were the stage's cost; BLAS does the block at memory speed.
+    This is the documented "vectorized Pandas UDF for embedding
+    kernels" pattern: the vectors cross into Python exactly once,
+    Arrow-batched, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(_PLANES, dtype=np.float64)  # (bits, dim)
+    weights = (1 << np.arange(_ANN_BITS, dtype=np.int64))
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        bits = (emb @ planes.T) > 0  # (batch, bits)
+        sig = (bits * weights).sum(axis=1).astype(np.int64)
+        yield pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "sig": sig}
         )
-        sig = sig.bitwiseOR(
-            F.shiftleft(F.when(comp > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b)
-        )
-    return sig
+
+
+def with_signatures(e: DataFrame) -> DataFrame:
+    """Attach the hyperplane signature column (vec_id, embedding, sig)."""
+    return e.mapInPandas(
+        _signature_batches, "vec_id long, embedding array<float>, sig long"
+    )
 
 
 @query("sim_ann_lsh")  # rows-only: xxhash64-derived planes are engine-specific
@@ -131,8 +150,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.5 recall of the true top-10; real clustered corpora separate
     far better.  For corpus×corpus joins use banded signatures (see
     dedup_simhash) instead of a per-query screen."""
+    from .dedup import materialized
+
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sigs = e.withColumn("sig", _hyperplane_signature(F.col("embedding")))
+    # persisted: the corpus side and the (filtered) query side both
+    # consume the signature table — without it the Python signature
+    # stage runs once per consumer.
+    sigs = materialized(with_signatures(e))
     q = sigs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
