@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parquet sink directory (used when --clickhouse-url is empty)")
     p.add_argument("--checkpoint-dir", default="",
                    help="streaming checkpoint location (default: temp dir)")
+    p.add_argument("--source-dir", default="",
+                   help="cdc mode: read Kafka-shaped JSON lines "
+                        "(msg_id/key/value) from this directory instead of "
+                        "brokers — the no-Kafka test/replay path")
     return p
 
 
@@ -119,6 +123,14 @@ def run(argv: list[str] | None = None) -> int:
 
         stream = synthetic_events(spark, rate=args.rate)
         query_name = "synthetic"
+    elif args.source_dir:
+        from .streaming.cdc_stream import translate_stream
+
+        raw = spark.readStream.schema("msg_id long, key string, value string").json(
+            args.source_dir
+        )
+        stream = translate_stream(raw)
+        query_name = "cdc"
     else:
         from .streaming.cdc_stream import kafka_cdc_stream
 

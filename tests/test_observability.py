@@ -188,3 +188,39 @@ def test_main_rejects_unknown_mode():
     from go_otel_clickhouse_ingestor_spark.__main__ import run
 
     assert run(["--mode", "bogus"]) == 1
+
+
+def test_main_cdc_file_mode_lands_translated_rows(spark, tmp_path):
+    """End-to-end CDC without Kafka: --mode cdc --source-dir replays
+    Kafka-shaped fixture messages through the full translate + sink
+    path (A3-A13 wiring minus the broker)."""
+    import json as _json
+
+    from go_otel_clickhouse_ingestor_spark.__main__ import run
+    from go_otel_clickhouse_ingestor_spark.sources.fixtures import CDC_MESSAGES
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    (src / "msgs.json").write_text(
+        "\n".join(
+            _json.dumps({"msg_id": m, "key": k, "value": v})
+            for m, k, v in CDC_MESSAGES
+        )
+    )
+    sink = str(tmp_path / "cdc_sink")
+    rc = run(
+        [
+            "--mode", "cdc",
+            "--source-dir", str(src),
+            "--duration", "8",
+            "--sink-dir", sink,
+            "--metrics-port", "0",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(sink)
+    assert out.count() == 8  # the 8 translatable fixture messages
+    assert {"id", "name", "email", "is_deleted", "_op", "_lsn", "_ts"} <= set(out.columns)
+    # A10: sink edge serializes _ts as second-precision strings
+    assert all(len(r._ts) == 19 for r in out.limit(3).collect())
