@@ -55,9 +55,16 @@ def materialized(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def gram_hashes(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
-    """Distinct 64-bit-hashed 3-gram shingles: one row per
-    (doc_id, gram hash), plus any ``keep`` passthrough columns.
+def gram_hashes(
+    d: DataFrame, keep: tuple[str, ...] = (), distinct: bool = True
+) -> DataFrame:
+    """64-bit-hashed 3-gram shingles: one row per (doc_id, gram hash),
+    plus any ``keep`` passthrough columns; per-doc distinct by default.
+
+    Pass ``distinct=False`` when the consumer is duplicate-insensitive
+    — MinHash is (a repeated gram cannot change a min), and
+    ``collect_set`` dedupes on its own — to skip a whole corpus-sized
+    shuffle.
 
     Deliberately HOF-free: an earlier formulation built shingles with
     ``transform``/``element_at`` lambdas, which Spark evaluates
@@ -72,7 +79,7 @@ def gram_hashes(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2 = F.lead("t", 1).over(w), F.lead("t", 2).over(w)
-    return (
+    out = (
         d.select(
             "doc_id", *keep, F.posexplode(fast_tokens(F.col("text"))).alias("pos", "t")
         )
@@ -80,8 +87,8 @@ def gram_hashes(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         .withColumn("g", F.when(t2.isNotNull(), F.concat_ws(" ", F.col("t"), t1, t2)))
         .filter(F.col("g").isNotNull())
         .select("doc_id", *keep, F.xxhash64("g").alias("gh"))
-        .dropDuplicates(["doc_id", "gh"])
     )
+    return out.dropDuplicates(["doc_id", "gh"]) if distinct else out
 
 
 @query(
@@ -208,7 +215,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hashed-gram rows (16 bytes each): the K minhashes derive from the
     # 8-byte gram hash (cheap fixed-width re-hash, not K string
     # hashes), and the same rows feed the exact verify stage.
-    g = materialized(gram_hashes(d))
+    # distinct=False: duplicate grams can't change a min, and the
+    # verify's collect_set dedupes — skips one corpus-sized shuffle.
+    g = materialized(gram_hashes(d, distinct=False))
     mins = materialized(
         g.groupBy("doc_id").agg(
             F.collect_set("gh").alias("ghs"),

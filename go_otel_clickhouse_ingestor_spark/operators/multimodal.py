@@ -137,3 +137,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return payloads.mapInPandas(_decode_iter, DECODE_SCHEMA)
+
+
+#: Frame-sample output: one row per sampled frame per document.
+FRAME_SCHEMA = "doc_id long, frame_idx long, offset_bytes long, frame_feat double"
+
+#: Frames sampled per payload (a real sampler would use container
+#: timestamps; the stub samples evenly by byte offset).
+N_FRAMES = 4
+
+
+def sample_frames_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Frame sampling for one Arrow batch: each payload row EXPANDS to
+    ``N_FRAMES`` output rows — the 1→N shape of video processing.  The
+    codec is the same deterministic fake as ``decode_media_batch``
+    (real demuxers need pyav, absent here): frame k's "feature" is a
+    hash of the payload bytes at its offset."""
+    import hashlib
+
+    if (pdf["media_type"] != "fake").any():  # pragma: no cover
+        raise NotImplementedError(
+            "real frame sampling needs a demuxer (pyav); only the "
+            "deterministic 'fake' codec exists in this environment"
+        )
+    out = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        buf = bytes(payload)
+        step = max(len(buf) // N_FRAMES, 1)
+        for k in range(N_FRAMES):
+            off = min(k * step, max(len(buf) - 1, 0))
+            digest = hashlib.md5(buf[off : off + step]).digest()
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "frame_idx": k,
+                    "offset_bytes": off,
+                    "frame_feat": digest[0] / 255.0,
+                }
+            )
+    return pd.DataFrame(out)
+
+
+def _frames_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf):
+            yield sample_frames_batch(pdf)
+
+
+@query("multimodal_framesample")  # rows-only: stubbed codec
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: mapInPandas where one input row
+    yields N output rows (the generator/UDTF shape at the Python
+    boundary).  Same scale properties as decode — partition-parallel,
+    zero shuffles, payload bytes cross to Python once — plus the row
+    EXPANSION is in-batch, so downstream operators see N_FRAMES× rows
+    without any explode shuffle."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.lit("fake").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_frames_iter, FRAME_SCHEMA)

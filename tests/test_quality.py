@@ -137,3 +137,18 @@ def test_ann_ivf_recall_and_exact_rerank(spark, sf_dir):
     for r in ivf:
         if (r.query_id, r.vec_id) in exact:
             assert abs(exact[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_multimodal_framesample_shape(spark, sf_dir):
+    """1->N expansion: exactly N_FRAMES rows per document, deterministic."""
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import N_FRAMES
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    out = REGISTRY["multimodal_framesample"].fn(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs * N_FRAMES
+    per_doc = out.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [N_FRAMES]
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in REGISTRY["multimodal_framesample"].fn(spark, sf_dir).collect()}
+    assert a == b
