@@ -784,9 +784,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts per priority × status.  ``pivot`` with an
-    explicit value list stays a single partial+final aggregation (no
-    extra pass to discover pivot values — required practice at scale)."""
+    """Pivot: order counts per priority × status.  The explicit value
+    list avoids the extra value-discovery JOB over the data (required
+    practice at scale); the plan is Spark's standard two-phase pivot
+    aggregation ((priority, status) partial agg, then pivot agg)."""
     o = table(spark, sf_dir, "orders")
     pv = (
         o.groupBy("o_orderpriority")

@@ -61,9 +61,9 @@ def audit(df: DataFrame) -> dict:
         "read_schemas": read_schemas(df),
         "broadcast_joins": plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
-        "shuffle_exchanges": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning")
-        + plan.count("Exchange SinglePartition"),
+        # formatted explain separates the node name from its arguments,
+        # so count "(n) Exchange" operator headers (excluding reused).
+        "shuffle_exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "python_row_at_a_time": plan.count("BatchEvalPython"),
         "python_arrow": plan.count("ArrowEvalPython")
