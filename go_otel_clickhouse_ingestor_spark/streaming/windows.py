@@ -93,3 +93,41 @@ def enrich_with_users(events: DataFrame, users_cur: DataFrame) -> DataFrame:
         events.user_id == F.col("id"),
         "left",
     ).drop("id")
+
+
+def stream_stream_click_purchase_join(
+    events_a: DataFrame, events_b: DataFrame, horizon: str = "2 minutes"
+) -> DataFrame:
+    """Stream-stream join: each click pairs with the same user's
+    purchases within ``horizon`` after it — the attribution-join shape.
+
+    Both sides are watermarked and the join condition carries the
+    event-time interval, so the state store only buffers rows inside
+    watermark + horizon: the two bounds together are what make an
+    unbounded×unbounded join finite.  State is partitioned by the join
+    key (user_id) like any shuffled join."""
+    clicks = (
+        with_watermark(events_a, "1 minute")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        with_watermark(events_b, "1 minute")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    )

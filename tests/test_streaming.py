@@ -419,3 +419,48 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     assert final == want
     # statefulness: more output rows than users proves multi-batch emission
     assert out.count() > 5
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream, sf_dir):
+    """Stream-stream interval join == the same join expressed in batch
+    over the same 500 events."""
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        stream_stream_click_purchase_join,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    # the fixture's events span ~14 days, so a wide horizon is needed
+    # for the fixture to actually contain click->purchase pairs
+    _run_available_now(
+        stream_stream_click_purchase_join(events_stream, events_stream, "1 day"), name
+    )
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    want = {tuple(r) for r in stream_stream_click_purchase_join(ev, ev, "1 day").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_upsert_replaying_same_batch_is_idempotent(spark, tmp_path):
+    """At-least-once replay: applying the identical micro-batch twice
+    must leave versions AND current byte-for-byte identical (the dedup
+    inside the MERGE absorbs the retry)."""
+    from go_otel_clickhouse_ingestor_spark.operators.cdc import (
+        parse_envelope,
+        translate_envelope,
+    )
+    from go_otel_clickhouse_ingestor_spark.sources.fixtures import cdc_messages_df
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        upsert_foreach_batch,
+    )
+
+    rows = translate_envelope(parse_envelope(cdc_messages_df(spark)))
+    state = str(tmp_path / "state")
+    apply_batch = upsert_foreach_batch(state)
+    apply_batch(rows, 0)
+    versions_once = {tuple(r) for r in spark.read.parquet(state + "/versions").collect()}
+    current_once = {tuple(r) for r in spark.read.parquet(state + "/current").collect()}
+    apply_batch(rows, 0)  # the retry
+    assert {tuple(r) for r in spark.read.parquet(state + "/versions").collect()} == versions_once
+    assert {tuple(r) for r in spark.read.parquet(state + "/current").collect()} == current_once
