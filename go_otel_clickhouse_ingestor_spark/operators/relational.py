@@ -487,6 +487,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_quantile")  # rows-only: quantile sketches differ across engines
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the scale path for
+    quantiles — mergeable per-partition sketches, one aggregation pass,
+    bounded memory, unlike the exact ``percentile`` in agg_stats which
+    buffers each group.  Rows-only check; a pytest quality gate bounds
+    the estimate against the exact quantile."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").alias("qs")
+        )
+        .select(
+            "event_type",
+            F.col("qs")[0].alias("p50_approx"),
+            F.col("qs")[1].alias("p95_approx"),
+            F.col("qs")[2].alias("p99_approx"),
+        )
+    )
+
+
 @query(
     "agg_rollup",
     oracle="""

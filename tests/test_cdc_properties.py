@@ -55,7 +55,10 @@ def ref_translate(msg_id: int, key: str | None, value: str):
         else:  # delete-key fallback (cdc.go:130-133)
             try:
                 k = json.loads(key)
-                row_id = (k.get("id") if isinstance(k, dict) else None) or 0
+                kid = k.get("id") if isinstance(k, dict) else None
+                # Go unmarshals the key into struct{ID uint64}: a
+                # non-integer id fails the decode -> zero value
+                row_id = kid if isinstance(kid, int) and not isinstance(kid, bool) else 0
             except (json.JSONDecodeError, TypeError):
                 row_id = 0
         name, email, is_deleted, op_enum = "", "", 1, 3

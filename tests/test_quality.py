@@ -152,3 +152,26 @@ def test_multimodal_framesample_shape(spark, sf_dir):
     a = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in REGISTRY["multimodal_framesample"].fn(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_approx_quantile_within_error_bound(spark, sf_dir):
+    """The sketch estimate must sit within the rank-error bound of the
+    exact quantile (accuracy=1000 -> ~0.1% rank error; assert a loose
+    1% value envelope via exact quantiles at p +- 2%)."""
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in REGISTRY["agg_approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.qs
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))").alias("qs"))
+        .collect()
+    }
+    for et, (p50, p95) in approx.items():
+        lo50, hi50, lo95, hi95 = exact[et]
+        assert lo50 <= p50 <= hi50, f"{et}: p50 {p50} outside [{lo50}, {hi50}]"
+        assert lo95 <= p95 <= hi95, f"{et}: p95 {p95} outside [{lo95}, {hi95}]"
