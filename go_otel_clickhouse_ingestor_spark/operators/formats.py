@@ -1,0 +1,73 @@
+"""Source-format round-trips: JSON and CSV read paths.
+
+The reference's wire format is JSON rows (JSONEachRow POSTs,
+``internal/ingestion/clickhouse.go:74,109``); a user migrating from it
+lands raw JSON/CSV drops long before parquet.  These queries write the
+events fixture to each text format once (in /tmp, keyed by fixture
+dir) and read it back with an explicit schema — the oracle reads the
+ORIGINAL parquet, so a hash match proves the engine's text readers are
+lossless for the carried columns.
+
+Scale notes: text sources have no column pruning or predicate pushdown
+(each row is parsed whole) — fine for landing zones, wrong for hot
+queries; the pipeline pattern is text -> parquet once, then serve from
+parquet (everything else in this repo).  Event time crosses the text
+boundary as unix_micros BIGINT: JSON/CSV timestamp round-trips are
+where precision bugs live, integers are exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_COLS = ("event_id", "ts_us", "user_id", "event_type", "value")
+_SCHEMA = "event_id long, ts_us long, user_id long, event_type string, value double"
+_ORACLE = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+"""
+
+
+def _text_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the events fixture once as JSON/CSV; reuse across calls."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/{fmt}_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        w = ev.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(path)
+        else:
+            w.json(path)
+    return path
+
+
+@query("source_json_roundtrip", oracle=_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → read with explicit schema.  Hash-matching
+    the parquet-backed oracle proves losslessness."""
+    path = _text_copy(spark, sf_dir, "json")
+    return spark.read.schema(_SCHEMA).json(path).select(*_COLS)
+
+
+@query("source_csv_roundtrip", oracle=_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV with header → read with explicit schema (never
+    inferSchema on a big drop: it is an extra full pass over the data)."""
+    path = _text_copy(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(_SCHEMA).option("header", "true").csv(path).select(*_COLS)
+    )

@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         bucketed,
         cdc,
         dedup,
+        formats,
         multimodal,
         pipeline,
         relational,
