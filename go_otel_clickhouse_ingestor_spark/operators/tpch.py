@@ -1,0 +1,189 @@
+"""Classic TPC-H-shaped benchmark queries over the driver fixtures.
+
+The operator inventory (SURVEY §2.B) covers each relational operator
+in isolation; these four put them together in the canonical analytics
+shapes an end user actually runs — pricing summary (Q1), shipping
+priority (Q3), forecast revenue (Q6), large-volume customers (Q18).
+All money arithmetic goes through exact DECIMAL before the final
+round: double partial-sum order differs between engines and flips
+.005 ties (the repo-wide convention, see relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+#: Exact decimal money expressions (shared Spark/DuckDB shapes).
+_DISC_PRICE = (
+    "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))"
+)
+_CHARGE = f"{_DISC_PRICE} * (1 + cast(l_tax as decimal(4,2)))"
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                     AS sum_qty,
+           round(sum(l_extendedprice), 2)                AS sum_base_price,
+           cast(round(sum({_DISC_PRICE}), 2) AS DOUBLE)  AS sum_disc_price,
+           cast(round(sum({_CHARGE}), 2) AS DOUBLE)      AS sum_charge,
+           round(avg(l_quantity), 4)                     AS avg_qty,
+           round(avg(l_extendedprice), 4)                AS avg_price,
+           round(avg(l_discount), 6)                     AS avg_disc,
+           count(*)                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: one wide partial+final hash agg over the
+    fact table — the canonical scan-dominated aggregation."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.expr(f"cast(round(sum({_DISC_PRICE}), 2) as double)").alias("sum_disc_price"),
+        F.expr(f"cast(round(sum({_CHARGE}), 2) as double)").alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           cast(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority,
+           row_number() OVER (ORDER BY sum({_DISC_PRICE}) DESC, l.l_orderkey) AS rn
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    QUALIFY rn <= 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: selective dim filter → two fact joins →
+    agg → top-10.  The rank is materialized into ``rn`` (exact decimal
+    sums, deterministic orderkey tie-break) so the order-insensitive
+    hash still pins the ordering."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"sum({_DISC_PRICE})").alias("_rev"))
+    )
+    w = Window.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "l_orderkey",
+            F.expr("cast(round(_rev, 2) as double)").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            "rn",
+        )
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))
+                          * cast(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast revenue: pure filter + global agg; every predicate
+    must reach the parquet scan (the pushdown benchmark)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice as decimal(12,2))"
+                " * cast(l_discount as decimal(4,2))), 2) as double)"
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 212
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: self-referencing semi-join (orders
+    whose lineitems exceed a quantity threshold) feeding a 3-way join +
+    re-aggregation — the classic agg-then-join-back shape."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 212)
+        .select("l_orderkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey_b"),
+               F.col("o_orderkey") == F.col("o_orderkey_b"), "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )

@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         skew,
         text,
+        tpch,
         udfs,
         windows,
     )
