@@ -98,27 +98,30 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     sd = pdf["value"].std(ddof=1)
     z = (pdf["value"] - pdf["value"].mean()) / sd if sd and sd == sd else pdf["value"] * 0.0
     return pd.DataFrame(
-        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(4)}
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
     )
 
 
 @query(
     "udf_group_normalize",
     oracle="""
-    SELECT event_id, event_type,
-           round((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
     FROM events
     """,
 )
 def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: per-group z-score normalization (the
-    canonical per-group embedding/feature normalize of a training
-    pipeline).  One shuffle on the group key; each group materializes
-    as one pandas frame — which is exactly why the group key must be
-    bounded-cardinality-per-key at 100 TB (event_type is; user_id would
-    need salting or the window-function form the oracle uses)."""
-    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return ev.groupBy("event_type").applyInPandas(
-        _zscore_group, "event_id long, event_type string, z double"
+    canonical per-user feature normalize of a training pipeline).  One
+    shuffle on the group key; each group materializes as ONE pandas
+    frame on one executor, so the real scale constraint is bounded ROWS
+    PER GROUP, not bounded group count — a high-cardinality key like
+    user_id (many small groups) is the safe shape; a 5-value key like
+    event_type would funnel the whole corpus into 5 executor-sized
+    frames and OOM at 100 TB.  When even per-key rows are unbounded,
+    use the window-function form (this query's oracle) instead."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_group, "event_id long, user_id long, z double"
     )

@@ -35,6 +35,47 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+#: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
+#: entries per round, taken in registry order; queries listed here are
+#: emitted FIRST (in this order) so each round's window covers the
+#: queries with the least driver-anchored evidence.  Round 3: the 25
+#: never-driver-sampled queries from VERDICT r2, then the 5 queries last
+#: sampled in r1, then round-3 additions.  Rotate per round until every
+#: query has a driver-green row in some CORRECTNESS_r*.json.
+_DRIVER_PRIORITY: list[str] = [
+    # never driver-sampled (r1+r2 windows missed them)
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18",
+    "win_rank_latest_per_key", "win_ranking", "win_analytic",
+    "win_frame_rows", "win_frame_range",
+    "udf_scalar_vectorized", "udf_grouped_agg", "udf_group_normalize",
+    "sub_in", "sub_scalar",
+    "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
+    "fn_map", "fn_json",
+    "set_intersect", "set_except",
+    "agg_pivot", "agg_stats",
+    "join_cross", "join_skew_salted",
+    # driver-green only in r1 (not re-sampled since)
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
+    # round-3 additions (no driver row yet)
+    "tpch_q4", "tpch_q5", "tpch_q10", "tpch_q12",
+    "sub_exists_correlated", "sub_not_exists",
+    "win_distribution", "win_session_gaps",
+    "fn_string2", "fn_interval", "fn_conditional", "fn_sequence",
+    "agg_windowed_time", "dedup_url_canonical", "text_shingle_profile",
+]
+
+
+def _ordered(names: dict[str, Query]) -> dict[str, Query]:
+    """Registry order = priority list first, then registration order."""
+    out: dict[str, Query] = {}
+    for n in _DRIVER_PRIORITY:
+        if n in names:
+            out[n] = names[n]
+    for n, q in names.items():
+        if n not in out:
+            out[n] = q
+    return out
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering ``fn`` under ``name`` with an optional oracle."""
@@ -70,7 +111,7 @@ def load_all() -> dict[str, Query]:
         windows,
     )
 
-    return dict(_REGISTRY)
+    return _ordered(_REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:
