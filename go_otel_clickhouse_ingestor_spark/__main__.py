@@ -85,6 +85,7 @@ def _sink(args, tracer):
             table=args.clickhouse_table,
             user=args.clickhouse_user or None,
             password=args.clickhouse_password or None,
+            database=args.clickhouse_db,
         )
         return jdbc_foreach_batch(cfg, tracer=tracer)
     sink_dir = args.sink_dir or os.path.join(tempfile.gettempdir(), "ingestor_sink")

@@ -35,11 +35,18 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> Da
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tbl = f"bkt_{name}_{suffix}"
     if spark.catalog.tableExists(tbl):
-        try:  # catalog entry may outlive the tmp files
-            spark.table(tbl).first()
-            return spark.table(tbl)
+        # The catalog entry can outlive or diverge from the tmp files
+        # (DROP TABLE keeps external paths; a partially deleted dir
+        # still returns rows).  A .first() probe misses that, so
+        # validate the full row count against the source — for parquet
+        # this is a footer-metadata scan, cheap even at warehouse
+        # scale relative to the rebuild it guards.
+        try:
+            if spark.table(tbl).count() == table(spark, sf_dir, name).count():
+                return spark.table(tbl)
         except Exception:
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            pass
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
         table(spark, sf_dir, name)
         .write.mode("overwrite")

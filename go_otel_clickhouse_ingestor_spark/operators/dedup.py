@@ -42,6 +42,13 @@ def fast_tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), "\\s+")
 
 
+#: Bounded LRU of persisted intermediates: each distinct logical plan
+#: (per sf_dir × per query) would otherwise hold a session-lifetime
+#: cache entry — unbounded growth in long sessions / bench loops.
+_PERSISTED: list[DataFrame] = []
+_PERSISTED_CAP = 8
+
+
 def materialized(df: DataFrame) -> DataFrame:
     """Persist a multiply-consumed intermediate (MEMORY_AND_DISK).
 
@@ -51,8 +58,23 @@ def materialized(df: DataFrame) -> DataFrame:
     table (checkpoint / persisted dataset); at test scale a persist
     gives the same single-evaluation semantics.  Spark dedupes cache
     entries by logical plan, so repeated query invocations reuse one
-    entry rather than piling up copies."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    entry rather than piling up copies — but DISTINCT plans (another
+    sf_dir, another query) each add one, so entries are tracked in a
+    small FIFO and evicted beyond ``_PERSISTED_CAP``: old entries have
+    been consumed by the time a new query persists its own
+    intermediates.  ``release_persisted()`` drops everything eagerly
+    (bench/test teardown)."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSISTED_CAP:
+        _PERSISTED.pop(0).unpersist(blocking=False)
+    return df
+
+
+def release_persisted() -> None:
+    """Eagerly unpersist every intermediate still tracked."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=False)
 
 
 def gram_hashes(
@@ -269,6 +291,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Band-bucket population cap: a (band, value) bucket with more members
+#: than this is dropped from candidate generation.  Mega-buckets come
+#: from boilerplate (digit/punctuation-heavy bodies whose token sets
+#: repeat corpus-wide) and contribute B²/2 candidate pairs each — the
+#: superlinear FP floor the r2 scale probe measured (12.7× candidates at
+#: 10× docs).  With the cap the 10× ratio drops to ~9× (SCALING.md).
+#: The bucket-count table is bounded by the band value space
+#: (4 × 2^16 ≈ 262k rows max), so the filter side always broadcasts.
+_SIMHASH_BUCKET_CAP = 128
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup candidate pairs within Hamming distance
@@ -279,7 +312,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signature computation is a map + one groupBy(doc_id); the
     pair stage is banded LSH — 4 bands of 16 bits, candidates must
     agree exactly on at least one band (shuffle keys on (band, value),
-    never an unblocked self-join)."""
+    never an unblocked self-join), with over-populated buckets dropped
+    (``_SIMHASH_BUCKET_CAP``) so boilerplate band values can't go
+    quadratic."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(fast_tokens(F.col("text"))).alias("t")
@@ -316,6 +351,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # consumed 3× (bucket census + both self-join sides): persist so the
+    # 64-vote signature pipeline runs once.
+    bands = materialized(bands)
+    hot = (
+        bands.groupBy("band", "val")
+        .count()
+        .filter(F.col("count") > _SIMHASH_BUCKET_CAP)
+        .select("band", "val")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
     a, b_ = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -87,69 +87,91 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Number of random hyperplanes = signature bits for the ANN path.
-_ANN_BITS = 32
+#: Number of random hyperplanes = signature bits for the ANN path,
+#: packed into 64-bit words (2 JVM longs).  r2 ran 32 bits / ham≤13,
+#: which passed ~20% of the corpus to the exact rerank; at 128 bits the
+#: Hamming fraction's variance is 4× tighter, separating true
+#: neighbors (~0.39 disagreement on the uniform-random fixtures) from
+#: the 0.5 background well enough to screen to a few percent at the
+#: same recall gate (measurements in SCALING.md).
+_ANN_BITS = 128
+_ANN_WORDS = _ANN_BITS // 64
 
-#: The hyperplanes, precomputed ONCE driver-side with a seeded RNG and
-#: shipped to executors inside the mapInPandas closure.  (Earlier
-#: generations: per-row xxhash64 derivation ~2048 hashes/row, then
-#: Catalyst array literals with 32 interpreted-HOF dot products/row;
-#: the numpy matmul replaces both.)
-import random as _random
+#: Hamming screen radius (of _ANN_BITS).  Tuned on the uniform-random
+#: fixtures (the LSH worst case): candidate fraction and recall vs
+#: threshold are tabulated in SCALING.md.
+_ANN_HAM = 50
 
-_rng = _random.Random(42)
-_PLANES = [
-    [_rng.uniform(-0.5, 0.5) for _ in range(64)] for _ in range(_ANN_BITS)
-]
-del _rng
+
+def _hyperplanes(dim: int):
+    """(bits × dim) seeded hyperplane matrix.  The dimensionality comes
+    from the data (first Arrow batch), not a hardcoded constant, so any
+    embedding width works; same seed + same dim -> same planes on every
+    executor."""
+    import numpy as np
+
+    return np.random.RandomState(42).uniform(-0.5, 0.5, size=(_ANN_BITS, dim))
 
 
 def _signature_batches(batches):
     """mapInPandas kernel: sign-bit signatures for a whole Arrow batch
     with ONE matmul — (batch × dim) @ (dim × bits) — instead of
     per-row expression evaluation.  Spark's higher-order functions run
-    interpreted (outside codegen), so 32 ``aggregate`` dot products per
-    row were the stage's cost; BLAS does the block at memory speed.
+    interpreted (outside codegen), so 128 ``aggregate`` dot products
+    per row were the stage's cost; BLAS does the block at memory speed.
     This is the documented "vectorized Pandas UDF for embedding
     kernels" pattern: the vectors cross into Python exactly once,
-    Arrow-batched, zero shuffles."""
+    Arrow-batched, zero shuffles.  Bits pack into uint64 words whose
+    top-bit weight overflows signed range by design — the sums are
+    reinterpreted (.view) as the JVM longs the Spark-side
+    XOR/bit_count operate on."""
     import numpy as np
     import pandas as pd
 
-    planes = np.asarray(_PLANES, dtype=np.float64)  # (bits, dim)
-    weights = (1 << np.arange(_ANN_BITS, dtype=np.int64))
+    planes = None
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     for pdf in batches:
         if not len(pdf):
             continue
         emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        bits = (emb @ planes.T) > 0  # (batch, bits)
-        sig = (bits * weights).sum(axis=1).astype(np.int64)
-        yield pd.DataFrame(
-            {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "sig": sig}
-        )
+        if planes is None:
+            planes = _hyperplanes(emb.shape[1])
+        elif planes.shape[1] != emb.shape[1]:
+            raise ValueError(
+                f"embedding dim {emb.shape[1]} != {planes.shape[1]} seen earlier"
+            )
+        bits = (emb @ planes.T) > 0  # (batch, _ANN_BITS)
+        out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+        for w in range(_ANN_WORDS):
+            word = bits[:, w * 64 : (w + 1) * 64]
+            out[f"sig{w}"] = (
+                (word * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+            )
+        yield pd.DataFrame(out)
 
 
 def with_signatures(e: DataFrame) -> DataFrame:
-    """Attach the hyperplane signature column (vec_id, embedding, sig)."""
+    """Attach the packed signature words (vec_id, embedding, sig0..N)."""
+    sig_cols = ", ".join(f"sig{w} long" for w in range(_ANN_WORDS))
     return e.mapInPandas(
-        _signature_batches, "vec_id long, embedding array<float>, sig long"
+        _signature_batches, f"vec_id long, embedding array<float>, {sig_cols}"
     )
 
 
 @query("sim_ann_lsh")  # rows-only: xxhash64-derived planes are engine-specific
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors via random-hyperplane LSH: 32-bit
-    sign signatures; candidates are vectors within Hamming distance 13
-    of the query signature (sign-bit agreement tracks the angle), exact
-    cosine re-ranks candidates only.
+    """Approximate top-10 neighbors via random-hyperplane LSH: 128-bit
+    sign signatures (2 packed longs); candidates are vectors within
+    Hamming distance ``_ANN_HAM`` of the query signature (sign-bit
+    agreement tracks the angle), exact cosine re-ranks candidates only.
 
-    Cost shape: the Hamming screen is two 64-bit ops per (query,
+    Cost shape: the Hamming screen is four 64-bit JVM ops per (query,
     vector) against a broadcast query side — the expensive cosine runs
-    on the ~20% of the corpus that survives.  On the driver fixtures
-    (random near-orthogonal embeddings, the LSH worst case) this holds
-    ≥0.5 recall of the true top-10; real clustered corpora separate
-    far better.  For corpus×corpus joins use banded signatures (see
-    dedup_simhash) instead of a per-query screen."""
+    only on the few percent of the corpus that survives (fraction and
+    recall vs threshold measured in SCALING.md).  The driver fixtures
+    are uniform-random embeddings — the LSH worst case; real clustered
+    corpora separate far better.  For corpus×corpus joins use banded
+    signatures (see dedup_simhash) instead of a per-query screen."""
     from .dedup import materialized
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -160,12 +182,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sigs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
-        F.col("sig").alias("qsig"),
+        *[F.col(f"sig{w}").alias(f"qsig{w}") for w in range(_ANN_WORDS)],
     )
-    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+    ham = sum(
+        F.bit_count(F.col(f"sig{w}").bitwiseXOR(F.col(f"qsig{w}")))
+        for w in range(_ANN_WORDS)
+    )
     cand = sigs.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).filter(ham <= 13)
+    ).filter(ham <= _ANN_HAM)
     scored = cand.select(
         "query_id",
         "vec_id",

@@ -101,11 +101,22 @@ def upsert_foreach_batch(state_dir: str, n_buckets: int = N_STATE_BUCKETS):
         if not touched:
             return
         versions_dir = state_dir + "/versions"
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(versions_dir).filter(
                 F.col("bucket").isin(touched)
             )
-        except Exception:  # first batch: no state yet
+        except AnalysisException as exc:
+            # ONLY the missing-path case means "no prior state" (first
+            # batch).  Any other failure (transient IO, corrupt footer,
+            # schema drift) must propagate so Structured Streaming
+            # retries the batch — swallowing it would dynamic-overwrite
+            # the touched buckets with batch-only rows: permanent state
+            # loss instead of a retryable error.
+            cls = exc.getErrorClass() or ""
+            if "PATH_NOT_FOUND" not in cls and "UNABLE_TO_INFER_SCHEMA" not in cls:
+                raise
             existing = None
         merged = existing.unionByName(batch) if existing is not None else batch
         # localCheckpoint: materializes the merged buckets and cuts the

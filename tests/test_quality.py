@@ -30,8 +30,8 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
 
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     """The hyperplane-LSH ANN must find a reasonable share of the true
-    top-10 neighbors (16-bit signatures at ham<=2 -> modest recall by
-    design; the knob is _ANN_BITS/band width)."""
+    top-10 neighbors (128-bit signatures at ham<=_ANN_HAM; fraction vs
+    recall trade-off measured in SCALING.md)."""
     exact = {
         (r.query_id, r.vec_id)
         for r in REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
