@@ -929,3 +929,66 @@ def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@query(
+    "sub_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 300000)
+    """,
+)
+def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front end: customers with at
+    least one large urgent order.  Catalyst decorrelates to a left-semi
+    hash join on the correlation key — one shuffle, no per-row
+    subquery re-execution (the naive nested-loop reading of EXISTS)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "sub_not_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+      AND c_acctbal < 0
+    """,
+)
+def sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS: overdrawn customers with no recent
+    orders.  Decorrelates to a left-anti join (same plan family as
+    ``join_anti``); the date filter pushes into the subquery scan
+    BEFORE the anti join, so the build side is the filtered orders
+    subset, not the full table."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+          AND c_acctbal < 0
+        """
+    )

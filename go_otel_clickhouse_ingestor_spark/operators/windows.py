@@ -162,3 +162,127 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           ntile(10)            OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    deciles of customers by balance within nation.  The c_custkey
+    tie-break makes the ordering total, so both engines agree exactly
+    (percent_rank over ties is otherwise engine-dependent)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+#: Session gap: a new session starts after this much user inactivity.
+_SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+
+@query(
+    "win_session_gaps",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx::BIGINT AS session_idx,
+           count(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def win_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch twin of the streaming
+    session window): lag() flags a session break after 4 h of user
+    inactivity, a running sum numbers sessions, then one groupBy rolls
+    each session up.  Cost shape: both windows and the final agg share
+    the single shuffle on user_id — Catalyst reuses the partitioning,
+    so sessionizing 100 TB of events is one shuffle + per-key sorts,
+    never a self-join on time ranges."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    prev = F.lag("ts_us").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    )
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("ts_us") - prev > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@query(
+    "agg_windowed_time",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_windowed_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation — the batch face of the
+    streaming tumbling window (streaming/windows.py runs the same
+    shape with a watermark).  ``F.window`` is a plain grouping
+    expression: one partial+final hash agg, same cost as any groupBy;
+    the bucket count is bounded by time-range/1h so the final agg is
+    tiny at any SF."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
