@@ -234,3 +234,144 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.from_json("props", "k long").isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "fn_string2",
+    oracle="""
+    SELECT c_custkey,
+           lpad(cast(c_custkey AS VARCHAR), 10, '0')        AS key_padded,
+           rpad(c_mktsegment, 12, '.')                      AS seg_padded,
+           translate(c_name, '#0', '-O')                    AS translated,
+           replace(c_name, 'Customer', 'Cust')              AS replaced,
+           reverse(c_mktsegment)                            AS seg_rev,
+           repeat('=', (c_custkey % 4)::INT)                AS bar,
+           levenshtein(c_mktsegment, 'BUILDING')::BIGINT    AS seg_dist,
+           instr(c_name, '#')::BIGINT                       AS hash_pos,
+           left(c_name, 8)                                  AS name_l8,
+           right(c_name, 3)                                 AS name_r3,
+           ascii(c_mktsegment)::BIGINT                      AS seg_ascii,
+           starts_with(c_mktsegment, 'B')                   AS is_b,
+           contains(c_name, '42')                           AS has_42
+    FROM customer
+    """,
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: padding, translate/replace, reverse,
+    repeat, edit distance, position, left/right slices, ascii,
+    prefix/containment predicates.  All JVM codegen expressions."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.translate("c_name", "#0", "-O").alias("translated"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.lit("="), (F.col("c_custkey") % 4).cast("int")).alias("bar"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("seg_dist"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.expr("left(c_name, 8)").alias("name_l8"),
+        F.expr("right(c_name, 3)").alias("name_r3"),
+        F.ascii("c_mktsegment").cast("long").alias("seg_ascii"),
+        F.col("c_mktsegment").startswith("B").alias("is_b"),
+        F.col("c_name").contains("42").alias("has_42"),
+    )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 45 DAY                 AS due_45d,
+           o_orderdate + INTERVAL 3 MONTH                AS plus_3m,
+           last_day(o_orderdate::DATE)::TIMESTAMP        AS month_end,
+           quarter(o_orderdate)::BIGINT                  AS qtr,
+           weekofyear(o_orderdate)::BIGINT               AS iso_week,
+           (dayofweek(o_orderdate) + 1)::BIGINT          AS dow_sun1,
+           dayofyear(o_orderdate)::BIGINT                AS doy,
+           date_trunc('week', o_orderdate)               AS week_start,
+           date_diff('day', o_orderdate,
+                     TIMESTAMP '2000-01-01')::BIGINT     AS days_to_y2k,
+           make_date(year(o_orderdate)::INT,
+                     month(o_orderdate)::INT, 1)::TIMESTAMP AS month_first
+    FROM orders
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval / calendar arithmetic: day+month interval adds,
+    last_day, quarter, ISO week, day-of-week (aligned to Spark's
+    Sunday=1 by shifting DuckDB's Sunday=0), day-of-year, week trunc
+    (both engines truncate to Monday), date difference, make_date."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_45d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+        .cast("timestamp")
+        .alias("month_first"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0)                          AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0)          AS disc_defaulted,
+           greatest(l_quantity, l_discount * 100)           AS biggest,
+           least(l_tax, l_discount)                         AS smallest,
+           if(l_quantity > 25, 'bulk', 'small')             AS size_class,
+           CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+                ELSE 0.0 END                                AS returned_price
+    FROM lineitem
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar functions: nullif, coalesce-with-default
+    (the NVL/IFNULL shape), greatest/least, if(), CASE — the reference's
+    null-default coalescing (A7) expressed through every conditional
+    primitive."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_defaulted"
+        ),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("biggest"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("smallest"),
+        F.when(F.col("l_quantity") > 25, "bulk").otherwise("small").alias("size_class"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+        .otherwise(0.0)
+        .alias("returned_price"),
+    )
+
+
+@query(
+    "fn_sequence",
+    oracle="""
+    SELECT n_nationkey, unnest(range(1, (n_nationkey % 5) + 2))::BIGINT AS i
+    FROM nation
+    """,
+)
+def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence generation + lateral explode: each nation fans out to
+    1..(key%5)+1 rows.  Spark ``sequence(1, n)`` is inclusive =
+    DuckDB ``range(1, n+1)`` exclusive-stop."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.explode(F.sequence(F.lit(1), (F.col("n_nationkey") % 5) + 1)).alias("i"),
+    ).select("n_nationkey", F.col("i").cast("long").alias("i"))
