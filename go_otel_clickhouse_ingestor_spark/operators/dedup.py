@@ -430,3 +430,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+#: URL canonicalization pipeline, written once as (pattern, replacement)
+#: steps applied in order on a lowercased URL: strip scheme, strip a
+#: leading www., strip query + fragment, strip trailing slashes.
+_URL_CANON_STEPS = [
+    ("^https?://", ""),
+    ("^www\\.", ""),
+    ("[?#].*$", ""),
+    ("/+$", ""),
+]
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+             || 'Example.COM/' || source || '/doc/' || cast(doc_id % 200 AS VARCHAR)
+             || (CASE doc_id % 3 WHEN 0 THEN '/?utm_source=feed&ref=x'
+                                 WHEN 1 THEN '#section-2' ELSE '' END) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^https?://', ''), '^www\\.', ''),
+               '[?#].*$', ''), '/+$', '') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           min(doc_id) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline step before any
+    content hashing: scheme/case/www/query-string/fragment/trailing-slash
+    variants of one resource collapse to a canonical key, keeping the
+    lowest doc_id per group.
+
+    The fixtures carry no URL column, so a deterministic URL is derived
+    from (doc_id, source) with the variant classes injected — both
+    engines build the identical raw string, so the oracle checks the
+    canonicalizer, not the synthesis.  Scale: canonicalization is
+    chained codegen regexes (map-only); the dedup is one partial+final
+    hash agg on the canonical key — same shape as dedup_exact, the key
+    is ~60 bytes instead of 16."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "https://").otherwise("HTTP://"),
+        F.when(F.col("doc_id") % 5 == 0, "WWW.").otherwise(""),
+        F.lit("Example.COM/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "/?utm_source=feed&ref=x")
+        .when(F.col("doc_id") % 3 == 1, "#section-2")
+        .otherwise(""),
+    )
+    canon = F.lower(raw)
+    for pat, repl in _URL_CANON_STEPS:
+        canon = F.regexp_replace(canon, pat, repl)
+    return (
+        d.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

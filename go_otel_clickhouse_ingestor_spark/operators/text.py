@@ -212,3 +212,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("n_same"),
     )
+
+
+@query(
+    "text_shingle_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             len(t)::BIGINT AS n_tokens,
+             list_transform(range(len(t) - 2),
+                            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS shingles
+      FROM toks
+      WHERE len(t) >= 3
+    )
+    SELECT doc_id, n_tokens,
+           len(shingles)::BIGINT AS n_shingles,
+           len(list_distinct(shingles))::BIGINT AS n_distinct,
+           round(len(list_distinct(shingles)) / len(shingles)::DOUBLE, 6) AS distinct_ratio
+    FROM sh
+    """,
+)
+def text_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-token shingle profile: shingle count, distinct
+    shingle count, and the distinct ratio (≈1 − internal repetitiveness
+    — the standard boilerplate/spam signal, and the exact shingle set
+    MinHash sketches).  All array higher-order functions on the JVM:
+    ``transform`` over an index ``sequence`` builds shingles with zero
+    explode — no row blow-up, no shuffle; per-doc cost is linear in
+    token count."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    # Spark [] indexing is 0-based (DuckDB list indexing is 1-based);
+    # both sides enumerate i = 0 .. len-3 over the same token list.
+    shingles = F.expr(
+        "transform(sequence(0, size(t) - 3),"
+        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    return (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            shingles.alias("sh"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+            F.round(
+                F.size(F.array_distinct("sh"))
+                / F.size("sh").cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+    )
