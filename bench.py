@@ -18,12 +18,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from go_otel_clickhouse_ingestor_spark.operators.dedup import release_persisted
 from go_otel_clickhouse_ingestor_spark.registry import load_all
 from go_otel_clickhouse_ingestor_spark.session import get_spark
 
 #: Headline set: one per operator family, weighted toward the
 #: shuffle/join/window-heavy plans that dominate at scale.
 HEADLINE = [
+    "tpch_q1",
+    "tpch_q5",
     "agg_groupby",
     "join_multiway_star",
     "join_asof",
@@ -56,16 +59,31 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
+    # Shared-box timing noise is ±2× on single runs (r2 verdict item 8):
+    # run each query REPS times and report the min (the least-interfered
+    # run — the real cost of the plan) plus the median for context.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         q = reg.get(name)
         if q is None:
             continue
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        samples = []
+        for _ in range(reps):
+            # drop persisted intermediates so every rep pays the full
+            # cold-plan cost — min-of-N must measure the plan, not the
+            # cache left by the previous rep
+            release_persisted()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        timings[name] = samples[0]
+        medians[name] = samples[len(samples) // 2]
+        print(f"# {name}: {n} rows, min {samples[0]:.2f}s of {samples}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -75,6 +93,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

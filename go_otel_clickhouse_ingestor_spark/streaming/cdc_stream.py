@@ -32,11 +32,56 @@ def translate_stream(kafka_shaped: DataFrame) -> DataFrame:
     return translate_envelope(parse_envelope(kafka_shaped))
 
 
+#: The fixed schema Spark's Kafka source emits (spark-sql-kafka);
+#: tests build raw frames with exactly this schema so the projection
+#: below is exercised without a broker and fails loudly on drift.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option map handed to ``readStream.format("kafka")`` —
+    kept as data (not inline builder calls) so tests can assert it and
+    ops can log it.  maxOffsetsPerTrigger is the backpressure knob the
+    reference's consumer loop lacked (``cdc.go:36-43``)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # on executor failure mid-batch, refuse silent data loss — the
+        # checkpoint replays the range instead (at-least-once, A13)
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def shape_kafka_raw(raw: DataFrame) -> DataFrame:
+    """Kafka's (key binary, value binary, offset, ...) -> the
+    (msg_id, key string, value string) contract every downstream stage
+    (and every file/memory-source test) consumes.  Pure projection:
+    works identically on a streaming or batch frame."""
+    return raw.select(
+        F.col("offset").alias("msg_id"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def kafka_cdc_stream(
     spark: SparkSession,
     brokers: str,
     topic: str,
     starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Production wiring: Kafka source -> users_cur stream.
 
@@ -44,19 +89,12 @@ def kafka_cdc_stream(
     (``cdc.go:36-43``): offsets live in the checkpoint (not Kafka),
     partitions fan out across executors, and maxOffsetsPerTrigger is
     the backpressure knob the Go loop lacked."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    shaped = raw.select(
-        F.col("offset").alias("msg_id"),
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-    )
-    return translate_stream(shaped)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return translate_stream(shape_kafka_raw(reader.load()))
 
 
 #: Hash buckets for the parquet state layout.  At 100 TB this number

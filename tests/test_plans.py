@@ -124,3 +124,48 @@ def test_bucketed_join_plans_shuffle_free(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q10_take_ordered_no_global_window(spark, sf_dir):
+    """q10 (like q3) must cut to top-20 via TakeOrderedAndProject and
+    rank only the survivors — never a partition-less WindowExec over
+    the full aggregate."""
+    a = audit(REGISTRY["tpch_q10"].fn(spark, sf_dir))
+    assert a["take_ordered"]
+    q4 = audit(REGISTRY["tpch_q4"].fn(spark, sf_dir))
+    assert q4["python_row_at_a_time"] == 0
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
+    """The 6-way join must broadcast supplier/nation/region — only the
+    customer⋈orders⋈lineitem spine may shuffle."""
+    a = audit(REGISTRY["tpch_q5"].fn(spark, sf_dir))
+    assert a["broadcast_joins"] >= 3
+
+
+def test_subquery_decorrelation(spark, sf_dir):
+    """EXISTS / NOT EXISTS must decorrelate to semi/anti hash joins,
+    not nested-loop re-execution."""
+    ex = _plan(spark, sf_dir, "sub_exists_correlated")
+    assert "LeftSemi" in ex
+    ne = _plan(spark, sf_dir, "sub_not_exists")
+    assert "LeftAnti" in ne
+
+
+def test_session_gaps_single_shuffle(spark, sf_dir):
+    """Sessionization: both windows + the rollup agg share ONE shuffle
+    on user_id (Catalyst reuses the partitioning); a second exchange
+    would mean the plan re-shuffles between the window and the agg."""
+    a = audit(REGISTRY["win_session_gaps"].fn(spark, sf_dir))
+    assert a["shuffle_exchanges"] <= 1
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_shingle_profile_no_explode_no_shuffle(spark, sf_dir):
+    """The shingle profile is per-row HOF work: zero exchanges, zero
+    Python, no row blow-up (no Generate/explode node)."""
+    df = REGISTRY["text_shingle_profile"].fn(spark, sf_dir)
+    a = audit(df)
+    assert a["shuffle_exchanges"] == 0
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
+    assert "Generate" not in df._jdf.queryExecution().executedPlan().toString()

@@ -464,3 +464,62 @@ def test_upsert_replaying_same_batch_is_idempotent(spark, tmp_path):
     apply_batch(rows, 0)  # the retry
     assert {tuple(r) for r in spark.read.parquet(state + "/versions").collect()} == versions_once
     assert {tuple(r) for r in spark.read.parquet(state + "/current").collect()} == current_once
+
+
+def test_kafka_wiring_shape_and_options(spark):
+    """The Kafka source wiring, exercised without a broker (r2 verdict
+    item 6): (a) the option map is exactly what production passes to
+    ``readStream.format("kafka")``; (b) a frame with the Kafka source's
+    fixed schema flows through the SAME projection + translation the
+    file/memory-source tests cover, producing the users_cur schema.
+    Drift in either the options or the (key,value,offset) projection
+    fails here."""
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        KAFKA_SOURCE_SCHEMA,
+        kafka_source_options,
+        shape_kafka_raw,
+        translate_stream,
+    )
+
+    opts = kafka_source_options("broker1:9092,broker2:9092", "cdc.users",
+                                starting_offsets="earliest",
+                                max_offsets_per_trigger=10_000)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "cdc.users",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "10000",
+    }
+
+    env = json.dumps(
+        {
+            "op": "c",
+            "after": {"id": 7, "name": "n7", "email": "e7@x", "updated_at": 1_700_000_000_000_000},
+            "ts_ms": 1_700_000_000_123,
+            "lsn": 42,
+        }
+    )
+    raw = spark.createDataFrame(
+        [
+            (
+                b"7",
+                env.encode(),
+                "cdc.users",
+                0,
+                1234,
+                None,
+                0,
+            )
+        ],
+        KAFKA_SOURCE_SCHEMA,
+    )
+    shaped = shape_kafka_raw(raw)
+    assert [f.simpleString() for f in shaped.schema.fields] == [
+        "msg_id:bigint",
+        "key:string",
+        "value:string",
+    ]
+    out = translate_stream(shaped)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].id == 7 and rows[0].name == "n7"
