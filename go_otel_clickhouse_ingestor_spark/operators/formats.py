@@ -71,3 +71,26 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(_SCHEMA).option("header", "true").csv(path).select(*_COLS)
     )
+
+
+@query("source_orc_roundtrip", oracle=_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read back.  Unlike the text formats ORC is a real
+    columnar serving format (pruning + pushdown work), so this is the
+    parquet-alternative read path, not a landing-zone path."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/orc_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .orc(path)
+        )
+    return spark.read.schema(_SCHEMA).orc(path).select(*_COLS)

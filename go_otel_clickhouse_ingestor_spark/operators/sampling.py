@@ -1,0 +1,123 @@
+"""Deterministic sampling & split assignment — training-pipeline
+primitives.
+
+A 100 TB corpus job can't use ``df.sample()`` for anything that must
+be reproducible across engines, re-runs, or backfills: Spark's sampler
+is partition-order-dependent (rerun after a repartition → different
+rows).  The portable pattern is HASH-based selection — a bit-stable
+hash of a stable key, mod N — which is:
+
+- deterministic (same key → same bucket, any engine, any partitioning),
+- uniform (md5 bits are unbiased),
+- map-only (no shuffle, no state, scales linearly),
+- and oracle-checkable, since DuckDB computes the identical md5.
+
+The same trick assigns held-out splits: the split of a document never
+changes when the corpus grows — only hash-bucket membership decides,
+not position — which is exactly what train/val/test contamination
+control needs.  (Spark's own ``sample``/``randomSplit`` stay the right
+tool for one-off approximate sampling; these queries are the
+reproducible path.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+def hash_bucket(key: Column, n: int) -> Column:
+    """Stable bucket in [0, n): first 8 hex chars of md5(key), mod n.
+    32 bits of hash for bucket counts ≤ ~1e6; bit-identical in any
+    engine with md5 (DuckDB twin: ``conv``-free hex parse)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n
+
+
+#: DuckDB twin of hash_bucket: both engines parse the same 8-char hex
+#: slice as a number (Spark via conv(x,16,10), DuckDB via 0x literal).
+_DUCK_BUCKET = "('0x' || substring(md5({key}), 1, 8))::BIGINT % {n}"
+
+
+def _duck_bucket(key: str, n: int) -> str:
+    return _DUCK_BUCKET.format(key=key, n=n)
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {_duck_bucket("cast(doc_id AS VARCHAR)", 100)} < 10
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample: md5-bucket(doc_id) < 10 of 100.
+    Map-only — the predicate is pure codegen, no shuffle, and the
+    sampled set is stable under repartition/rerun/corpus growth
+    (unlike ``df.sample``, which is partition-order-dependent)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(hash_bucket(F.col("doc_id").cast("string"), 100) < 10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_duck_bucket("cast(doc_id AS VARCHAR)", 100)} AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment by hash bucket.  A document's
+    split NEVER changes as the corpus grows (membership is a pure
+    function of its id), which is the contamination-control property
+    position-based splits lack."""
+    d = table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id").cast("string"), 100)
+    return d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@query(
+    "sample_stratified_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                ORDER BY {_duck_bucket("cast(doc_id AS VARCHAR)", 1000000)}, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def sample_stratified_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 20 docs per language, chosen by
+    hash order (a reproducible shuffle) — per-group quota sampling with
+    none of ``sampleBy``'s row-count variance.  One shuffle on the
+    stratum key; rank-and-filter keeps ≤20 rows per stratum."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    order = hash_bucket(F.col("doc_id").cast("string"), 1_000_000)
+    w = Window.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )

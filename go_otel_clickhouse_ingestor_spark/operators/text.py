@@ -272,3 +272,59 @@ def text_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_ratio"),
         )
     )
+
+
+#: Chunking geometry: window of _CHUNK tokens advancing by _STRIDE
+#: (_CHUNK - _STRIDE tokens of overlap between neighbors).
+_CHUNK = 50
+_STRIDE = 40
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t, len(t)::BIGINT AS n_tokens,
+             unnest(range(0, len(t), {_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           (s / {_STRIDE})::BIGINT AS chunk_id,
+           least({_CHUNK}, n_tokens - s)::BIGINT AS n_chunk_tokens,
+           array_to_string(t[s+1 : s+{_CHUNK}], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of an embedding/training pipeline: {_CHUNK}-token chunks advancing
+    by {_STRIDE} (10-token overlap so no span is split across a chunk
+    boundary unseen).
+
+    Shape: tokenization + start-offset ``sequence`` + one ``explode``
+    — the only row expansion is the output chunks themselves (≈
+    n_tokens/stride rows per doc), all JVM HOFs, zero shuffles, linear
+    in corpus size.  The overlap factor (here 1.25×) is the storage
+    amplification a planner must budget at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    return (
+        d.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.explode(F.expr(f"sequence(0, size(t) - 1, {_STRIDE})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / _STRIDE).cast("long").alias("chunk_id"),
+            F.least(F.lit(_CHUNK), F.col("n_tokens") - F.col("s"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.expr(f"slice(t, s + 1, {_CHUNK})")).alias("chunk_text"),
+        )
+    )

@@ -102,6 +102,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         pipeline,
         relational,
+        sampling,
         scalar_fns,
         similarity,
         skew,
