@@ -91,3 +91,79 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.withColumn("cum_tokens", F.sum("n_tokens").over(budget_w)).filter(
         F.col("cum_tokens") <= TOKEN_BUDGET
     )
+
+
+#: Per-shard token budget for the partitioned budget cut.
+TOKEN_BUDGET_PER_SHARD = 2_000
+
+
+@query(
+    "pipeline_budget_sharded",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper FROM fp
+    ),
+    en AS (SELECT * FROM keep WHERE doc_id = keeper AND lang = 'en'),
+    q AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+             round(0.4 * (least(n_chars, 500) / 500.0)
+                 + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(n_chars, 1))
+                 - 0.1 * (len(regexp_extract_all(text, '{_PUNCT_RE}')) / greatest(n_chars, 1)), 6) AS quality
+      FROM en
+    ),
+    flt AS (SELECT * FROM q WHERE quality >= {QUALITY_MIN}),
+    cum AS (
+      SELECT doc_id, source, n_tokens, quality,
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+      FROM flt
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_SHARD}
+    """,
+)
+def pipeline_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for the token-budget cut
+    (``pipeline_corpus_filter``'s docstring names it): the budget is
+    allocated PER SOURCE SHARD, so the cumulative window partitions on
+    ``source`` — parallel across shards, no single-partition global
+    window anywhere in the plan.  This is also the semantics real
+    corpus curation usually wants (per-domain/source caps control
+    source mixing; a single global budget lets one source crowd out
+    the rest)."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
+    keep = d.withColumn("fingerprint", fp).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    en = keep.filter((F.col("doc_id") == F.col("keeper")) & (F.col("lang") == "en"))
+
+    n_chars = F.col("n_chars")
+    len_norm = F.least(n_chars, F.lit(500)) / 500.0
+    punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), F.lit(0))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    q = en.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(0.4 * len_norm + 0.5 * alpha - 0.1 * punct, 6).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+
+    budget_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return q.withColumn("cum_tokens", F.sum("n_tokens").over(budget_w)).filter(
+        F.col("cum_tokens") <= TOKEN_BUDGET_PER_SHARD
+    )

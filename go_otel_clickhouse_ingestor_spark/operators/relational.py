@@ -969,12 +969,12 @@ def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
-      AND c_acctbal < 0
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      AND c_acctbal < 5000
     """,
 )
 def sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated NOT EXISTS: overdrawn customers with no recent
+    """Correlated NOT EXISTS: low-balance customers with no recent
     orders.  Decorrelates to a left-anti join (same plan family as
     ``join_anti``); the date filter pushes into the subquery scan
     BEFORE the anti join, so the build side is the filtered orders
@@ -988,7 +988,62 @@ def sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
-          AND c_acctbal < 0
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+          AND c_acctbal < 5000
         """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           count(DISTINCT c_mktsegment)::BIGINT AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined string per group (the LISTAGG /
+    array_agg shape).  The set is sorted before concatenation because
+    collection order is partition-order-dependent — an unordered
+    listagg is nondeterministic on ANY distributed engine; bounded
+    per-group cardinality (5 segments) keeps the collected array
+    safe — collect over an unbounded group OOMs the agg buffer at
+    scale (use explode + groupBy instead there)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+    )
+
+
+@query(
+    "agg_mode_portable",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n
+    FROM (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment) t
+    WHERE rn = 1
+    """,
+)
+def agg_mode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (smallest value
+    wins).  Built-in ``mode()`` is tie-arbitrary on every engine, so
+    the portable form is count-per-value + rank — two shuffles, both
+    on bounded-cardinality keys."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("n").desc(), F.col("c_mktsegment").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"), "n")
     )

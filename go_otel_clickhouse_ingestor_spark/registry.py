@@ -54,14 +54,18 @@ _DRIVER_PRIORITY: list[str] = [
     "set_intersect", "set_except",
     "agg_pivot", "agg_stats",
     "join_cross", "join_skew_salted",
-    # driver-green only in r1 (not re-sampled since)
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
     # round-3 additions (no driver row yet)
     "tpch_q4", "tpch_q5", "tpch_q10", "tpch_q12",
     "sub_exists_correlated", "sub_not_exists",
     "win_distribution", "win_session_gaps",
     "fn_string2", "fn_interval", "fn_conditional", "fn_sequence",
     "agg_windowed_time", "dedup_url_canonical", "text_shingle_profile",
+    "source_orc_roundtrip", "sample_hash_deterministic",
+    "split_train_val_test", "sample_stratified_per_group",
+    "text_chunk_overlap", "dedup_cluster_cc", "pipeline_budget_sharded",
+    "agg_collect_sorted", "agg_mode_portable",
+    # driver-green in r1 only (oldest evidence — resample as slots allow)
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
 
 
@@ -99,6 +103,7 @@ def load_all() -> dict[str, Query]:
         cdc,
         dedup,
         formats,
+        graph,
         multimodal,
         pipeline,
         relational,

@@ -175,3 +175,19 @@ def test_approx_quantile_within_error_bound(spark, sf_dir):
         lo50, hi50, lo95, hi95 = exact[et]
         assert lo50 <= p50 <= hi50, f"{et}: p50 {p50} outside [{lo50}, {hi50}]"
         assert lo95 <= p95 <= hi95, f"{et}: p95 {p95} outside [{lo95}, {hi95}]"
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    """CC on a synthetic graph: a 4-chain (propagation depth > 1), a
+    3-cycle, a 2-clique, and an isolated node — labels must be the
+    component-minimum ids."""
+    from go_otel_clickhouse_ingestor_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "node long")
+    #        chain 0-1-2-3   cycle 4-5-6-4   clique 7-8   singleton 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9}

@@ -49,6 +49,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype("datetime64[us]")
         elif out[c].dtype == np.float32:
             out[c] = out[c].astype("float64").round(4)
+    if not len(out):  # .agg on an empty frame yields a frame, not a Series
+        return out.reset_index(drop=True)
     key = out.map(lambda v: str(v)).agg("|".join, axis=1)
     return out.iloc[key.argsort(kind="stable")].reset_index(drop=True)
 
