@@ -96,7 +96,10 @@ def enrich_with_users(events: DataFrame, users_cur: DataFrame) -> DataFrame:
 
 
 def stream_stream_click_purchase_join(
-    events_a: DataFrame, events_b: DataFrame, horizon: str = "2 minutes"
+    events_a: DataFrame,
+    events_b: DataFrame,
+    horizon: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: each click pairs with the same user's
     purchases within ``horizon`` after it — the attribution-join shape.
@@ -105,7 +108,14 @@ def stream_stream_click_purchase_join(
     event-time interval, so the state store only buffers rows inside
     watermark + horizon: the two bounds together are what make an
     unbounded×unbounded join finite.  State is partitioned by the join
-    key (user_id) like any shuffled join."""
+    key (user_id) like any shuffled join.
+
+    ``how="left_outer"`` is the attribution-complete form: matched
+    rows emit as the purchase arrives; an UNmatched click emits (null
+    purchase columns) only once the watermark passes click_ts +
+    horizon — until then a match could still arrive.  The outer
+    emission is watermark bookkeeping over the same state, not extra
+    buffering."""
     clicks = (
         with_watermark(events_a, "1 minute")
         .filter(F.col("event_type") == "click")
@@ -130,4 +140,5 @@ def stream_stream_click_purchase_join(
         (F.col("click_user") == F.col("purchase_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )

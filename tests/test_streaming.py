@@ -523,3 +523,36 @@ def test_kafka_wiring_shape_and_options(spark):
     out = translate_stream(shaped)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].id == 7 and rows[0].name == "n7"
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, events_stream, sf_dir):
+    """LEFT OUTER stream-stream join: matched rows equal the inner
+    join; unmatched clicks surface with null purchase columns once the
+    watermark has passed their horizon (end-of-stream closes it for
+    every click except possibly the stream tail)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        stream_stream_click_purchase_join,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    name = f"ssjo_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        stream_stream_click_purchase_join(
+            events_stream, events_stream, "1 day", how="left_outer"
+        ),
+        name,
+    )
+    got = spark.sql(f"SELECT * FROM {name}")
+    got_matched = {tuple(r) for r in got.filter("purchase_id IS NOT NULL").collect()}
+    got_unmatched = {r.click_id for r in got.filter("purchase_id IS NULL").collect()}
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    want = stream_stream_click_purchase_join(ev, ev, "1 day", how="left_outer")
+    want_matched = {tuple(r) for r in want.filter("purchase_id IS NOT NULL").collect()}
+    want_unmatched = {r.click_id for r in want.filter("purchase_id IS NULL").collect()}
+
+    assert got_matched == want_matched and len(got_matched) > 0
+    # outer rows: everything the final watermark closed must be there,
+    # and nothing that the batch form doesn't also consider unmatched
+    assert got_unmatched <= want_unmatched
+    assert len(got_unmatched) > 0
