@@ -1047,3 +1047,70 @@ def agg_mode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"), "n")
     )
+
+
+#: Bucket width for the range-bucketed join == the window length, so
+#: every window overlaps at most 2 buckets and every probe row lands
+#: in exactly 1.
+_RANGE_BUCKET_DAYS = 7
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey AS w_id,
+             o_orderdate AS w_start,
+             o_orderdate + INTERVAL 7 DAY AS w_end
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT w.w_id, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM w JOIN orders o
+      ON o.o_orderdate >= w.w_start AND o.o_orderdate < w.w_end
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join accelerated by time-bucketing — the scale path for
+    ``join_theta_range``'s nested-loop shape.  Every window [start,
+    start+7d) explodes into the 1-2 seven-day buckets it overlaps; each
+    probe row computes its single bucket; the join is then an EQUI join
+    on bucket with the range predicate as a residual — hashable,
+    shuffle-partitionable, and skew-handleable like any equi join,
+    where the naive form is a nested-loop scan of every (row, window)
+    combination.  A probe row matches a window in exactly one bucket
+    (its own), so no post-join distinct is needed.  This is the
+    standard interval-join technique streaming engines and range-join
+    hints implement internally."""
+    o = table(spark, sf_dir, "orders")
+    w = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("w_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("w_end"),
+    )
+    day_bucket = lambda c: (F.unix_date(F.col(c).cast("date")) / _RANGE_BUCKET_DAYS).cast("long")  # noqa: E731
+    wb = w.select(
+        "w_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(day_bucket("w_start"), day_bucket("w_end"))
+        ).alias("bucket"),
+    )
+    ob = o.select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).withColumn("bucket", day_bucket("o_orderdate"))
+    return (
+        wb.join(
+            ob,
+            (wb.bucket == ob.bucket)
+            & (F.col("o_orderdate") >= F.col("w_start"))
+            & (F.col("o_orderdate") < F.col("w_end")),
+        )
+        .select(
+            "w_id",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )

@@ -375,3 +375,22 @@ def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.explode(F.sequence(F.lit(1), (F.col("n_nationkey") % 5) + 1)).alias("i"),
     ).select("n_nationkey", F.col("i").cast("long").alias("i"))
+
+
+@query(
+    "fn_array_posexplode",
+    oracle="""
+    SELECT vec_id,
+           (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+    WHERE vec_id < 20
+    """,
+)
+def fn_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: unnest WITH position (0-based, Spark's convention;
+    DuckDB's 1-based generate_subscripts shifted to match)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "val"
+    )

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "split_train_val_test", "sample_stratified_per_group",
     "text_chunk_overlap", "dedup_cluster_cc", "pipeline_budget_sharded",
     "agg_collect_sorted", "agg_mode_portable",
+    "fn_array_posexplode", "join_range_bucketed",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]

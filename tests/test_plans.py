@@ -169,3 +169,13 @@ def test_shingle_profile_no_explode_no_shuffle(spark, sf_dir):
     assert a["shuffle_exchanges"] == 0
     assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
     assert "Generate" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_bucketed_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge EQUI join
+    on the bucket key with the range predicate as residual — never a
+    BroadcastNestedLoopJoin scanning every (row, window) pair."""
+    plan = _plan(spark, sf_dir, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    a = audit(REGISTRY["join_range_bucketed"].fn(spark, sf_dir))
+    assert a["broadcast_joins"] + a["sort_merge_joins"] >= 1
