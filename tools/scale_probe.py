@@ -39,6 +39,10 @@ DEFAULT_OPS = [
     "text_quality_score",
     "text_token_count",
     "pipeline_corpus_filter",
+    "pipeline_budget_sharded",
+    "dedup_url_canonical",
+    "text_shingle_profile",
+    "text_chunk_overlap",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
