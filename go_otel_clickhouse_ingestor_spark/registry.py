@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_chunk_overlap", "dedup_cluster_cc", "pipeline_budget_sharded",
     "agg_collect_sorted", "agg_mode_portable",
     "fn_array_posexplode", "join_range_bucketed",
+    "events_funnel", "events_retention_cohort",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
@@ -100,6 +101,7 @@ def load_all() -> dict[str, Query]:
     # Imports are side-effecting by design: each module registers its
     # queries at import time.
     from .operators import (  # noqa: F401
+        analytics,
         bucketed,
         cdc,
         dedup,
