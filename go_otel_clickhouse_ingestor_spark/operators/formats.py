@@ -94,3 +94,43 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orc(path)
         )
     return spark.read.schema(_SCHEMA).orc(path).select(*_COLS)
+
+
+@query(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout: events written ``partitionBy(event_type)``
+    once, then read with a partition filter — the scan touches ONLY the
+    two matching directories (partition pruning, visible as
+    PartitionFilters in the plan; asserted by tests/test_plans.py).
+    This is the 100 TB layout primitive: a date/tenant-partitioned
+    table turns a full scan into a directory listing plus the matching
+    files — pruning happens before any IO, unlike row-group pushdown
+    which still opens every footer."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/part_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(*_COLS)
+    )

@@ -65,7 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_chunk_overlap", "dedup_cluster_cc", "pipeline_budget_sharded",
     "agg_collect_sorted", "agg_mode_portable",
     "fn_array_posexplode", "join_range_bucketed",
-    "events_funnel", "events_retention_cohort",
+    "events_funnel", "events_retention_cohort", "source_partitioned_pruning",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]

@@ -179,3 +179,11 @@ def test_range_bucketed_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     a = audit(REGISTRY["join_range_bucketed"].fn(spark, sf_dir))
     assert a["broadcast_joins"] + a["sort_merge_joins"] >= 1
+
+
+def test_partitioned_source_prunes_partitions(spark, sf_dir):
+    """The event_type filter must become PartitionFilters on the scan
+    (directory-level pruning), not a post-scan Filter over all rows."""
+    df = REGISTRY["source_partitioned_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
