@@ -121,3 +121,32 @@ def sample_stratified_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@query(
+    "sample_weighted_hash",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             least(n_chars, 800) / 800.0 AS keep_p,
+             ({_duck_bucket("cast(doc_id AS VARCHAR)", 1000000)}) / 1000000.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(keep_p, 6) AS keep_p
+    FROM q WHERE u < keep_p
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each doc keeps with
+    probability proportional to its (length-derived) weight, decided by
+    comparing its hash-uniform u ∈ [0,1) against the weight — the
+    map-only, rerun-stable form of weighted subsampling (quality-
+    weighted corpus thinning).  Same md5-bucket machinery as the
+    uniform sample; the weight just moves the threshold per row."""
+    d = table(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars"), F.lit(800)) / 800.0
+    u = hash_bucket(F.col("doc_id").cast("string"), 1_000_000) / 1_000_000.0
+    return (
+        d.filter(u < keep_p)
+        .select("doc_id", "n_chars", F.round(keep_p, 6).alias("keep_p"))
+    )

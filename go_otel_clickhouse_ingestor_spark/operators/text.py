@@ -328,3 +328,73 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.expr(f"slice(t, s + 1, {_CHUNK})")).alias("chunk_text"),
         )
     )
+
+
+#: TF-IDF top-terms-per-doc: terms per doc capped to this many.
+_TFIDF_TOP = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE doc_id < 200
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored) t
+    WHERE rn <= {_TFIDF_TOP}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-{_TFIDF_TOP} terms per document (fenced to 200
+    docs so the oracle's token explosion stays fixture-sized; the plan
+    is corpus-scale).  Cost shape: one explode → (doc, term) agg →
+    document-frequency agg (term-keyed, tiny) joined BACK broadcast →
+    per-doc top-k window.  The df table is vocabulary-sized, so the
+    join never reshuffles the token stream; idf uses the natural log
+    of n_docs/df with a deterministic term tie-break."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
