@@ -556,3 +556,53 @@ def test_stream_stream_left_outer_emits_unmatched(spark, events_stream, sf_dir):
     # and nothing that the batch form doesn't also consider unmatched
     assert got_unmatched <= want_unmatched
     assert len(got_unmatched) > 0
+
+
+def test_matview_incremental_equals_batch_rollup(spark, events_stream, sf_dir, tmp_path):
+    """Streaming the fixture through the materialized-view maintainer
+    must leave the view identical to the one-shot batch rollup of the
+    same events."""
+    from go_otel_clickhouse_ingestor_spark.streaming.matview import (
+        hourly_rollup,
+        matview_foreach_batch,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    view_dir = str(tmp_path / "matview")
+    q = (
+        events_stream.writeStream.foreachBatch(matview_foreach_batch(view_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.bucket_us): (r.n, round(r.total_value, 6))
+        for r in spark.read.parquet(view_dir).collect()
+    }
+    want = {
+        (r.event_type, r.bucket_us): (r.n, round(r.total_value, 6))
+        for r in hourly_rollup(table(spark, sf_dir, "events").limit(500)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # incremental path: two further batches combined into the SAME view
+    # must equal the batch rollup over all 1500 events
+    ev = table(spark, sf_dir, "events")
+    # same unordered-limit chain as the fixture, so the three slices
+    # tile the exact rows the stream already delivered plus two more
+    b2 = ev.limit(1000).exceptAll(ev.limit(500))
+    b3 = ev.limit(1500).exceptAll(ev.limit(1000))
+    apply_batch = matview_foreach_batch(view_dir)
+    apply_batch(b2, 1)
+    apply_batch(b3, 2)
+    got2 = {
+        (r.event_type, r.bucket_us): (r.n, round(r.total_value, 6))
+        for r in spark.read.parquet(view_dir).collect()
+    }
+    want2 = {
+        (r.event_type, r.bucket_us): (r.n, round(r.total_value, 6))
+        for r in hourly_rollup(ev.limit(1500)).collect()
+    }
+    assert got2 == want2 and len(got2) > len(got)
