@@ -296,3 +296,173 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("query_id", "rnk", "vec_id", "cos_sim")
     )
+
+
+#: PQ geometry: M subspaces × K centroids.  K=16 -> 4 bits per code;
+#: M=8 codes pack into a single 32-bit word inside a long column, so a
+#: vector's search footprint drops from dim×4 bytes to 4 bytes
+#: (64-float fixtures: 64×4=256 B -> 4 B, 64× compression).
+_PQ_M = 8
+_PQ_K = 16
+_PQ_ITERS = 8
+#: Per-Arrow-batch candidates kept per query before the global cut.
+_PQ_SHORTLIST = 40
+
+
+def _pq_train(sample):
+    """Lloyd's k-means per subspace on the (bounded) training sample.
+    Deterministic: init takes the first K distinct sample rows per
+    subspace, iterations are fixed — same input -> same codebook on
+    every run (no RNG).  Returns (M, K, dsub) float64."""
+    import numpy as np
+
+    n, dim = sample.shape
+    dsub = dim // _PQ_M
+    books = np.empty((_PQ_M, _PQ_K, dsub))
+    for m in range(_PQ_M):
+        block = sample[:, m * dsub : (m + 1) * dsub]
+        cent = block[:_PQ_K].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_K):
+                mask = assign == k
+                if mask.any():
+                    cent[k] = block[mask].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def _pq_code_batches(books):
+    """mapInPandas kernel: assign each vector its packed PQ code — per
+    subspace argmin against the broadcast codebook, all numpy."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        dsub = books.shape[2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.where(norms == 0, 1.0, norms)
+            code = np.zeros(len(emb), dtype=np.int64)
+            for m in range(_PQ_M):
+                block = emb[:, m * dsub : (m + 1) * dsub]
+                d2 = ((block[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                code |= d2.argmin(axis=1).astype(np.int64) << (4 * m)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "code": code}
+            )
+
+    return gen
+
+
+def _pq_adc_batches(books, queries):
+    """mapInPandas kernel: asymmetric-distance (ADC) scoring.  Per
+    batch: build each query's (M, K) distance table ONCE, then score
+    every code by M table lookups — never touching the original
+    vectors — and emit only the per-batch shortlist per query."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        dsub = books.shape[2]
+        qids = np.array([q[0] for q in queries], dtype=np.int64)
+        qemb = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+        qnorm = np.linalg.norm(qemb, axis=1, keepdims=True)
+        qemb = qemb / np.where(qnorm == 0, 1.0, qnorm)
+        # tables[q, m, k] = ||q_block - centroid||^2
+        tables = np.empty((len(qids), _PQ_M, _PQ_K))
+        for m in range(_PQ_M):
+            qb = qemb[:, m * dsub : (m + 1) * dsub]
+            tables[:, m, :] = ((qb[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = pdf["code"].to_numpy()
+            vec_ids = pdf["vec_id"].to_numpy()
+            sub = np.empty((len(codes), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                sub[:, m] = (codes >> (4 * m)) & 0xF
+            # dist[q, row] = sum_m tables[q, m, sub[row, m]]
+            dist = tables[:, np.arange(_PQ_M)[None, :], sub].sum(axis=2)
+            keep = min(_PQ_SHORTLIST, dist.shape[1])
+            idx = np.argpartition(dist, keep - 1, axis=1)[:, :keep]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, keep),
+                    "vec_id": vec_ids[idx.ravel()],
+                    "adc_d2": np.take_along_axis(dist, idx, axis=1).ravel(),
+                }
+            )
+            yield out[out.query_id != out.vec_id]
+
+    return gen
+
+
+@query("sim_ann_pq")  # rows-only: codebook/ADC internals are engine-specific
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the compressed-vector scale path next
+    to LSH (`sim_ann_lsh`) and IVF (`sim_ann_ivf`):
+
+    1. **train**: per-subspace k-means codebooks on a bounded,
+       deterministic sample (driver-side numpy — codebook training is
+       the offline step of every PQ deployment; at 100 TB it trains on
+       a fixed-size reservoir exactly like this).
+    2. **encode**: every vector maps to M×4-bit centroid ids packed in
+       one long — 64× smaller than the float vector; one Arrow pass,
+       zero shuffles.
+    3. **search**: ADC — each query builds an (M, K) lookup table, so
+       scoring a vector is M table lookups instead of a dim-length dot
+       product; per-batch shortlists bound the emitted candidates.
+    4. **rerank**: exact cosine on the shortlist union, top-10.
+
+    The search stage reads ONLY the 4-byte codes: at scale the float
+    vectors live in cold storage and just the shortlist is fetched —
+    that IO asymmetry is the whole point of PQ.  Recall gate + the
+    exact-rerank invariant live in tests/test_quality.py."""
+    import numpy as np
+
+    from .dedup import materialized
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded deterministic training sample (every 7th vector, ≤2048)
+    sample_rows = (
+        e.filter(F.col("vec_id") % 7 == 0).limit(2048).toPandas()["embedding"]
+    )
+    sample = np.stack(sample_rows.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample / np.where(norms == 0, 1.0, norms))
+
+    codes = materialized(
+        e.mapInPandas(
+            _pq_code_batches(books), "vec_id long, embedding array<float>, code long"
+        )
+    )
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in codes.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    shortlist = codes.select("vec_id", "code").mapInPandas(
+        _pq_adc_batches(books, queries), "query_id long, vec_id long, adc_d2 double"
+    )
+    q = codes.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    rer = shortlist.join(e, "vec_id").join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "vec_id", "cos_sim")
+    )

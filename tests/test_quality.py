@@ -191,3 +191,21 @@ def test_connected_components_chain_cycle_singleton(spark):
     )
     got = {r.node: r.label for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9}
+
+
+def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
+    """PQ-ADC must (a) recall a reasonable share of the true top-10
+    despite 64x code compression, and (b) report TRUE cosines for what
+    it returns (the rerank is exact, so every returned pair's cos_sim
+    must equal the brute-force value)."""
+    exact = REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+    exact_cos = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
+
+    got = REGISTRY["sim_ann_pq"].fn(spark, sf_dir).collect()
+    got_pairs = {(r.query_id, r.vec_id) for r in got}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"PQ recall {recall:.2f} below floor"
+    for r in got:
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert abs(r.cos_sim - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
