@@ -46,6 +46,13 @@ HEADLINE = [
     "join_skew_salted",
     "pipeline_corpus_filter",
     "udf_group_normalize",
+    # round-3 flagships
+    "dedup_cluster_cc",
+    "text_tfidf_top_terms",
+    "sim_ann_pq",
+    "events_funnel",
+    "join_range_bucketed",
+    "win_session_gaps",
 ]
 
 

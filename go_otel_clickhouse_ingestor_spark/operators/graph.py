@@ -65,23 +65,28 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
-    for _ in range(_MAX_ITERS):
+
+    def propagate(lab):
         nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
+            sym.join(lab, sym.dst == lab.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+        return lab.join(nbr_min, lab.node == nbr_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+            (F.col("nbr_label") < F.col("label")).alias("_changed"),
         )
+
+    for _ in range(_MAX_ITERS):
+        # two propagation hops per materialization: the fixed cost of a
+        # round (localCheckpoint + convergence action) is paid per
+        # TWO-hop advance, halving rounds for chain-shaped components;
+        # convergence still means "no label fell across the window".
+        stepped = propagate(propagate(labels).drop("_changed"))
+        new_labels = stepped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
