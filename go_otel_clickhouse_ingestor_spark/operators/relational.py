@@ -1114,3 +1114,65 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS st_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS st_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS st_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT * FROM wide UNPIVOT (n FOR status IN (st_f, st_o, st_p))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot table back to long form —
+    ``agg_pivot``'s inverse, closing the reshape round-trip.  Unpivot
+    is a zero-shuffle projection (each input row emits k rows
+    map-side); only the upstream pivot aggregates."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("st_f"),
+            F.coalesce("O", F.lit(0)).alias("st_o"),
+            F.coalesce("P", F.lit(0)).alias("st_p"),
+        )
+    )
+    return wide.unpivot(
+        "o_orderpriority", ["st_f", "st_o", "st_p"], "status", "n"
+    )
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT floor(o_totalprice / 50000)::BIGINT AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: value → bin id → one partial+final agg.
+    The distributed-histogram primitive (bin count is bounded by the
+    value range, not the row count, so the final agg never grows with
+    data)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -394,3 +394,61 @@ def fn_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
         "vec_id", F.col("pos").cast("long").alias("pos"), "val"
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT e_id,
+           xor(e_id, 255::BIGINT)      AS xored,
+           (e_id << 3)                 AS shl,
+           (e_id >> 2)                 AS shr,
+           (e_id & 1023)               AS low10,
+           (e_id | 4096)               AS with_bit12,
+           bit_count(e_id)::BIGINT     AS popcount,
+           (~e_id)                     AS inverted
+    FROM (SELECT event_id AS e_id FROM events)
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family — the primitive layer under every
+    signature/banding operator in this repo (simhash bands, ANN
+    Hamming screens, code packing)."""
+    ev = table(spark, sf_dir, "events").select(F.col("event_id").alias("e_id"))
+    return ev.select(
+        "e_id",
+        F.col("e_id").bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft("e_id", 3).alias("shl"),
+        F.shiftright("e_id", 2).alias("shr"),
+        F.col("e_id").bitwiseAND(F.lit(1023)).alias("low10"),
+        F.col("e_id").bitwiseOR(F.lit(4096)).alias("with_bit12"),
+        F.bit_count("e_id").cast("long").alias("popcount"),
+        F.bitwise_not("e_id").alias("inverted"),
+    )
+
+
+@query(
+    "fn_hash_portable",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                       AS text_md5,
+           sha256(text)                    AS text_sha256,
+           md5(source || ':' || cast(doc_id AS VARCHAR)) AS key_md5
+    FROM documents
+    """,
+)
+def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-stable cross-engine hash functions (md5/sha256) — the
+    content-addressing layer (dedup fingerprints, sampling buckets,
+    cache keys).  Engine-specific hashes (xxhash64) are faster but stay
+    INSIDE a single engine's plans; anything persisted or compared
+    across systems uses these."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))).alias(
+            "key_md5"
+        ),
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_array_posexplode", "join_range_bucketed",
     "events_funnel", "events_retention_cohort", "source_partitioned_pruning",
     "sample_weighted_hash", "text_tfidf_top_terms",
+    "fn_bitwise", "fn_hash_portable", "reshape_unpivot", "agg_histogram_bins",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
