@@ -330,6 +330,452 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT shipping.supp_nation, shipping.cust_nation, shipping.l_year,
+           cast(round(sum(shipping.volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(year(l.l_shipdate) AS BIGINT) AS l_year,
+             {_DISC_PRICE} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY shipping.supp_nation, shipping.cust_nation, shipping.l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping: bilateral trade between two nations by year.
+    Both nation dims broadcast (25 rows); the nation-pair disjunction
+    rides on the joined row.  Supplier (100×SF rows) broadcasts too, so
+    the only shuffles are lineitem⋈orders⋈customer on their keys —
+    the fact tables never reshuffle for the dims."""
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(f"cast(round(sum({_DISC_PRICE}), 2) as double)").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           cast(round(
+             cast(round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                 THEN volume ELSE 0 END), 2) AS DOUBLE)
+             / cast(round(sum(volume), 2) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT cast(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE} AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one supplier nation's fraction of a
+    region's volume per year — the conditional-numerator / total-
+    denominator ratio computed in a single aggregation pass (no
+    self-join).  part/supplier/nation/region all broadcast; the ratio
+    divides two exact-decimal sums rounded identically on both sides so
+    the quotient is bit-stable."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"), "left_semi"
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("volume", F.expr(_DISC_PRICE))
+        .groupBy("o_year")
+        .agg(
+            F.expr(
+                "cast(round("
+                " cast(round(sum(CASE WHEN supp_nation = 'NATION_5'"
+                "                 THEN volume ELSE 0 END), 2) as double)"
+                " / cast(round(sum(volume), 2) as double), 6) as double)"
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           cast(year(o.o_orderdate) AS BIGINT) AS o_year,
+           cast(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit, adapted: the fixture has no partsupp/
+    ps_supplycost, so profit is the discounted price (same join tree +
+    substring part filter + nation×year rollup shape as the original).
+    part filters by LIKE before its semi-join; part/supplier/nation
+    broadcast, lineitem⋈orders is the only big shuffle."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr(_DISC_PRICE).alias("_profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr("cast(round(sum(_profit), 2) as double)").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT OUTER join with the
+    filter INSIDE the join condition (customers with zero qualifying
+    orders must survive with count 0 — a WHERE would drop them), then
+    an aggregation of an aggregation.  The second agg's input is one
+    row per customer, so the two shuffles shrink geometrically."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                              "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT cast(round(100.00
+             * cast(round(sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN {_DISC_PRICE} ELSE 0 END), 2) AS DOUBLE)
+             / cast(round(sum({_DISC_PRICE}), 2) AS DOUBLE), 4) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: promo share of one month's revenue.  The
+    date filter prunes lineitem at the scan; part broadcasts (it is
+    needed as an inner join carrying p_type, not a semi-join); one
+    global conditional aggregation, ratio of exact-decimal sums."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                "cast(round(100.00"
+                f" * cast(round(sum(CASE WHEN p_type = 'PROMO'"
+                f"                 THEN {_DISC_PRICE} ELSE 0 END), 2) as double)"
+                f" / cast(round(sum({_DISC_PRICE}), 2) as double), 4) as double)"
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_DISC_PRICE}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           cast(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: a reused aggregate (the revenue view feeds
+    both the scalar MAX and the final join) — Spark computes it once
+    per branch but the branches share the shuffle files via exchange
+    reuse.  The max is a 1-row broadcast; revenue sums are exact
+    decimal so the equality can't miss on float noise."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(f"sum({_DISC_PRICE})").alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("cast(round(total_rev, 2) as double)").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             sum(cast(l_quantity AS DECIMAL(12,2))) AS sq,
+             count(*) AS cq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT cast(round(sum(cast(l.l_extendedprice AS DECIMAL(12,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq    ON pq.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size <= 10
+      AND cast(l.l_quantity AS DECIMAL(12,2)) * 5 * pq.cq < pq.sq
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the correlated per-part AVG
+    subquery decorrelated into a grouped aggregate joined back to the
+    fact.  The threshold ``qty < 0.2 * avg(qty)`` is multiplied out to
+    ``5 * qty * count < sum`` over exact decimals — no double division
+    whose last-ULP could flip row membership between engines.  The
+    per-part aggregate is semi-joined down to the ~dozens of branded
+    parts BEFORE the fact join, so both join sides broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    pfilt = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    pq = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.expr("sum(cast(l_quantity as decimal(12,2)))").alias("sq"),
+            F.count(F.lit(1)).alias("cq"),
+        )
+        .join(F.broadcast(pfilt), F.col("pk") == F.col("p_partkey"), "left_semi")
+    )
+    return (
+        li.join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
+        .filter(F.expr("cast(l_quantity as decimal(12,2)) * 5 * cq < sq"))
+        .agg(
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice as decimal(12,2))) / 7.0, 2)"
+                " as double)"
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT cast(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue: the canonical disjunctive-predicate
+    query.  The brand/size disjuncts reference only part and the
+    quantity bound ``BETWEEN 1 AND 30`` is implied by the OR of the
+    three ranges, so both are applied as scan-level prefilters (part
+    prunes to 3 brands, lineitem to the quantity envelope) before the
+    broadcast join evaluates the exact disjunction as its residual."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    # Scan-level envelopes implied by the disjunction (Catalyst doesn't
+    # derive these from an OR across tables; stating them is free).
+    p = p.filter(
+        F.col("p_brand").isin("Brand#2", "Brand#13", "Brand#24")
+        & (F.col("p_size") <= 15)
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    disj = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey")) & disj)
+        .agg(F.expr(f"cast(round(sum({_DISC_PRICE}), 2) as double)").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH stats AS (
+      SELECT sum(cast(c_acctbal AS DECIMAL(12,2))) AS sbal, count(*) AS cbal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, count(*) AS numcust,
+           cast(round(sum(cast(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN stats
+    WHERE cast(c.c_acctbal AS DECIMAL(12,2)) * stats.cbal > stats.sbal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity, adapted: rich-but-lapsed customers
+    (above-average positive balance, no orders since 2000) per nation —
+    the fixture has no phone prefix, and every customer has *some*
+    order, so the inactivity predicate is date-bounded to keep the
+    result non-empty.  The global average threshold is a 1-row
+    broadcast cross join, compared multiplied-out over exact decimals
+    (``bal * count > sum``); the no-recent-orders predicate is a
+    left-anti join whose date filter reaches the orders scan; nation
+    broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.expr("sum(cast(c_acctbal as decimal(12,2)))").alias("sbal"),
+            F.count(F.lit(1)).alias("cbal"),
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.expr("cast(c_acctbal as decimal(12,2)) * cbal > sbal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(
+                "cast(round(sum(cast(c_acctbal as decimal(12,2))), 2) as double)"
+            ).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "tpch_q12",
     oracle="""
     SELECT l.l_returnflag,

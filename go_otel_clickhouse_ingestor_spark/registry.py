@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_funnel", "events_retention_cohort", "source_partitioned_pruning",
     "sample_weighted_hash", "text_tfidf_top_terms",
     "fn_bitwise", "fn_hash_portable", "reshape_unpivot", "agg_histogram_bins",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q19", "tpch_q22",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
