@@ -114,3 +114,113 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "events_top_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user (the "what do users do next" sequence-mining primitive).
+    One window shuffle partitioned by user_id (well-distributed keys),
+    then a hash agg on the tiny type×type matrix; ordering ties break
+    on event_id so the lag is deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_rolling_dau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    expanded AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS obs_day,
+             user_id, day
+      FROM du
+    )
+    SELECT epoch_us(obs_day)::BIGINT AS day_us,
+           count(DISTINCT CASE WHEN day = obs_day THEN user_id END) AS dau,
+           count(DISTINCT user_id) AS active_7d
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users.  Rolling COUNT
+    DISTINCT can't ride a window frame, and the naive day×activity
+    range join is O(days × rows); instead each (day, user) pair
+    explodes into the ≤7 observation days it contributes to — a
+    bounded 7× map-side expansion followed by one distinct-agg shuffle,
+    which is the formulation that survives a 1000-executor corpus."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    expanded = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("obs_day"),
+        "user_id",
+        "day",
+    )
+    return (
+        expanded.groupBy(F.unix_micros("obs_day").alias("day_us"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("day") == F.col("obs_day"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.count_distinct("user_id").cast("long").alias("active_7d"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)             AS n_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_days,
+           count(*)                            AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) over different columns in one
+    aggregation — plans through Spark's Expand operator (each input row
+    fans out once per distinct-column group, then two-level agg), the
+    one-pass alternative to self-joining per distinct column."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_distinct(F.date_trunc("day", F.col("ts"))).cast("long").alias(
+            "n_days"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

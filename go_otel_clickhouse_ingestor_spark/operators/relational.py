@@ -1176,3 +1176,130 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer
+    ),
+    n AS (
+      SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation
+    )
+    SELECT c.c_custkey, n.n_name
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing, the semantics needed
+    when joining on nullable business keys.  Spark treats EqualNullSafe
+    as a proper equi-key (hash-partitionable / broadcastable — here the
+    25-row dim broadcasts), NOT a nested-loop residual; nationkey 3 is
+    nulled on both sides so the null-match path is actually exercised."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_nationkey, 3)").alias("nk")
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.expr("nullif(n_nationkey, 3)").alias("n_nk"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), F.col("nk").eqNullSafe(F.col("n_nk")))
+        .select("c_custkey", "n_name")
+    )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sy,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sxx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(10,2))
+                      * cast(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS syy,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6) AS slope,
+           round((sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx)
+                 / n, 4) AS intercept,
+           round((((n * sxy) - (sx * sy)) * ((n * sxy) - (sx * sy)))
+                 / (((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))), 6) AS r2
+    FROM s
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (slope/intercept/R²) of extendedprice on quantity
+    via sufficient statistics: the five sums are map-side-combinable
+    decimal aggregates (exact — no partial-sum float drift), and the
+    closed-form arithmetic runs on the handful of group rows AFTER
+    casting the exact sums to double, fully parenthesized so both
+    engines execute the identical IEEE op sequence.  This is the
+    distributed-regression pattern: one agg shuffle, O(groups) math."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cast(l_quantity as decimal(6,2))) as double)").alias("sx"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(10,2))) as double)"
+        ).alias("sy"),
+        F.expr(
+            "cast(sum(cast(l_quantity as decimal(6,2))"
+            " * cast(l_quantity as decimal(6,2))) as double)"
+        ).alias("sxx"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(10,2))"
+            " * cast(l_extendedprice as decimal(10,2))) as double)"
+        ).alias("syy"),
+        F.expr(
+            "cast(sum(cast(l_quantity as decimal(6,2))"
+            " * cast(l_extendedprice as decimal(10,2))) as double)"
+        ).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "round(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6)"
+        ).alias("slope"),
+        F.expr(
+            "round((sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx)"
+            " / n, 4)"
+        ).alias("intercept"),
+        F.expr(
+            "round((((n * sxy) - (sx * sy)) * ((n * sxy) - (sx * sy)))"
+            " / (((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))), 6)"
+        ).alias("r2"),
+    )
+
+
+@query(
+    "agg_bool_countif",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_big,
+           bool_and(o_totalprice > 0)      AS all_positive,
+           bool_or(o_orderstatus = 'F')    AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: conditional count plus universal/
+    existential booleans (every/any) per group — the data-quality
+    assertion primitives ("all rows positive", "any failures").  All
+    three are plain partial+final hash aggregates."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )

@@ -286,3 +286,50 @@ def agg_windowed_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type IN ('error', 'view') THEN NULL
+                  ELSE round(value, 2) END AS val_n
+      FROM events
+    )
+    SELECT event_id, user_id, val_n,
+           last_value(val_n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS filled_prev,
+           first_value(val_n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled_next
+    FROM g
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic frames — the gap-fill primitive: carry the
+    last non-null observation forward (LOCF) and the next one backward
+    per key.  Nulls are synthesized from event_type (the fixture has
+    none) so both directions exercise real gaps.  Same single
+    user-partitioned window shuffle as any analytic; the ignore-nulls
+    scan is per-frame, no extra exchange."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type").isin("error", "view"), F.lit(None)
+        ).otherwise(F.round("value", 2)).alias("val_n"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return g.select(
+        "event_id",
+        "user_id",
+        "val_n",
+        F.last("val_n", ignorenulls=True).over(prev).alias("filled_prev"),
+        F.first("val_n", ignorenulls=True).over(nxt).alias("filled_next"),
+    )

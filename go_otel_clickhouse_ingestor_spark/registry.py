@@ -70,6 +70,9 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_bitwise", "fn_hash_portable", "reshape_unpivot", "agg_histogram_bins",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22",
+    "events_top_transitions", "events_rolling_dau", "agg_distinct_multi",
+    "win_ignore_nulls", "join_null_safe", "agg_linear_regression",
+    "agg_bool_countif",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
