@@ -508,3 +508,38 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@query(
+    "dedup_incremental_corpus",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    base AS (SELECT fingerprint FROM fp WHERE doc_id % 10 < 8)
+    SELECT f.doc_id, f.fingerprint
+    FROM fp f
+    WHERE f.doc_id % 10 >= 8
+      AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fingerprint = f.fingerprint)
+    """,
+)
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest batch against an existing
+    corpus (doc_id % 10 splits stand in for corpus/batch): keep only
+    new documents whose whitespace-normalized md5 fingerprint is absent
+    from the corpus — a left-anti join on 16-byte keys.  At 100 TB the
+    corpus side is a materialized fingerprint table (never re-reads
+    document text) and the anti join shuffles only the new batch's
+    fingerprints: incremental cost is O(batch), not O(corpus)."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
+    fps = d.select("doc_id", fp.alias("fingerprint"))
+    base = fps.filter(F.col("doc_id") % 10 < 8).select(
+        F.col("fingerprint").alias("base_fp")
+    )
+    return (
+        fps.filter(F.col("doc_id") % 10 >= 8)
+        .join(base, F.col("fingerprint") == F.col("base_fp"), "left_anti")
+    )

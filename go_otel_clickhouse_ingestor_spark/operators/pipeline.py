@@ -167,3 +167,94 @@ def pipeline_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.withColumn("cum_tokens", F.sum("n_tokens").over(budget_w)).filter(
         F.col("cum_tokens") <= TOKEN_BUDGET_PER_SHARD
     )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1))]) AS gs
+      FROM toks
+    ),
+    e AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 20 = 0)
+    SELECT e.doc_id, count(*) AS n_shared_grams
+    FROM e JOIN ev USING (g)
+    WHERE e.doc_id % 20 <> 0
+    GROUP BY e.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    4-token gram with the held-out eval split (doc_id % 20 == 0 stands
+    in for the eval set).  The eval gram set is eval-corpus-sized —
+    tiny relative to training data — so it BROADCASTS and the check is
+    a map-side hash probe per training gram: no shuffle of the
+    training corpus at all, which is what makes overlap-decontam
+    feasible at 100 TB.  Spark joins 8-byte xxhash64 gram keys (the
+    oracle joins gram text; counts, not hashes, are compared)."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(t) - 4),"
+            " i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))"
+        )
+    )
+    e = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 4)
+        .select("doc_id", F.explode(grams).alias("gh"))
+    )
+    ev = e.filter(F.col("doc_id") % 20 == 0).select("gh").distinct()
+    return (
+        e.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "pipeline_outlier_iqr",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+    """,
+)
+def pipeline_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier extraction: per-group exact quartiles →
+    1.5×IQR bounds → filter.  The bounds table is one row per group, a
+    broadcast back onto the fact scan (same two-pass shape as any
+    "aggregate then filter by group statistic" quality rule); both
+    engines compute the identical interpolated quantile and fence
+    arithmetic, so row membership can't drift."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+    )

@@ -398,3 +398,113 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOP)
         .select("doc_id", "term", "tf", "tfidf")
     )
+
+
+@query(
+    "text_repetition_gopher",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    agg AS (
+      SELECT doc_id, sum(c) AS total, max(c) AS top_c,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS rep_c
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, total::BIGINT AS n_tokens,
+           round(top_c / total::DOUBLE, 6) AS top_word_ratio,
+           round(rep_c / total::DOUBLE, 6) AS repeated_token_ratio
+    FROM agg
+    """,
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals in the style of the Gopher/MassiveText
+    filtering rules (Rae et al. 2021, public): per document, the
+    fraction of tokens taken by the single most frequent word and the
+    fraction of tokens whose word occurs ≥2 times.  Explode → two
+    cascaded aggs, both keyed by doc_id so the second agg is
+    shuffle-free (same partitioning); per-doc cost linear in tokens."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("w"),
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("rep_c"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_tokens"),
+        F.round(F.col("top_c") / F.col("total").cast("double"), 6).alias(
+            "top_word_ratio"
+        ),
+        F.round(F.col("rep_c") / F.col("total").cast("double"), 6).alias(
+            "repeated_token_ratio"
+        ),
+    )
+
+
+#: PII patterns (lowercase text): deliberately simple expressions that
+#: parse identically under Java regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]+"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN lower(text) || ' contact user' || doc_id ||
+                       '@example.com or +1-555-0' || doc_id || ' now'
+                  ELSE lower(text) END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone spans (the fixture
+    corpus is synthetic word-salad, so PII is injected deterministically
+    into every 5th document — the scrub path is exercised on real
+    matches, not vacuous zeros).  Pure codegen regexp expressions,
+    zero shuffles, map-linear; the output carries the scrubbed text's
+    md5 so the oracle verifies the REDACTED CONTENT, not just counts."""
+    d = table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lower("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.lower("text"))
+    aug = d.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("scrubbed_fp"),
+    )

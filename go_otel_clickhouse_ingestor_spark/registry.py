@@ -73,6 +73,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_top_transitions", "events_rolling_dau", "agg_distinct_multi",
     "win_ignore_nulls", "join_null_safe", "agg_linear_regression",
     "agg_bool_countif",
+    "decontaminate_ngram_overlap", "dedup_incremental_corpus",
+    "pipeline_outlier_iqr", "text_repetition_gopher", "text_pii_scrub",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
