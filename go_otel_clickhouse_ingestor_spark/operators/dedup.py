@@ -399,30 +399,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs only inside a bucket, so the join shuffles on the bucket key
     and never goes quadratic across the corpus.
 
-    The cosine is pure JVM ``aggregate``/``zip_with`` over the float
-    arrays (no UDF); both engines iterate the arrays in order, so the
-    rounded value is cross-engine stable.  Each vector's norm is
-    computed ONCE before the join (same float ops in the same order as
-    the per-pair form, so the rounded value is unchanged) — per-pair
-    HOF work drops from 3 array passes to 1, which is most of this
-    query's cost since the higher-order functions run interpreted."""
-    e = table(spark, sf_dir, "embeddings").withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
-            )
-        ),
+    The cosine is pure JVM expression work (no UDF), UNROLLED to the
+    data's width (``similarity.dot``): a flat 64-term multiply-add
+    chain stays inside whole-stage codegen, where the old
+    ``aggregate``/``zip_with`` fold ran interpreted per element — that
+    interpretation was ~90% of this query's runtime at sf0.1.  The
+    addition order (left-associative, same as DuckDB's
+    ``list_dot_product``) is unchanged, so the rounded value is
+    cross-engine stable.  Each vector's norm is still computed ONCE
+    before the join."""
+    from .similarity import dot as vec_dot, embedding_dim
+
+    raw = table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    e = raw.withColumn(
+        "nrm", F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"), dim))
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.zip_with(
-        F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x.cast("double") * y
-    )
-    sdot = F.aggregate(dot, F.lit(0.0), lambda acc, v: acc + v)
+    # Fan the probe side out to the session parallelism: the fixture is
+    # ONE parquet file -> one input split, and a broadcast join
+    # preserves input partitioning, so without this every pair cosine
+    # runs in a single task (measured 6× slower at sf0.1).  At real
+    # scale many input splits make this a no-op-cost rebalance.
+    a = e.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = e.alias("b")
+    sdot = vec_dot(F.col("a.embedding"), F.col("b.embedding"), dim)
     cos = F.round(sdot / (F.col("a.nrm") * F.col("b.nrm")), 5)
-    return (
+    scored = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -432,8 +436,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.3)
     )
+    # The materialization is an OPTIMIZER BARRIER, not just a cache:
+    # without it Catalyst pushes `cos_sim >= 0.3` down into the
+    # broadcast join as a residual condition, where the 64-term cosine
+    # is evaluated per probed pair outside whole-stage codegen AND
+    # recomputed by the projection above — measured 10× slower at
+    # sf0.1.  Scoring in the projection and filtering the (ids, score)
+    # table keeps the join condition trivial; the scored candidate
+    # list is also exactly what downstream cluster resolution
+    # (dedup_cluster_cc) re-consumes.
+    return materialized(scored).filter(F.col("cos_sim") >= 0.3)
 
 
 #: URL canonicalization pipeline, written once as (pattern, replacement)

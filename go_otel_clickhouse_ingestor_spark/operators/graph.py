@@ -81,11 +81,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
 
     for _ in range(_MAX_ITERS):
-        # two propagation hops per materialization: the fixed cost of a
-        # round (localCheckpoint + convergence action) is paid per
-        # TWO-hop advance, halving rounds for chain-shaped components;
-        # convergence still means "no label fell across the window".
-        stepped = propagate(propagate(labels).drop("_changed"))
+        # FOUR propagation hops per materialization: a hop is two lazy
+        # shuffles of the (small) label/edge tables, while a round pays
+        # the fixed localCheckpoint + convergence-action cost — so the
+        # fixed cost is amortized over a 4-hop advance and shallow
+        # near-dup graphs converge in a single round (the final hop's
+        # ``_changed`` flag still proves the fixpoint).
+        stepped = propagate(
+            propagate(propagate(propagate(labels).drop("_changed")).drop("_changed")).drop("_changed")
+        )
         new_labels = stepped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")

@@ -13,10 +13,11 @@ Two paths, mirroring how a 100 TB vector corpus is actually served:
 - ``sim_ann_ivf``: inverted-file cells + nprobe probing — the other
   standard ANN layout.
 
-The cosine kernel is shared: ``zip_with`` + ``aggregate`` over the
-float arrays cast to double — acceptable for the rerank's candidate
-counts; the signature hot loop is numpy (interpreted HOFs don't
-codegen, see the kernel's docstring).
+The cosine kernel is shared: with the embedding width derived from the
+data it UNROLLS into a flat codegen multiply-add chain (see ``dot``);
+the HOF ``zip_with`` + ``aggregate`` fold survives only as the
+unknown-width fallback.  The signature hot loop is numpy (one matmul
+per Arrow batch).
 """
 
 from __future__ import annotations
@@ -29,8 +30,23 @@ from ..registry import query
 from ..tables import table
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two float arrays, JVM-side."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side.
+
+    With ``dim`` known, the product is UNROLLED into a flat
+    ``a[0]*b[0] + a[1]*b[1] + ...`` expression: same left-associative
+    float addition order as the sequential fold (bit-identical result,
+    and identical to DuckDB's ``list_dot_product`` evaluation), but it
+    stays inside whole-stage codegen.  Spark's higher-order functions
+    (``aggregate``/``zip_with``) run interpreted with per-element
+    lambda dispatch — on a candidate-pair join that interpretation IS
+    the stage cost (~10× on the sf0.1 pair workloads).  Without
+    ``dim`` (unknown width) it falls back to the HOF fold."""
+    if dim is not None:
+        t = a[0].cast("double") * b[0]
+        for i in range(1, dim):
+            t = t + a[i].cast("double") * b[i]
+        return t
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -38,8 +54,35 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def sq_dist(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Squared euclidean distance, unrolled like :func:`dot` when the
+    width is known (codegen), HOF fold otherwise."""
+    if dim is not None:
+        d = a[0].cast("double") - b[0]
+        t = d * d
+        for i in range(1, dim):
+            d = a[i].cast("double") - b[i]
+            t = t + d * d
+        return t
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_dim(df: DataFrame, col: str = "embedding") -> int | None:
+    """Embedding width from the data (one LIMIT-1 job), not a
+    hardcoded constant — any width works and mismatched fixtures fail
+    loudly at plan build, per the r2 advice on hardcoded dims."""
+    row = df.select(F.size(F.col(col)).alias("d")).first()
+    return None if row is None else int(row["d"])
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (
+        F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim))
+    )
 
 
 @query(
@@ -66,15 +109,22 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; ranking runs on the *rounded* similarity with a vec_id
     tie-break, so the selected set is deterministic across engines."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(e)
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
+    # Single-file fixture -> one input split; broadcast joins preserve
+    # partitioning, so fan the corpus side out or the whole Q×N scoring
+    # runs in one task (see dedup_embedding_cosine).
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+            F.round(cosine(F.col("qemb"), F.col("embedding"), dim), 5).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -175,10 +225,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import materialized
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(e)
     # persisted: the corpus side and the (filtered) query side both
     # consume the signature table — without it the Python signature
-    # stage runs once per consumer.
-    sigs = materialized(with_signatures(e))
+    # stage runs once per consumer.  The repartition fans the
+    # single-split fixture out so signatures + Hamming screen + rerank
+    # parallelize (order has no effect on any output here).
+    sigs = materialized(
+        with_signatures(e.repartition(spark.sparkContext.defaultParallelism))
+    )
     q = sigs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
@@ -194,7 +249,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+        F.round(cosine(F.col("qemb"), F.col("embedding"), dim), 5).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -236,6 +291,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered corpora IVF recall at nprobe/ncells=0.3 is far higher.
     Candidates always carry TRUE cosines (the rerank is exact)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dim = embedding_dim(e)
 
     # 1. centroids: per-dimension mean via posexplode (codegen path)
     pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -251,14 +307,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cell"), "centroid")
     )
 
-    # 2. assignment: nearest centroid per vector (broadcast argmin)
-    d2 = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("centroid"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # 2. assignment: nearest centroid per vector (broadcast argmin);
+    # fanned out of the single input split so the argmin parallelizes
+    d2 = sq_dist(F.col("embedding"), F.col("centroid"), dim)
     assigned = (
-        e.crossJoin(F.broadcast(cent))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cent))
         .groupBy("vec_id")
         .agg(
             F.min_by("cell", d2).alias("cell"),
@@ -270,11 +324,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
-    qd2 = F.aggregate(
-        F.zip_with(F.col("qemb"), F.col("centroid"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    qd2 = sq_dist(F.col("qemb"), F.col("centroid"), dim)
     wq = Window.partitionBy("query_id").orderBy(qd2.asc(), F.col("cell").asc())
     probes = (
         q.crossJoin(F.broadcast(cent))
@@ -286,7 +336,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+        F.round(cosine(F.col("qemb"), F.col("embedding"), dim), 5).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -456,7 +506,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = shortlist.join(e, "vec_id").join(F.broadcast(q), "query_id").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qemb"), F.col("embedding")), 5).alias("cos_sim"),
+        F.round(
+            cosine(F.col("qemb"), F.col("embedding"), embedding_dim(e)), 5
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
