@@ -43,6 +43,10 @@ DEFAULT_OPS = [
     "dedup_url_canonical",
     "text_shingle_profile",
     "text_chunk_overlap",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_corpus",
+    "text_repetition_gopher",
+    "text_pii_scrub",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
