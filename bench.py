@@ -53,6 +53,13 @@ HEADLINE = [
     "events_funnel",
     "join_range_bucketed",
     "win_session_gaps",
+    # round-3b flagships
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "decontaminate_ngram_overlap",
+    "events_rolling_dau",
+    "agg_linear_regression",
 ]
 
 

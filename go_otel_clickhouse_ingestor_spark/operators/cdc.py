@@ -257,3 +257,41 @@ def events_insert_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("action"),
         F.lit("example-payload").alias("payload"),
     )
+
+
+@query(
+    "cdc_scd2_intervals",
+    oracle=f"""
+    WITH users_cur AS ({_TRANSLATE_SQL})
+    SELECT id, msg_id, name, email, is_deleted, _op, _lsn,
+           lead(_lsn) OVER (PARTITION BY id
+                            ORDER BY _lsn, _ts, msg_id) AS lsn_to,
+           (row_number() OVER (PARTITION BY id
+                               ORDER BY _lsn DESC, _ts DESC, msg_id DESC) = 1)
+             AS is_current
+    FROM users_cur
+    """,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history view over the CDC stream: every version row
+    carries its validity interval ``[_lsn, lsn_to)`` (lead of the next
+    version's LSN; NULL = still open) and an ``is_current`` flag — the
+    batch materialization downstream consumers use when they need
+    as-of-version joins instead of A16's latest-only view.  One
+    id-partitioned window shuffle serves both the lead and the flag."""
+    users_cur = translate_envelope(parse_envelope(cdc_messages_df(spark)))
+    w_asc = Window.partitionBy("id").orderBy("_lsn", "_ts", "msg_id")
+    w_desc = Window.partitionBy("id").orderBy(
+        F.col("_lsn").desc(), F.col("_ts").desc(), F.col("msg_id").desc()
+    )
+    return users_cur.select(
+        "id",
+        "msg_id",
+        "name",
+        "email",
+        "is_deleted",
+        "_op",
+        "_lsn",
+        F.lead("_lsn").over(w_asc).alias("lsn_to"),
+        (F.row_number().over(w_desc) == 1).alias("is_current"),
+    )

@@ -1303,3 +1303,71 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01'
+    )
+    SELECT epoch_us(months.m)::BIGINT AS month_us,
+           count(o.o_orderkey) AS n_orders
+    FROM months
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = months.m
+    GROUP BY months.m
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the monthly
+    calendar spine spanning the order history and LEFT-join activity
+    onto it, so months with zero orders appear with count 0 — the
+    gap-preserving time-series pattern a bare GROUP BY cannot express.
+    The spine is ~80 rows (driver-side recursion depth, not data
+    volume); the join against it broadcasts."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        )
+        SELECT unix_micros(months.m) AS month_us,
+               count(o.o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN orders o ON date_trunc('MONTH', o.o_orderdate) = months.m
+        GROUP BY months.m
+        """
+    )
+
+
+@query(
+    "agg_heavy_hitters_topk",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def agg_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the ``approx_top_k`` sketch (Spark 4's
+    datasketches-backed frequent-items aggregate): mergeable partial
+    sketches instead of a full groupBy — at 100 TB the sketch bounds
+    aggregation state by items-tracked, not by key cardinality.  On a
+    5-value column the sketch tracks every item exactly, so the result
+    is deterministic and oracle-checkable against the exact top-3."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_bool_countif",
     "decontaminate_ngram_overlap", "dedup_incremental_corpus",
     "pipeline_outlier_iqr", "text_repetition_gopher", "text_pii_scrub",
+    "cdc_scd2_intervals", "sql_recursive_cte", "agg_heavy_hitters_topk",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]
