@@ -128,8 +128,12 @@ def current_state(users_cur: DataFrame) -> DataFrame:
 
 _RAW = cdc_messages_values_sql()
 
-# One level of unquoting + corrupt -> NULL, as a reusable CTE.
-_NORM_CTE = f"""
+
+def norm_cte(raw_sql: str) -> str:
+    """One level of unquoting + corrupt -> NULL, as a reusable CTE,
+    over ANY (msg_id, key, value) relation literal — the fixture corpus
+    and the generated ``cdc_feed`` source share this template."""
+    return f"""
     WITH norm AS (
       SELECT msg_id::BIGINT AS msg_id, key,
              CASE
@@ -138,7 +142,7 @@ _NORM_CTE = f"""
                  THEN json_extract_string(value, '$')
                ELSE value
              END AS j
-      FROM {_RAW}
+      FROM {raw_sql}
     ),
     parsed AS (
       SELECT msg_id, key, j,
@@ -147,8 +151,14 @@ _NORM_CTE = f"""
     )
 """
 
-_TRANSLATE_SQL = f"""
-    {_NORM_CTE},
+_NORM_CTE = norm_cte(_RAW)
+
+
+def translate_sql(raw_sql: str) -> str:
+    """The full envelope→users_cur translation as DuckDB SQL over ANY
+    (msg_id, key, value) relation literal."""
+    return f"""
+    {norm_cte(raw_sql)},
     rows_out AS (
       SELECT msg_id,
              json_extract_string(j, '$.op') AS op,
@@ -177,6 +187,9 @@ _TRANSLATE_SQL = f"""
     FROM rows_out
     WHERE (op IN ('c','u') AND has_after) OR op = 'd'
 """
+
+
+_TRANSLATE_SQL = translate_sql(_RAW)
 
 
 @query(
@@ -295,3 +308,42 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("_lsn").over(w_asc).alias("lsn_to"),
         (F.row_number().over(w_desc) == 1).alias("is_current"),
     )
+
+
+def _cdc_feed_oracle() -> str:
+    """DuckDB twin of the cdc_feed source + translation: the SAME
+    deterministic generator (``sources.cdc_feed.envelope_at``) renders
+    the 60-message corpus as a VALUES literal, and the shared
+    translation template runs over it — a two-engine differential of
+    source bytes AND translation."""
+    from ..sources.cdc_feed import envelope_at
+    from ..sources.fixtures import messages_values_sql
+
+    msgs = []
+    for off in range(60):
+        k, v = envelope_at(off)
+        msgs.append((off, k.decode(), v.decode()))
+    return translate_sql(messages_values_sql(msgs))
+
+
+@query("source_cdc_feed_translate", oracle=_cdc_feed_oracle())
+def source_cdc_feed_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (``format("cdc_feed")``, Spark 4
+    DataSource API) feeding the UNMODIFIED Kafka-shaped pipeline:
+    partition-parallel batch read of 60 generated Debezium messages →
+    ``shape_kafka_raw`` → envelope parse/translate.  Proves the A3
+    source contract end-to-end without a broker: the corrupt messages
+    are dropped by the malformed filter, double-encoded payloads take
+    the fallback parse, and every surviving row matches the DuckDB
+    translation of the same bytes."""
+    from ..sources.cdc_feed import register
+    from ..streaming.cdc_stream import shape_kafka_raw
+
+    register(spark)
+    raw = (
+        spark.read.format("cdc_feed")
+        .option("rows", 60)
+        .option("partitions", 3)
+        .load()
+    )
+    return translate_envelope(parse_envelope(shape_kafka_raw(raw)))

@@ -1371,3 +1371,37 @@ def agg_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy override: the SHUFFLE_HASH hint forces a shuffled
+    hash join (build the smaller side's hash table per partition) where
+    the planner would default to sort-merge once both sides exceed the
+    broadcast threshold.  The right call when one side is much smaller
+    than the other but too big to broadcast — skips both sort passes.
+    Result-identical to the plain join (same oracle shape as
+    join_inner_hash); the plan test asserts ShuffledHashJoin."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.hint("shuffle_hash")
+        .join(o, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )

@@ -125,3 +125,50 @@ def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _zscore_group, "event_id long, user_id long, z double"
     )
+
+
+@query(
+    "udtf_word_expand",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, word, count(*)::INT AS n
+    FROM toks GROUP BY doc_id, word
+    """,
+)
+def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) — the 1→N row
+    expansion member of the UDF family (scalar pandas / grouped-agg /
+    grouped-map / mapInPandas are covered by the udf_* queries): each
+    document LATERAL-joins to its per-word counts computed in Python.
+    Arrow-optimized (``pythonUDTF.arrow.enabled``) so the exchange with
+    the Python worker is batched, not pickled row-at-a-time — the plan
+    shows ArrowEvalPythonUDTF and keeps the repo's R=0 invariant.
+    Fenced to 50 docs: word counting belongs in codegen expressions
+    (text_repetition_gopher is the scale path); the UDTF exists for
+    logic that genuinely needs per-row Python with variable fan-out."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="word string, n int")
+    class WordCount:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for w, c in Counter((text or "").lower().split()).items():
+                yield w, c
+
+    spark.udtf.register("word_expand", WordCount)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT t.doc_id, wc.word, wc.n
+        FROM udtf_docs_in t, LATERAL word_expand(t.text) wc
+        """
+    )

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "decontaminate_ngram_overlap", "dedup_incremental_corpus",
     "pipeline_outlier_iqr", "text_repetition_gopher", "text_pii_scrub",
     "cdc_scd2_intervals", "sql_recursive_cte", "agg_heavy_hitters_topk",
+    "source_cdc_feed_translate", "udtf_word_expand", "join_shuffle_hash_hint",
     # driver-green in r1 only (oldest evidence — resample as slots allow)
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_array_explode",
 ]

@@ -77,12 +77,17 @@ def cdc_messages_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(CDC_MESSAGES, "msg_id long, key string, value string")
 
 
-def cdc_messages_values_sql() -> str:
-    """The same fixtures as a DuckDB VALUES literal:
+def messages_values_sql(messages: list[tuple[int, str, str]]) -> str:
+    """Any (msg_id, key, value) corpus as a DuckDB VALUES literal:
     ``(VALUES (msg_id, key, value), ...) AS raw(msg_id, key, value)``."""
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    rows = ",\n      ".join(f"({m}, {q(k)}, {q(v)})" for m, k, v in CDC_MESSAGES)
+    rows = ",\n      ".join(f"({m}, {q(k)}, {q(v)})" for m, k, v in messages)
     return f"(VALUES {rows}) AS raw(msg_id, key, value)"
+
+
+def cdc_messages_values_sql() -> str:
+    """The fixture corpus as a DuckDB VALUES literal."""
+    return messages_values_sql(CDC_MESSAGES)

@@ -187,3 +187,28 @@ def test_partitioned_source_prunes_partitions(spark, sf_dir):
     df = REGISTRY["source_partitioned_pruning"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_shuffle_hash_hint_forces_shuffled_hash_join(spark, sf_dir):
+    """join_shuffle_hash_hint must plan a ShuffledHashJoin, not SMJ or
+    broadcast — otherwise the hint surface is silently broken."""
+    from go_otel_clickhouse_ingestor_spark.operators.relational import (
+        join_shuffle_hash_hint,
+    )
+
+    df = join_shuffle_hash_hint(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_udtf_is_arrow_evaluated(spark, sf_dir):
+    """udtf_word_expand must go through ArrowEvalPythonUDTF (batched),
+    never pickled row-at-a-time evaluation."""
+    from go_otel_clickhouse_ingestor_spark.operators.udfs import udtf_word_expand
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    df = udtf_word_expand(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert audit(df)["python_row_at_a_time"] == 0

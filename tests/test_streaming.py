@@ -606,3 +606,72 @@ def test_matview_incremental_equals_batch_rollup(spark, events_stream, sf_dir, t
         for r in hourly_rollup(ev.limit(1500)).collect()
     }
     assert got2 == want2 and len(got2) > len(got)
+
+
+# ---------------------------------------------------------------- cdc_feed
+
+
+def test_cdc_feed_batch_contract(spark):
+    """The custom Python DataSource emits the exact Kafka source schema
+    and the documented offset range, partition-parallel."""
+    from go_otel_clickhouse_ingestor_spark.sources.cdc_feed import (
+        CDC_FEED_SCHEMA,
+        register,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        KAFKA_SOURCE_SCHEMA,
+    )
+
+    assert CDC_FEED_SCHEMA == KAFKA_SOURCE_SCHEMA  # contract lockstep
+    register(spark)
+    df = (
+        spark.read.format("cdc_feed")
+        .option("rows", 39)
+        .option("partitions", 4)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 39
+    assert sorted(r.offset for r in rows) == list(range(39))
+    assert {r.partition for r in rows} == {0, 1, 2, 3}
+    assert all(r.topic == "pg.app.users" and r.timestampType == 0 for r in rows)
+
+
+def test_cdc_feed_stream_availablenow(spark):
+    """Streaming read drains to max_offset in batch_size micro-batches
+    and the unmodified CDC pipeline consumes it."""
+    from go_otel_clickhouse_ingestor_spark.sources.cdc_feed import register
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        shape_kafka_raw,
+        translate_stream,
+    )
+
+    register(spark)
+    raw = (
+        spark.readStream.format("cdc_feed")
+        .option("batch_size", 17)
+        .option("max_offset", 52)
+        .load()
+    )
+    name = f"cdc_feed_{uuid.uuid4().hex[:8]}"
+    q = (
+        translate_stream(shape_kafka_raw(raw))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # 52 offsets, every 13th (12, 25, 38, 51) corrupt and dropped
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").first().c >= 48:
+                break
+            time.sleep(0.5)
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(out) == 48
+    # double-encoded offsets survive the fallback parse
+    assert {r.msg_id for r in out} >= {6, 20, 27, 34}
