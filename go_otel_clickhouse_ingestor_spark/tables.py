@@ -29,19 +29,27 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table as a DataFrame.
 
-    ``events.ts`` is a nanosecond parquet timestamp, which Spark cannot
-    represent (TimestampType is microsecond): we read it as raw nanos
-    (``nanosAsLong``) and floor-divide to a µs TimestampType.  Queries
-    that *output* event time expose ``unix_micros(ts)`` (BIGINT) so the
-    DuckDB oracle (``epoch_us(ts)``) sees bit-identical values despite
-    the engines' different native precisions.
+    ``events.ts`` has shipped as two physical types across fixture
+    generations: nanosecond parquet timestamps (unrepresentable in
+    Spark — read as raw nanos via ``nanosAsLong`` and floor-divided to
+    µs) and plain ``timestamp[us]`` (read as TIMESTAMP_NTZ).  We sniff
+    the decoded type and normalize both to a µs TimestampType; the
+    session timezone is pinned to UTC (session.py), so the NTZ→LTZ cast
+    is face-value identity.  Queries that *output* event time expose
+    ``unix_micros(ts)`` (BIGINT) so the DuckDB oracle (``epoch_us(ts)``)
+    sees bit-identical values despite the engines' native precisions.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

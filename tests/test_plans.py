@@ -63,9 +63,10 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
 def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
     """Everything oracle-checked must stay JVM-side (BatchEvalPython /
     ArrowEvalPython in a plan means a Python UDF snuck in) — except the
-    ``udf_*`` family, which exists to test the Python boundary itself."""
+    ``udf_*``/``udtf_*`` families, which exist to test the Python
+    boundary itself."""
     for name, q in REGISTRY.items():
-        if q.oracle is None or name.startswith("udf_"):
+        if q.oracle is None or name.startswith(("udf_", "udtf_")):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, f"{name} uses a Python UDF"

@@ -130,7 +130,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(reg) - len(failed)}/{len(reg)} pass")
+    n_run = len([n for n in reg if not only or n in only])
+    print(f"\n{n_run - len(failed)}/{n_run} pass")
     return 1 if failed else 0
 
 
