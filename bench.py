@@ -60,6 +60,13 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "events_rolling_dau",
     "agg_linear_regression",
+    # round-4 flagships
+    "graph_pagerank",
+    "pack_sequences_bins",
+    "cluster_kmeans_assign",
+    "dedup_semantic",
+    "events_resample_interpolate",
+    "text_trigram_lm_score",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Embedding clustering — distributed k-means and SemDeDup-style
+semantic deduplication.
+
+North-star training-pipeline extensions (BASELINE.json): clustering is
+the organizing primitive for corpus curation at 100 TB — IVF cells
+(``sim_ann_ivf``), PQ codebooks (``sim_ann_pq``), and semantic dedup
+(Abbas et al., "SemDeDup", arXiv:2303.09540) are all k-means underneath.
+This module exposes the loop itself as a first-class operator.
+
+Scale design — broadcast-centroid Lloyd's, the canonical Spark shape:
+
+- **Centroids live on the driver, points never move.**  K×dim floats is
+  bytes; each iteration broadcasts the centroid table, assigns every
+  vector map-side (crossJoin(broadcast) + min_by argmin), and recomputes
+  means with one posexplode aggregation.  Per iteration: one broadcast +
+  two shuffles of K×dim-sized aggregates — never a shuffle of the
+  corpus.
+- **Driver collect per iteration is an optimizer barrier by design**:
+  each iteration starts from a literal centroid DataFrame, so the plan
+  does not grow with iteration count (the classic iterative-lineage
+  blowup) and no checkpointing is needed.
+- **Deterministic**: init picks the K vectors with the lowest
+  xxhash64(vec_id) (a reproducible pseudo-random sample), ties in the
+  argmin break on cell id; reruns are bit-identical, which the pytest
+  gate asserts along with monotone non-increasing inertia.
+
+Rows-only correctness (cluster geometry is engine-specific); pytest
+gates cover the invariants DuckDB can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .similarity import dot, embedding_dim, sq_dist
+
+_KM_K = 8
+_KM_ITERS = 4
+#: SemDeDup cosine threshold (uniform-random fixtures: 0.3 matches the
+#: exact-dedup operator's band; real corpora use ~0.95+).
+_SEM_THRESHOLD = 0.3
+
+
+def _centroid_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
+    rows = [Row(cell=i, centroid=[float(v) for v in c]) for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows, "cell int, centroid array<float>")
+
+
+def assign_cells(e: DataFrame, cent: DataFrame, dim: int | None) -> DataFrame:
+    """Map-side argmin of squared distance against broadcast centroids.
+
+    The K×dim-term distance expression is evaluated ONCE in a projection
+    before the argmin — inlining it into ``min_by``'s value and ordering
+    struct would duplicate the unrolled expression 2× and (at dim 64)
+    push the generated method past the JVM codegen limit into the
+    interpreted path."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        sq_dist(F.col("embedding"), F.col("centroid"), dim).alias("d2"),
+        "embedding",
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "d2"), F.struct(F.col("d2"), F.col("cell"))
+            ).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            F.col("best.cell").alias("cell"),
+            F.col("best.d2").alias("d2"),
+            "embedding",
+        )
+    )
+
+
+def kmeans(
+    spark: SparkSession, e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's iterations; returns (assignments, per-iteration inertia).
+
+    ``e`` must have columns (vec_id, embedding).  The returned
+    assignment DataFrame has (vec_id, cell, d2, embedding)."""
+    dim = embedding_dim(e)
+    seeds = (
+        e.orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    cents = [list(r.embedding) for r in seeds]
+    # the fixture is one parquet split and broadcast joins preserve input
+    # partitioning — fan out once so the per-iteration argmin parallelizes
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    inertia: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_cells(e, _centroid_df(spark, cents), dim)
+        stats = (
+            assigned.select("cell", "d2", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("c"), F.sum("d2").alias("d2_sum"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+                ).alias("centroid"),
+                F.first("d2_sum").alias("inertia_part"),
+            )
+            .collect()
+        )
+        inertia.append(float(sum(r.inertia_part for r in stats)))
+        for r in stats:  # empty cells keep their previous centroid
+            cents[r.cell] = list(r.centroid)
+    return assigned, inertia
+
+
+@query("cluster_kmeans_assign")  # rows-only: cluster geometry is engine-specific
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment over the embeddings table: 4 Lloyd's
+    iterations, K=8, deterministic hash-sample init (module docstring
+    has the full scale argument).  Output is every vector's final cell
+    and its squared distance to the winning centroid."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _ = kmeans(spark, e)
+    return assigned.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), F.round("d2", 4).alias("d2")
+    )
+
+
+@query("dedup_semantic")  # rows-only: pairs depend on the (engine-specific) clustering
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means the embedding space, then
+    find near-duplicate pairs ONLY inside each cluster — the cluster is
+    the blocking key, so the pair join is per-cell instead of all-pairs.
+    Emits (vec_a, vec_b, cell, cos_sim) for intra-cell pairs with exact
+    cosine ≥ threshold; precision is 1.0 by construction (every emitted
+    pair carries its true cosine), recall is bounded by the clustering —
+    pairs split across cells are unseen, the accepted SemDeDup
+    trade-off.  At 100 TB the assignment doubles as the vector table's
+    write-time partitioning, making this join co-located and
+    shuffle-free on re-runs."""
+    from .dedup import materialized
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(e)
+    assigned, _ = kmeans(spark, e)
+    # norms once per VECTOR (not per pair: 3× the unrolled dot per pair
+    # blows the codegen method limit and triples the pair-stage cost)
+    nrm = assigned.select(
+        "vec_id",
+        "cell",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"), dim)).alias("nrm"),
+    )
+    a, b = nrm.alias("a"), nrm.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"), dim)
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        5,
+    )
+    scored = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.cell").cast("long").alias("cell"),
+        cos.alias("cos_sim"),
+    )
+    # optimizer barrier: keep the threshold filter OUT of the join's
+    # residual condition (same measured cliff as dedup_embedding_cosine)
+    return materialized(scored).filter(F.col("cos_sim") >= _SEM_THRESHOLD)

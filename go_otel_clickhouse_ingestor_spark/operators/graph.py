@@ -143,3 +143,103 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component_id"),
         sizes.alias("component_size"),
     )
+
+
+#: PageRank: damping factor and fixed iteration count.  The iteration
+#: count is FIXED (not convergence-driven) so the DuckDB oracle can
+#: unroll the exact same power iterations as a chain of plain CTEs —
+#: recursive CTEs can't aggregate in the recursive term, but a fixed
+#: unroll needs no recursion at all.
+_PR_D = 0.85
+_PR_ITERS = 3
+#: Per-iteration rounding: partial-sum order differs between engines,
+#: so both re-quantize each iteration's ranks to 12 decimals (≈1e5×
+#: coarser than double noise, ≈1e8× finer than the ranks) to stop
+#: drift compounding across iterations.
+_PR_ROUND = 12
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT e.dst AS node,
+             round((SELECT (1 - {_PR_D}) / n FROM n)
+                   + {_PR_D} * sum({prev}.pr / deg.outdeg), {_PR_ROUND}) AS pr
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, round((SELECT 1.0 / n FROM n), {_PR_ROUND}) AS pr FROM nodes),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT node, round(pr, 8) AS pr FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (who-buys-from-
+    whom via orders⋈lineitem), {_PR_ITERS} fixed power iterations,
+    d={_PR_D}.
+
+    Graph shape: edges run BOTH directions (the undirected trade
+    relation), so no node is dangling — every node has out-degree ≥ 1
+    and receives at least one contribution, which keeps the update rule
+    pure join+agg with no leaked-mass correction term.
+
+    Scale shape per iteration: contributions = ranks ⋈ edges on src
+    (ranks and degrees co-partition with the edge list's src key — ONE
+    shuffle reused across all three joins), then a dst-keyed sum (the
+    second shuffle).  Rank state is O(|nodes|), never the corpus; at
+    100 TB you bucket the edge list by src at write time and every
+    iteration's probe side is co-located.  The iteration count is a
+    fixed unroll, so Catalyst sees one declarative plan (no driver-side
+    convergence loop, no lineage blowup at 3 iterations; the
+    convergence-driven variant with localCheckpoint per round is
+    ``connected_components`` above)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # one tiny scalar on the driver, like the oracle's (SELECT n)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), _PR_ROUND).alias("pr")
+    )
+    base = (1.0 - _PR_D) / n_nodes
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(base) + _PR_D * F.sum(F.col("pr") / F.col("outdeg")),
+                    _PR_ROUND,
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    return ranks.select("node", F.round("pr", 8).alias("pr"))

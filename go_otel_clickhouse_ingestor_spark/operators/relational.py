@@ -1405,3 +1405,91 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics):
+    Spark ``percentile`` buffers and sorts each group's values, so —
+    unlike the mergeable approx_percentile sketch — its memory is
+    O(rows per group).  Fine for bounded groups (5 event types here is
+    bounded COLUMNS×quantiles, but each group's buffer is the full
+    per-type value list); at 100 TB prefer ``agg_approx_quantile``
+    and reserve this for final small aggregates.  Both engines use
+    linear interpolation, so values hash-match after rounding."""
+    ev = table(spark, sf_dir, "events")
+    qs = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("qs"))
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 4).alias("p25"),
+            F.round(F.col("qs")[1], 4).alias("p50"),
+            F.round(F.col("qs")[2], 4).alias("p75"),
+            F.round(F.col("qs")[3], 4).alias("p99"),
+        )
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS c_user_id, epoch_us(ts) AS click_ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+           max(c.click_ts_us) AS last_click_ts_us
+    FROM p LEFT JOIN c
+      ON p.user_id = c.c_user_id
+     AND c.click_ts_us <= p.purchase_ts_us
+     AND c.click_ts_us >= p.purchase_ts_us - 3600000000
+    GROUP BY p.purchase_id, p.user_id, p.purchase_ts_us
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): most recent click within
+    one hour before each purchase, NULL when none — purchases without a
+    fresh click survive (left join), unlike ``join_asof`` which drops
+    them.  Same scale shape as join_asof — equi-join on user_id (one
+    co-located shuffle) + time-band predicate + argmax — but the
+    tolerance bounds each purchase's candidate window, which is exactly
+    what keeps per-key fan-out flat when a hot user has years of
+    clicks: the band, not the history length, caps the join multiplicity."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.unix_micros("ts").alias("click_ts_us")
+    )
+    hour_us = 3_600_000_000
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (c.click_ts_us <= p.purchase_ts_us)
+        & (c.click_ts_us >= p.purchase_ts_us - hour_us)
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts_us")
+        .agg(F.max("click_ts_us").alias("last_click_ts_us"))
+    )

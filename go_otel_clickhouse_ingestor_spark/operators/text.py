@@ -508,3 +508,69 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("scrubbed_fp"),
     )
+
+
+@query(
+    "text_trigram_lm_score",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(t) - 1),
+                                   i -> substring(t, i, 3))) AS gram
+      FROM norm WHERE length(t) >= 3
+    ),
+    freq AS (SELECT gram, count(*)::DOUBLE AS n FROM grams GROUP BY gram),
+    tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           round(avg(log2(f.n / (SELECT total FROM tot))), 4) AS avg_logp
+    FROM grams g JOIN freq f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model scoring — the cheap perplexity
+    proxy curation pipelines use to rank fluency before an expensive
+    model-based filter: score(doc) = mean log2 P(gram) under the
+    corpus's own trigram distribution (low = out-of-distribution /
+    gibberish).
+
+    Two-pass plan: (1) explode trigrams and count gram frequencies —
+    one shuffle over the gram key with map-side partial counts; (2)
+    join the exploded grams back to the frequency table and average per
+    doc.  The gram table is corpus-vocabulary-sized (bounded: ≤ ~60³
+    distinct char trigrams of normalized text), so at 100 TB pass 2's
+    probe side broadcasts and only the per-doc average shuffles — the
+    same broadcast-df shape as text_tfidf_top_terms.  All codegen:
+    trigram extraction is sequence+transform+substring, no Python."""
+    norm = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")).alias("t"),
+    )
+    grams = (
+        norm.filter(F.length("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 2),
+                    lambda i: F.substring(F.col("t"), i, F.lit(3)),
+                )
+            ).alias("gram"),
+        )
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = float(freq.agg(F.sum("n")).first()[0])
+    return (
+        grams.join(F.broadcast(freq), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.avg(F.log2(F.col("n") / F.lit(total))), 4).alias("avg_logp"),
+        )
+    )

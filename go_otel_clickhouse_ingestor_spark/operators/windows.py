@@ -333,3 +333,126 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("val_n", ignorenulls=True).over(prev).alias("filled_prev"),
         F.first("val_n", ignorenulls=True).over(nxt).alias("filled_next"),
     )
+
+
+#: Resample grid step: one hour, in microseconds.
+_RESAMPLE_STEP_US = 3_600_000_000
+
+
+@query(
+    "events_resample_interpolate",
+    oracle=f"""
+    WITH sel AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE user_id % 20 = 0
+    ),
+    bounds AS (
+      SELECT user_id, min(ts_us) AS t0, max(ts_us) AS t1
+      FROM sel GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(t0, t1 + 1, {_RESAMPLE_STEP_US})) AS ts_us
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, ts_us, value, 1 AS is_obs FROM sel
+      UNION ALL
+      SELECT user_id, ts_us, NULL, 0 FROM grid
+    ),
+    w AS (
+      SELECT user_id, ts_us, is_obs,
+             last_value(CASE WHEN is_obs = 1 THEN ts_us END IGNORE NULLS) OVER lookback AS prev_ts,
+             last_value(CASE WHEN is_obs = 1 THEN value END IGNORE NULLS) OVER lookback AS prev_val,
+             first_value(CASE WHEN is_obs = 1 THEN ts_us END IGNORE NULLS) OVER lookahead AS next_ts,
+             first_value(CASE WHEN is_obs = 1 THEN value END IGNORE NULLS) OVER lookahead AS next_val
+      FROM u
+      WINDOW
+        lookback AS (PARTITION BY user_id ORDER BY ts_us, is_obs DESC, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        lookahead AS (PARTITION BY user_id ORDER BY ts_us, is_obs DESC, value
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts_us AS grid_ts_us,
+           round(CASE
+             WHEN prev_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL OR next_ts = prev_ts THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                             * (ts_us - prev_ts) / (next_ts - prev_ts)
+           END, 4) AS value_interp
+    FROM w WHERE is_obs = 0
+    """,
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a fixed hourly grid with linear
+    interpolation between the surrounding observations (LOCF past the
+    last one) — the gap-fill a metrics pipeline runs before joining
+    irregular series.
+
+    Plan shape: the grid is GENERATED per key (sequence + explode from
+    each user's min/max — no calendar table shuffle-joined in), then
+    observations and grid points are unioned and a single user-
+    partitioned window pass computes both bracketing neighbors via
+    IGNORE NULLS frames — two logical windows over one sort, one
+    shuffle total.  Observations sort before grid points at the same
+    timestamp (is_obs DESC), so an exactly-aligned sample interpolates
+    to itself.  At 100 TB the grid is O(keys × horizon/step), decoupled
+    from event volume, and the window shuffles on user_id exactly like
+    every other per-key analytic here."""
+    sel = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+    grid = (
+        sel.groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.lit(_RESAMPLE_STEP_US))
+            ).alias("ts_us"),
+        )
+    )
+    u = sel.withColumn("is_obs", F.lit(1)).unionByName(
+        grid.select(
+            "user_id", "ts_us", F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy(
+        "ts_us", F.col("is_obs").desc(), "value"
+    )
+    lookback = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lookahead = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts_us"))
+    obs_val = F.when(F.col("is_obs") == 1, F.col("value"))
+    w = u.select(
+        "user_id",
+        "ts_us",
+        "is_obs",
+        F.last(obs_ts, ignorenulls=True).over(lookback).alias("prev_ts"),
+        F.last(obs_val, ignorenulls=True).over(lookback).alias("prev_val"),
+        F.first(obs_ts, ignorenulls=True).over(lookahead).alias("next_ts"),
+        F.first(obs_val, ignorenulls=True).over(lookahead).alias("next_val"),
+    )
+    interp = (
+        F.when(F.col("prev_ts").isNull(), F.lit(None))
+        .when(
+            F.col("next_ts").isNull() | (F.col("next_ts") == F.col("prev_ts")),
+            F.col("prev_val"),
+        )
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (F.col("ts_us") - F.col("prev_ts"))
+            / (F.col("next_ts") - F.col("prev_ts"))
+        )
+    )
+    return (
+        w.filter(F.col("is_obs") == 0)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("grid_ts_us"),
+            F.round(interp, 4).alias("value_interp"),
+        )
+    )

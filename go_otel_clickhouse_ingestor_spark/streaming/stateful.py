@@ -59,3 +59,70 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------
+# Spark 4 successor API: transformWithStateInPandas.  Same running-
+# totals semantics as user_running_totals above, expressed as a
+# StatefulProcessor: typed composite state (ValueState) with explicit
+# lifecycle (init/handleInputRows/close), timers available for TTL
+# eviction, and the state store pluggable per query (RocksDB provider
+# required — disk-backed, so state size is bounded by local SSD rather
+# than executor heap, the 100 TB-scale difference from the
+# applyInPandasWithState in-memory store).
+
+try:  # pragma: no cover - import surface depends on the PySpark build
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+#: RocksDB state-store provider class transformWithState requires.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (n_events, total_value) as a StatefulProcessor."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        total, cnt = self._totals.get() if self._totals.exists() else (0.0, 0)
+        for pdf in rows:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((total, cnt))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(total, 6)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """``user_running_totals`` on the transformWithStateInPandas API.
+
+    The session must run the RocksDB state-store provider
+    (``ROCKSDB_PROVIDER``); the test sets it per query."""
+    if not _HAS_TWS:  # loud gate, matching the multimodal codec stubs
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0"
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -209,3 +209,72 @@ def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
     for r in got:
         if (r.query_id, r.vec_id) in exact_cos:
             assert abs(r.cos_sim - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd's invariants: inertia never increases across iterations,
+    every vector lands in exactly one of K cells, and a rerun is
+    bit-identical (hash-sample init, deterministic tie-breaks)."""
+    from go_otel_clickhouse_ingestor_spark.operators.clustering import _KM_K, kmeans
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, inertia = kmeans(spark, e)
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])), inertia
+    rows = assigned.select("vec_id", "cell").collect()
+    assert len(rows) == e.count()
+    assert {r.cell for r in rows} <= set(range(_KM_K))
+    rerun, inertia2 = kmeans(spark, e)
+    assert inertia == inertia2
+    assert sorted((r.vec_id, r.cell) for r in rows) == sorted(
+        (r.vec_id, r.cell) for r in rerun.select("vec_id", "cell").collect()
+    )
+
+
+def test_semantic_dedup_pairs_are_true_cosines_within_cells(spark, sf_dir):
+    """SemDeDup precision is 1.0 by construction: every emitted pair's
+    cosine must equal the exact cosine, be >= the threshold, and both
+    members must share the claimed cell."""
+    import math
+
+    from go_otel_clickhouse_ingestor_spark.operators.clustering import _SEM_THRESHOLD
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    pairs = REGISTRY["dedup_semantic"].fn(spark, sf_dir).collect()
+    assert pairs, "threshold 0.3 should admit pairs on the fixtures"
+    emb = {
+        r.vec_id: r.embedding
+        for r in table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    }
+    for r in pairs[:50]:
+        assert r.cos_sim >= _SEM_THRESHOLD
+        a, b = emb[r.vec_a], emb[r.vec_b]
+        exact = sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        assert abs(exact - r.cos_sim) < 1e-4
+
+
+def test_pack_sequences_bin_invariants(spark, sf_dir):
+    """Contiguous-fill packing invariants: bins are consecutive integers
+    per source, every bin except possibly the last STARTS below the
+    budget boundary (a doc may straddle), and total tokens are
+    conserved."""
+    from go_otel_clickhouse_ingestor_spark.operators.packing import SEQ_BUDGET
+
+    rows = REGISTRY["pack_sequences_bins"].fn(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        bins = [r.bin for r in docs]
+        assert bins == sorted(bins), f"{source}: bins must be monotone in doc order"
+        assert bins[0] == 0
+        assert set(bins) == set(range(max(bins) + 1)), f"{source}: bins must be dense"
+        cum = 0
+        for r in docs:
+            assert r.bin_offset_base == cum
+            assert r.bin == cum // SEQ_BUDGET
+            cum += r.n_tokens

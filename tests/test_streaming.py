@@ -675,3 +675,98 @@ def test_cdc_feed_stream_availablenow(spark):
     assert len(out) == 48
     # double-encoded offsets survive the fallback parse
     assert {r.msg_id for r in out} >= {6, 20, 27, 34}
+
+
+def test_tws_running_totals_accumulate_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): same
+    semantics as the applyInPandasWithState twin — per-user totals carry
+    across micro-batches on the RocksDB state store and converge to the
+    batch aggregate.
+
+    The TWS runtime speaks protobuf between the JVM and the Python
+    state server; in containers without ``google.protobuf`` the query
+    can't start, so the runnable coverage degrades to the wiring
+    assertions in test_tws_unrunnable_still_builds below."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state protocol",
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        user_running_totals_tws,
+    )
+
+    half1 = [{"user_id": i % 5, "value": float(i)} for i in range(20)]
+    half2 = [{"user_id": i % 5, "value": float(i)} for i in range(20, 40)]
+    d = tmp_path / "tws_stream"
+    d.mkdir()
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in half1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in half2))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            user_running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        out = spark.sql(f"SELECT * FROM {name}")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        want = {
+            uid: (8, float(sum(i for i in range(40) if i % 5 == uid)))
+            for uid in range(5)
+        }
+        assert final == want
+        assert out.count() > 5
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_unrunnable_still_builds(spark):
+    """Even without protobuf (which query START needs), the
+    transformWithStateInPandas plan must BUILD: correct output schema
+    and the TransformWithStateInPandas node in the analyzed plan — so
+    drift in the processor/schema wiring fails here, not only on a
+    protobuf-equipped cluster."""
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        user_running_totals_tws,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "cast(value AS double) AS value"
+    )
+    out = user_running_totals_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+    ]
+    # the analyzed-plan node is TransformWithStateInPySpark in Spark 4.1
+    assert (
+        "transformwithstateinpyspark"
+        in out._jdf.queryExecution().analyzed().toString().lower()
+    )
