@@ -86,8 +86,15 @@ def kmeans(
     """Lloyd's iterations; returns (assignments, per-iteration inertia).
 
     ``e`` must have columns (vec_id, embedding).  The returned
-    assignment DataFrame has (vec_id, cell, d2, embedding)."""
-    dim = embedding_dim(e)
+    assignment DataFrame has (vec_id, cell, d2, embedding).
+
+    Cost profile: each iteration is one Spark job whose runtime at
+    fixture scale (~2 s warm) is dominated by plan optimization and
+    scheduling of the dim-wide aggregate, not by data — a fixed
+    constant that amortizes to nothing when each task processes
+    millions of vectors instead of thousands."""
+    from .dedup import materialized
+
     seeds = (
         e.orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
         .limit(k)
@@ -95,29 +102,30 @@ def kmeans(
         .collect()
     )
     cents = [list(r.embedding) for r in seeds]
-    # the fixture is one parquet split and broadcast joins preserve input
-    # partitioning — fan out once so the per-iteration argmin parallelizes
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    dim = len(cents[0])  # from the seeds already on the driver — no extra job
+    # fan out once (the fixture is one parquet split and broadcast joins
+    # preserve input partitioning) and persist: every iteration's two
+    # consumers re-scan this exact subtree otherwise
+    e = materialized(e.repartition(spark.sparkContext.defaultParallelism))
     inertia: list[float] = []
     assigned = None
     for _ in range(iters):
         assigned = assign_cells(e, _centroid_df(spark, cents), dim)
-        stats = (
-            assigned.select("cell", "d2", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("c"), F.sum("d2").alias("d2_sum"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-                ).alias("centroid"),
-                F.first("d2_sum").alias("inertia_part"),
-            )
-            .collect()
-        )
-        inertia.append(float(sum(r.inertia_part for r in stats)))
+        # centroid recompute as dim per-dimension SUM aggregates — one
+        # codegen hash agg keyed on cell (K rows out), instead of
+        # exploding rows×dim positions through a second shuffle (the
+        # posexplode formulation was the iteration's dominant cost)
+        stats = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d2").alias("d2_sum"),
+            *[
+                F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+                for i in range(dim or 0)
+            ],
+        ).collect()
+        inertia.append(float(sum(r.d2_sum for r in stats)))
         for r in stats:  # empty cells keep their previous centroid
-            cents[r.cell] = list(r.centroid)
+            cents[r.cell] = [r[f"s{i}"] / r.n for i in range(dim or 0)]
     return assigned, inertia
 
 

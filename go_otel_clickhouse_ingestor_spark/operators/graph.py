@@ -212,6 +212,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``connected_components`` above)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from .dedup import materialized
+
     half = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -220,7 +222,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the edge list is consumed 8× (reversal union, node set, degrees,
+    # and twice per iteration) — persist it once, like the materialized
+    # signature tables in dedup.py; at 100 TB this is the bucketed
+    # edge dataset written once and probed per iteration
+    edges = materialized(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one tiny scalar on the driver, like the oracle's (SELECT n)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
