@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_semantic",
     "events_resample_interpolate",
     "text_trigram_lm_score",
+    "corpus_build_e2e",
 ]
 
 

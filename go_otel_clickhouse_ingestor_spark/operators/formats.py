@@ -134,3 +134,36 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .select(*_COLS)
     )
+
+
+#: Lake-writer layout contract (write_lake_partitioned).
+LAKE_MAX_RECORDS_PER_FILE = 2_000
+
+
+def write_lake_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """The serving-side lake writer — the parquet counterpart of the
+    reference's ClickHouse sink (internal/ingestion/clickhouse.go:19-132
+    writes row batches; a Spark pipeline lands columnar files instead).
+
+    Layout contract, every piece load-bearing at 100 TB:
+
+    - ``partitionBy(partition_col)``: directory-level partition pruning
+      for every downstream query filtering on the column
+      (``source_partitioned_pruning`` asserts the read side);
+    - ``sortWithinPartitions``: clustered row groups inside each file,
+      so parquet min/max row-group statistics actually prune — an
+      unsorted file's min/max spans everything and prunes nothing;
+    - ``maxRecordsPerFile``: bounds file sizes regardless of task
+      count/skew (one hot partition value can't produce a 50 GB file);
+    - one shuffle total (repartition on the partition column before the
+      sort) so each directory is written by few tasks instead of every
+      task appending a sliver-file to every directory — the classic
+      small-files failure."""
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", LAKE_MAX_RECORDS_PER_FILE)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

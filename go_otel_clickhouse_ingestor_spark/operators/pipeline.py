@@ -258,3 +258,145 @@ def pipeline_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", F.round("value", 4).alias("value"))
     )
+
+
+@query(
+    "pipeline_curriculum_phases",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(0.4 * (least(n_chars, 500) / 500.0)
+                 + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(n_chars, 1))
+                 - 0.1 * (len(regexp_extract_all(text, '{_PUNCT_RE}')) / greatest(n_chars, 1)), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality,
+           ntile(4) OVER (PARTITION BY source ORDER BY quality, doc_id)::BIGINT AS phase
+    FROM q
+    """,
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: split each source shard into 4 quality
+    quartiles (phase 1 = lowest-quality quarter, trained first; phase 4
+    = highest, trained last — the easy-to-hard curriculum schedule).
+
+    ``ntile`` runs PER SOURCE — the same sharded-window discipline as
+    ``pipeline_budget_sharded``: a global quality ranking would funnel
+    the corpus through one partition, while per-shard quartiles keep
+    the window parallel and are what a curriculum actually wants when
+    sources differ systematically in style.  Deterministic via the
+    (quality, doc_id) tiebreak."""
+    from .text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        d.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.ntile(4).over(w).cast("long").alias("phase"),
+        )
+    )
+
+
+@query(
+    "corpus_build_e2e",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, text, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper FROM fp
+    ),
+    q AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+             round(0.4 * (least(n_chars, 500) / 500.0)
+                 + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(n_chars, 1))
+                 - 0.1 * (len(regexp_extract_all(text, '{_PUNCT_RE}')) / greatest(n_chars, 1)), 6) AS quality
+      FROM keep WHERE doc_id = keeper
+    ),
+    flt AS (SELECT * FROM q WHERE quality >= {QUALITY_MIN}),
+    cur AS (
+      SELECT *, ntile(4) OVER (PARTITION BY source ORDER BY quality, doc_id)::BIGINT AS phase
+      FROM flt
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens, quality, phase,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source, phase ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM cur
+    )
+    SELECT doc_id, source, phase, n_tokens, quality,
+           (cum_before // 2048)::BIGINT AS bin
+    FROM packed
+    """,
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus build as ONE declarative plan:
+    exact dedup (fingerprint keeper) → quality score + floor →
+    per-source curriculum quartiles → sequence packing into 2048-token
+    bins per (source, phase) — what a real run submits as a single
+    job so Catalyst fuses every map stage and schedules the four
+    window shuffles back-to-back.
+
+    Scale audit of the shuffles: fingerprint window (hash-partitioned
+    on the 16-byte digest), then THREE windows that all key on
+    ``source`` (quality ntile, then (source, phase) packing — the
+    second reuses the first's partitioning modulo the phase subkey).
+    Nothing global, nothing single-partition; every stage inherits the
+    shard parallelism.  The per-stage twins (dedup_exact,
+    text_quality_score, pipeline_curriculum_phases,
+    pack_sequences_bins) are each oracle-checked alone; this query
+    checks their COMPOSITION, where stage-boundary bugs (dropped
+    columns, filter ordering, tie-break drift) actually live."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
+    keep = (
+        d.withColumn("fingerprint", fp)
+        .withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+
+    n_chars = F.col("n_chars")
+    len_norm = F.least(n_chars, F.lit(500)) / 500.0
+    punct = F.size(
+        F.regexp_extract_all("text", F.lit(_PUNCT_RE), F.lit(0))
+    ) / F.greatest(n_chars, F.lit(1))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    q = keep.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(0.4 * len_norm + 0.5 * alpha - 0.1 * punct, 6).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+
+    cur = q.withColumn(
+        "phase",
+        F.ntile(4)
+        .over(Window.partitionBy("source").orderBy("quality", "doc_id"))
+        .cast("long"),
+    )
+    pack_w = (
+        Window.partitionBy("source", "phase")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(pack_w), F.lit(0))
+    return cur.select(
+        "doc_id",
+        "source",
+        "phase",
+        "n_tokens",
+        "quality",
+        F.floor(cum_before / 2048).cast("long").alias("bin"),
+    )

@@ -1493,3 +1493,113 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id", "user_id", "purchase_ts_us")
         .agg(F.max("click_ts_us").alias("last_click_ts_us"))
     )
+
+
+@query("set_intersect_all", oracle=f"{_SET_A} INTERSECT ALL {_SET_B}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (INTERSECT ALL): duplicates survive up
+    to the minimum multiplicity per side — plans as a left-semi over
+    row-number-tagged inputs, one shuffle per side, no global distinct."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@query("set_except_all", oracle=f"{_SET_A} EXCEPT ALL {_SET_B}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (EXCEPT ALL): per-row multiplicity
+    subtraction, the dedup-free counterpart of set_except."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           count(*) FILTER (o_orderpriority = '1-URGENT')::BIGINT   AS "1-URGENT",
+           count(*) FILTER (o_orderpriority = '2-HIGH')::BIGINT     AS "2-HIGH",
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')::BIGINT   AS "3-MEDIUM",
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')::BIGINT AS "4-NOT SPECIFIED",
+           count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT      AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the pairwise
+    frequency matrix of two categorical columns.  Compiles to ONE
+    pivot aggregate (partial + final, no per-cell pass); column set =
+    distinct values of the second column, so it carries the same
+    bounded-cardinality contract as agg_pivot's explicit value list."""
+    ct = table(spark, sf_dir, "orders").stat.crosstab(
+        "o_orderstatus", "o_orderpriority"
+    )
+    cols = [c for c in ct.columns if c != "o_orderstatus_o_orderpriority"]
+    return ct.select(
+        "o_orderstatus_o_orderpriority",
+        *[F.col(f"`{c}`").cast("long").alias(c) for c in sorted(cols)],
+    )
+
+
+@query(
+    "sub_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+    """,
+)
+def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 customers by balance per
+    nation) through the SQL front end.  Catalyst decorrelates the
+    per-row LIMIT into a DomainJoin → window rank — the same physical
+    shape as ``topk_per_group``, so the lateral syntax costs nothing
+    over the window formulation (one shuffle on the correlation key)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+@query("agg_hll_sketch_union")  # rows-only: Datasketches binary sketches are engine-specific
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting with first-class sketch values
+    (Apache DataSketches HLL): per-type user sketches built with
+    ``hll_sketch_agg``, then MERGED with ``hll_union_agg`` into a
+    global estimate — the two-level rollup a 100 TB pipeline stores in
+    its metric tables so distinct counts re-aggregate without rescanning
+    raw data (approx_count_distinct's sketch is consumed internally and
+    can't be saved/merged; this one can).  Rows-only check; the pytest
+    gate bounds both estimate levels against exact distinct counts."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 0)
+        .cast("long")
+        .alias("distinct_users_global")
+    ).crossJoin(
+        per_type.select(
+            "event_type",
+            F.round(F.hll_sketch_estimate("sk"), 0).cast("long").alias("distinct_users"),
+        )
+    )
+    return merged.select("event_type", "distinct_users", "distinct_users_global")

@@ -278,3 +278,60 @@ def test_pack_sequences_bin_invariants(spark, sf_dir):
             assert r.bin_offset_base == cum
             assert r.bin == cum // SEQ_BUDGET
             cum += r.n_tokens
+
+
+def test_hll_sketch_estimates_near_exact(spark, sf_dir):
+    """Both sketch levels (per-type and the merged global union) must
+    land within HLL error bounds (~3% at default lgK=12) of the exact
+    distinct counts."""
+    exact_global = (
+        REGISTRY["agg_count_distinct"].fn(spark, sf_dir)  # exact per type
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    exact_by_type = {
+        r.event_type: r.n_users for r in exact_global.collect()
+    }
+    true_global = ev.select("user_id").distinct().count()
+    for r in REGISTRY["agg_hll_sketch_union"].fn(spark, sf_dir).collect():
+        assert abs(r.distinct_users - exact_by_type[r.event_type]) <= max(
+            3, 0.05 * exact_by_type[r.event_type]
+        ), (r.event_type, r.distinct_users, exact_by_type[r.event_type])
+        assert abs(r.distinct_users_global - true_global) <= max(3, 0.05 * true_global)
+
+
+def test_lake_writer_layout_contract(spark, sf_dir, tmp_path):
+    """write_lake_partitioned: hive directories per partition value,
+    no file above maxRecordsPerFile, rows sorted within every file,
+    and a lossless round-trip."""
+    import glob
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.operators.formats import (
+        LAKE_MAX_RECORDS_PER_FILE,
+        write_lake_partitioned,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = str(tmp_path / "lake")
+    write_lake_partitioned(d, out, "lang")
+
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out}/lang=*")}
+    assert dirs == {f"lang={v}" for v in langs}
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{out}/lang=*/*.parquet"):
+        t = pq.read_table(f, columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        assert len(ids) <= LAKE_MAX_RECORDS_PER_FILE, f
+        assert ids == sorted(ids), f"{f} not clustered by doc_id"
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    a = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in d.collect()}
+    assert a == b
