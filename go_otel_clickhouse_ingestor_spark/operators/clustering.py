@@ -158,7 +158,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = embedding_dim(e)
-    assigned, _ = kmeans(spark, e)
+    # 2 Lloyd's iterations: blocking only needs coherent neighborhoods,
+    # not converged centroids — every emitted pair is exact-cosine
+    # verified regardless, so extra iterations buy recall at the margin
+    # while doubling the fixed per-iteration job cost
+    assigned, _ = kmeans(spark, e, iters=2)
     # norms once per VECTOR (not per pair: 3× the unrolled dot per pair
     # blows the codegen method limit and triples the pair-stage cost)
     nrm = assigned.select(

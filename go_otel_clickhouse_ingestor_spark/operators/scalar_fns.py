@@ -452,3 +452,53 @@ def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_md5"
         ),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"meta":{"type":"' || event_type || '","uid":' || user_id
+               || '},"vals":[' || cast(round(value * 1000) AS BIGINT)
+               || ',' || (event_id % 7) || ']}' AS js
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(js, '$.meta.type')    AS mtype,
+           json_extract(js, '$.meta.uid')::BIGINT    AS uid,
+           json_extract(js, '$.vals[0]')::BIGINT     AS v0,
+           json_extract(js, '$.vals[1]')::BIGINT     AS v1
+    FROM j
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type: ``parse_json`` into the binary
+    semi-structured encoding, then typed path extraction with
+    ``variant_get`` / the ``v:path`` shorthand — the modern replacement
+    for stringly get_json_object when a column holds heterogeneous
+    JSON: parsed ONCE into a shredded binary (no re-parse per
+    extraction), with per-path typed access.  The document is
+    synthesized deterministically from event columns (integers only —
+    float-to-string formatting differs across engines) so the DuckDB
+    twin checks the same extractions via json_extract."""
+    ev = table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","uid":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"vals":['),
+        F.round(F.col("value") * 1000).cast("long").cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.meta.type', 'string')").alias("mtype"),
+        F.expr("variant_get(v, '$.meta.uid', 'long')").alias("uid"),
+        F.expr("variant_get(v, '$.vals[0]', 'long')").alias("v0"),
+        F.expr("cast(v:vals[1] as long)").alias("v1"),
+    )

@@ -770,3 +770,34 @@ def test_tws_unrunnable_still_builds(spark):
         "transformwithstateinpyspark"
         in out._jdf.queryExecution().analyzed().toString().lower()
     )
+
+
+def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    """jsonl_sink DataSource writer: nothing visible but final part
+    files + _SUCCESS manifest after commit, no temp residue, manifest
+    row count exact, and a lossless JSON round-trip."""
+    import glob
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.sources import jsonl_sink
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    jsonl_sink.register(spark)
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(4)
+    )
+    out = str(tmp_path / "jsonl_out")
+    d.write.format("jsonl_sink").mode("append").option("path", out).save()
+
+    assert not glob.glob(f"{out}/.tmp-*"), "temp files must not survive commit"
+    manifest = json.loads(open(os.path.join(out, "_SUCCESS")).read())
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{out}/part-*.jsonl"))
+    assert sorted(manifest["files"]) == parts and len(parts) == 4
+    assert manifest["rows"] == d.count()
+
+    back = spark.read.schema("doc_id long, lang string, source string, n_chars long").json(
+        f"{out}/part-*.jsonl"
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in d.collect()}
