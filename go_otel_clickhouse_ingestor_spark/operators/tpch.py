@@ -812,3 +812,80 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    ordstats AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    ),
+    qual AS (
+      SELECT lo.l_suppkey
+      FROM lo JOIN ordstats USING (l_orderkey)
+      WHERE lo.late AND ordstats.n_supp >= 2 AND ordstats.n_late_supp = 1
+    ),
+    counted AS (
+      SELECT s.s_name, count(*) AS numwait
+      FROM qual JOIN supplier s ON qual.l_suppkey = s.s_suppkey
+      GROUP BY s.s_name
+    )
+    SELECT s_name, numwait,
+           row_number() OVER (ORDER BY numwait DESC, s_name) AS rn
+    FROM counted
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers-who-kept-waiting, adapted like q4: "late" is
+    l_shipdate > o_orderdate + 45 days (no commit/receipt dates in the
+    fixture).  The classic double-correlated EXISTS / NOT EXISTS is
+    decorrelated BY HAND into one per-order aggregate — n_supp ≥ 2
+    replaces the EXISTS (another supplier in the order), n_late_supp = 1
+    replaces the NOT EXISTS (no OTHER late supplier, given this row is
+    late) — so the whole query is two shuffles on orderkey (join + agg,
+    sharing partitioning) plus the small supplier broadcast, instead of
+    two more self-joins of lineitem.  Top-100 cut via
+    TakeOrderedAndProject; rn materialized for the order-insensitive
+    hash."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o.select("o_orderkey", "o_orderdate"),
+                 li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias(
+            "late"
+        ),
+    )
+    ordstats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qual = (
+        lo.filter(F.col("late"))
+        .join(ordstats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counted = (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    from pyspark.sql.window import Window
+
+    top = counted.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(100)
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

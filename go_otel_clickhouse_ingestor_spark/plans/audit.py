@@ -73,3 +73,23 @@ def audit(df: DataFrame) -> dict:
         "take_ordered": "TakeOrderedAndProject" in plan,
         "adaptive": "AdaptiveSparkPlan" in plan,
     }
+
+
+def global_windows(df: DataFrame) -> int:
+    """Count partition-less (global) Window operators — the
+    single-partition funnel WindowExec warns about at runtime, surfaced
+    statically.  In the optimized logical plan a Window node prints
+    ``Window [exprs], [partitionSpec], [orderSpec]``; a GLOBAL window
+    drops the partition group, leaving two groups with sort directions
+    in the last — a partition-only window also prints two groups, but
+    its last group carries no ASC/DESC."""
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n = 0
+    for line in opt.splitlines():
+        m = re.match(r"\s*(?:[+:\-| ]*)Window (\[.*)$", line)
+        if not m:
+            continue
+        groups = re.findall(r"\[([^\[\]]*(?:\[[^\]]*\][^\[\]]*)*)\]", m.group(1))
+        if len(groups) == 2 and (" ASC" in groups[-1] or " DESC" in groups[-1]):
+            n += 1
+    return n

@@ -75,7 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_kmeans_assign", "dedup_semantic", "text_trigram_lm_score",
     "set_intersect_all", "set_except_all", "stat_crosstab", "sub_lateral",
     "pipeline_curriculum_phases", "agg_hll_sketch_union", "corpus_build_e2e",
-    "fn_variant",
+    "fn_variant", "tpch_q21",
 ]
 
 

@@ -213,3 +213,24 @@ def test_udtf_is_arrow_evaluated(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPythonUDTF" in plan
     assert audit(df)["python_row_at_a_time"] == 0
+
+
+def test_sharded_pipelines_have_no_global_windows(spark, sf_dir):
+    """The sharded curation/packing plans must never funnel through a
+    partition-less window (the r2-verdict scale wart, now guarded
+    statically).  pipeline_corpus_filter is the DOCUMENTED exception:
+    its final global budget cut is the point of that query, with
+    pipeline_budget_sharded as the scale path."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    for name in (
+        "pack_sequences_bins",
+        "pipeline_budget_sharded",
+        "pipeline_curriculum_phases",
+        "corpus_build_e2e",
+    ):
+        assert global_windows(REGISTRY[name].fn(spark, sf_dir)) == 0, name
+    # tpch_q3/q10 rank only their TakeOrdered survivors (<= k rows), so
+    # their single global window is bounded by construction — covered by
+    # their own take_ordered assertions, not this zero-window guard.
+    assert global_windows(REGISTRY["pipeline_corpus_filter"].fn(spark, sf_dir)) == 1
