@@ -552,19 +552,23 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")).alias("t"),
     )
+    # explode the INDEX sequence and slice with a plain substring
+    # expression — a transform(...) lambda would extract every gram
+    # inside an interpreted HOF (the same cliff gram_hashes documents);
+    # this form keeps the per-gram work in whole-stage codegen
     grams = (
         norm.filter(F.length("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - 2),
-                    lambda i: F.substring(F.col("t"), i, F.lit(3)),
-                )
-            ).alias("gram"),
-        )
+        .select("doc_id", "t", F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"))
+        .select("doc_id", F.expr("substring(t, i, 3)").alias("gram"))
     )
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    from .dedup import materialized
+
+    # persist the (vocabulary-sized) frequency table: it feeds BOTH the
+    # total-mass scalar and the join build side — and the persist stops
+    # the probe-side gram explode from being re-derived through it
+    freq = materialized(
+        grams.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
     total = float(freq.agg(F.sum("n")).first()[0])
     return (
         grams.join(F.broadcast(freq), "gram")
