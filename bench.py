@@ -108,19 +108,26 @@ def main() -> None:
         print(f"# {name}: {n} rows, min {samples[0]:.2f}s of {samples}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full detail (incl. medians) goes to a file; the stdout summary line
+    # stays compact and is printed LAST, after spark.stop(), so no JVM
+    # shutdown chatter can follow it and the driver's tail capture can't
+    # truncate it (BENCH_r04.json had "parsed": null for that reason).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"),
+        "w",
+    ) as fh:
+        json.dump({**summary, "queries_median": medians}, fh)
+    spark.stop()
+    sys.stderr.flush()
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -138,19 +138,26 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Number of random hyperplanes = signature bits for the ANN path,
-#: packed into 64-bit words (2 JVM longs).  r2 ran 32 bits / ham≤13,
-#: which passed ~20% of the corpus to the exact rerank; at 128 bits the
-#: Hamming fraction's variance is 4× tighter, separating true
-#: neighbors (~0.39 disagreement on the uniform-random fixtures) from
-#: the 0.5 background well enough to screen to a few percent at the
-#: same recall gate (measurements in SCALING.md).
-_ANN_BITS = 128
+#: packed into 64-bit words (8 JVM longs).  The bit count sets how
+#: tightly the per-pair Hamming fraction concentrates around its
+#: expectation θ/π: std ≈ 0.5/√bits on the 0.5 background.  r2 ran 32
+#: bits (20% of the corpus passed to rerank), r3/r4 128 bits (3.8%
+#: fraction but only 0.54 top-10 recall on the uniform-random fixtures
+#: — the r4 verdict's production complaint).  512 bits cuts the
+#: background std to 0.022 (≈5σ separation from the ~0.42 true-neighbor
+#: disagreement), reaching recall 0.84–0.97 at 6–7% candidate fraction
+#: across all fixture scales (SCALING.md round-5 table).  Cost: the
+#: signature matmul is still one BLAS call per Arrow batch, the screen
+#: is 8 XOR+popcount per pair, and a vector's signature is 64 B — ¼ of
+#: the 256 B float vector it screens for.
+_ANN_BITS = 512
 _ANN_WORDS = _ANN_BITS // 64
 
 #: Hamming screen radius (of _ANN_BITS).  Tuned on the uniform-random
 #: fixtures (the LSH worst case): candidate fraction and recall vs
-#: threshold are tabulated in SCALING.md.
-_ANN_HAM = 50
+#: threshold are tabulated in SCALING.md.  220/512 = 0.43 sits between
+#: the true-neighbor disagreement (~0.42) and the 0.5 background.
+_ANN_HAM = 220
 
 
 def _hyperplanes(dim: int):
@@ -210,18 +217,20 @@ def with_signatures(e: DataFrame) -> DataFrame:
 
 @query("sim_ann_lsh")  # rows-only: xxhash64-derived planes are engine-specific
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors via random-hyperplane LSH: 128-bit
-    sign signatures (2 packed longs); candidates are vectors within
+    """Approximate top-10 neighbors via random-hyperplane LSH: 512-bit
+    sign signatures (8 packed longs); candidates are vectors within
     Hamming distance ``_ANN_HAM`` of the query signature (sign-bit
     agreement tracks the angle), exact cosine re-ranks candidates only.
 
-    Cost shape: the Hamming screen is four 64-bit JVM ops per (query,
+    Cost shape: the Hamming screen is 16 64-bit JVM ops per (query,
     vector) against a broadcast query side — the expensive cosine runs
-    only on the few percent of the corpus that survives (fraction and
-    recall vs threshold measured in SCALING.md).  The driver fixtures
-    are uniform-random embeddings — the LSH worst case; real clustered
-    corpora separate far better.  For corpus×corpus joins use banded
-    signatures (see dedup_simhash) instead of a per-query screen."""
+    only on the ~6% of the corpus that survives, at top-10 recall
+    0.84–0.97 (fraction and recall vs threshold measured in
+    SCALING.md).  The driver fixtures are uniform-random embeddings —
+    the LSH worst case; real clustered corpora separate far better
+    (the planted-neighbor row in SCALING.md shows recall 1.0 at the
+    same screen).  For corpus×corpus joins use banded signatures (see
+    dedup_simhash) instead of a per-query screen."""
     from .dedup import materialized
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -75,21 +75,27 @@ def audit(df: DataFrame) -> dict:
     }
 
 
+def _walk_logical(node):
+    """Depth-first traversal of a Catalyst logical plan via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_logical(children.apply(i))
+
+
 def global_windows(df: DataFrame) -> int:
     """Count partition-less (global) Window operators — the
     single-partition funnel WindowExec warns about at runtime, surfaced
-    statically.  In the optimized logical plan a Window node prints
-    ``Window [exprs], [partitionSpec], [orderSpec]``; a GLOBAL window
-    drops the partition group, leaving two groups with sort directions
-    in the last — a partition-only window also prints two groups, but
-    its last group carries no ASC/DESC."""
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    n = 0
-    for line in opt.splitlines():
-        m = re.match(r"\s*(?:[+:\-| ]*)Window (\[.*)$", line)
-        if not m:
-            continue
-        groups = re.findall(r"\[([^\[\]]*(?:\[[^\]]*\][^\[\]]*)*)\]", m.group(1))
-        if len(groups) == 2 and (" ASC" in groups[-1] or " DESC" in groups[-1]):
-            n += 1
-    return n
+    statically.  Traverses the optimized logical plan through the JVM
+    and checks each Window node's ``partitionSpec().isEmpty()`` — the
+    plan's own structure, not its printed form, so plan-format changes
+    or window expressions that happen to embed ``' ASC'`` in nested
+    brackets can't silently turn this guard into a no-op (the failure
+    mode of the earlier toString-regex version)."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+    return sum(
+        1
+        for node in _walk_logical(opt)
+        if node.getClass().getSimpleName() == "Window"
+        and node.partitionSpec().isEmpty()
+    )

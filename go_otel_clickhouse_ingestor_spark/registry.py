@@ -38,45 +38,34 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 4: first the
-#: 16 queries that FAILED in r3 (the events.ts fixture-schema change —
-#: fixed in tables.py, all re-verified locally), then every query never
-#: driver-sampled (r3's window reached priority slot 50; slots 51+ and
-#: later additions spilled).  5 of the 55 needing evidence spill to
-#: round 5 (tail positions).  Rotate per round until every query has a
-#: driver-green row in some CORRECTNESS_r*.json.
+#: queries with the least driver-anchored evidence.  Round 5: the 18
+#: oracle-backed queries that have never had a driver row (cumulative
+#: union of CORRECTNESS_r1–r4 = 130 green; these 18 are the remainder —
+#: all pass the local differential in tools/check_oracle.py), followed
+#: by round-5 additions.  Rows-only queries (no DuckDB oracle) are kept
+#: OUT of this list: they would burn window slots as ``no_oracle``.
+#: Rotate per round until every oracle-backed query has a driver-green
+#: row in some CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: list[str] = [
-    # failed r3 on the events.ts schema change — re-show green first
-    "win_rank_latest_per_key", "win_analytic", "win_frame_rows",
-    "udf_scalar_vectorized", "udf_group_normalize",
-    "sub_in", "sub_scalar", "fn_map", "fn_json",
-    "agg_stats", "join_skew_salted",
-    "sub_exists_correlated", "sub_not_exists",
-    "win_session_gaps", "agg_windowed_time", "source_orc_roundtrip",
-    # never driver-sampled (past r3's 50-entry window)
-    "fn_array", "join_range_bucketed",
-    "events_funnel", "events_retention_cohort", "source_partitioned_pruning",
-    "sample_weighted_hash", "text_tfidf_top_terms",
-    "fn_bitwise", "fn_hash_portable", "reshape_unpivot", "agg_histogram_bins",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q19", "tpch_q22",
-    "events_top_transitions", "events_rolling_dau", "agg_distinct_multi",
-    "win_ignore_nulls", "join_null_safe", "agg_linear_regression",
-    "agg_bool_countif",
-    "decontaminate_ngram_overlap", "dedup_incremental_corpus",
-    "pipeline_outlier_iqr", "text_repetition_gopher", "text_pii_scrub",
-    "cdc_scd2_intervals", "sql_recursive_cte",
-    # spillover to round 5 (still evidence-less after r4's 50 slots)
-    "agg_heavy_hitters_topk", "source_cdc_feed_translate", "udtf_word_expand",
-    "join_shuffle_hash_hint", "sim_ann_pq",
-    # round-4 additions (rotate in round 5)
-    "graph_pagerank", "pack_sequences_bins", "agg_percentile_exact",
-    "join_asof_tolerance", "events_resample_interpolate",
-    "cluster_kmeans_assign", "dedup_semantic", "text_trigram_lm_score",
-    "set_intersect_all", "set_except_all", "stat_crosstab", "sub_lateral",
-    "pipeline_curriculum_phases", "agg_hll_sketch_union", "corpus_build_e2e",
-    "fn_variant", "tpch_q21",
+    # never driver-sampled after r4 (local-oracle-green, need driver rows)
+    "agg_heavy_hitters_topk", "agg_percentile_exact", "corpus_build_e2e",
+    "events_resample_interpolate", "fn_variant", "graph_pagerank",
+    "join_asof_tolerance", "join_shuffle_hash_hint", "pack_sequences_bins",
+    "pipeline_curriculum_phases", "set_except_all", "set_intersect_all",
+    "source_cdc_feed_translate", "stat_crosstab", "sub_lateral",
+    "text_trigram_lm_score", "tpch_q21", "udtf_word_expand",
+    # round-5 additions (appended as they are implemented)
 ]
+
+#: Names appended here by round-5 modules land right after the backlog
+#: in the driver window.  Kept as a mutation hook so operator modules
+#: can self-register their priority at import time.
+
+
+def driver_priority_append(name: str) -> None:
+    """Add ``name`` to the driver-evidence window (idempotent)."""
+    if name not in _DRIVER_PRIORITY:
+        _DRIVER_PRIORITY.append(name)
 
 
 def _ordered(names: dict[str, Query]) -> dict[str, Query]:

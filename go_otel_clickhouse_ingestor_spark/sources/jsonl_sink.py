@@ -52,8 +52,9 @@ if HAVE_DATASOURCE_WRITER_API:
     class JsonlSinkWriter(DataSourceWriter):
         """Per-task temp-file write; visibility deferred to commit."""
 
-        def __init__(self, options):
+        def __init__(self, options, overwrite: bool = False):
             self.path = options.get("path")
+            self.overwrite = overwrite
             if not self.path:
                 raise ValueError("jsonl_sink requires option 'path'")
 
@@ -67,16 +68,68 @@ if HAVE_DATASOURCE_WRITER_API:
                     n += 1
             return _FileCommit(tmp_path=tmp, n_rows=n)
 
+        def _sweep_temps(self, keep: set[str]) -> None:
+            # orphaned .tmp-* files (task attempts that died before
+            # returning a commit message) are invisible to readers but
+            # accumulate forever otherwise — sweep on both outcomes
+            try:
+                names = os.listdir(self.path)
+            except FileNotFoundError:
+                return
+            for name in names:
+                if name.startswith(".tmp-") and name.endswith(".jsonl"):
+                    full = os.path.join(self.path, name)
+                    if full not in keep:
+                        try:
+                            os.remove(full)
+                        except FileNotFoundError:
+                            pass
+
         def commit(self, messages):
+            if self.overwrite:
+                # honor SaveMode.Overwrite: drop every part file from
+                # prior commits BEFORE renaming the new ones in, else a
+                # smaller job leaves stale high-numbered parts behind
+                # and any reader globbing part-*.jsonl (instead of
+                # keying on the manifest) sees rows from the old run
+                try:
+                    for name in os.listdir(self.path):
+                        if name.startswith("part-") and name.endswith(".jsonl"):
+                            os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+            # append mode must not clobber a prior job's part files:
+            # start numbering after the highest existing index and fold
+            # the previous manifest into the new one
+            prior_files: list[str] = []
+            prior_rows = 0
+            base = 0
+            if not self.overwrite:
+                manifest = os.path.join(self.path, "_SUCCESS")
+                if os.path.exists(manifest):
+                    with open(manifest) as f:
+                        prev = json.load(f)
+                    prior_files = list(prev.get("files", []))
+                    prior_rows = int(prev.get("rows", 0))
+                existing = [
+                    name
+                    for name in os.listdir(self.path)
+                    if name.startswith("part-") and name.endswith(".jsonl")
+                ]
+                if existing:
+                    base = 1 + max(int(n[5:10]) for n in existing)
             final: list[str] = []
             total = 0
             for i, m in enumerate(messages):
-                dst = os.path.join(self.path, f"part-{i:05d}.jsonl")
+                dst = os.path.join(self.path, f"part-{base + i:05d}.jsonl")
                 os.replace(m.tmp_path, dst)
                 final.append(os.path.basename(dst))
                 total += m.n_rows
+            self._sweep_temps(keep=set())
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-                json.dump({"files": final, "rows": total}, f)
+                json.dump(
+                    {"files": prior_files + final, "rows": prior_rows + total}, f
+                )
 
         def abort(self, messages):
             for m in messages:
@@ -84,16 +137,21 @@ if HAVE_DATASOURCE_WRITER_API:
                     os.remove(m.tmp_path)
                 except FileNotFoundError:
                     pass
+            self._sweep_temps(keep=set())
 
     class JsonlSinkDataSource(DataSource):
-        """``format("jsonl_sink")`` — option: path (output directory)."""
+        """``format("jsonl_sink")`` — option: path (output directory).
+
+        Save modes: append (default) adds part files next to existing
+        ones; overwrite clears prior ``part-*.jsonl`` at commit time so
+        the directory reflects exactly this job's output."""
 
         @classmethod
         def name(cls):
             return "jsonl_sink"
 
         def writer(self, schema, overwrite):
-            return JsonlSinkWriter(self.options)
+            return JsonlSinkWriter(self.options, overwrite=bool(overwrite))
 
 
 def register(spark) -> None:

@@ -29,9 +29,12 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
-    """The hyperplane-LSH ANN must find a reasonable share of the true
-    top-10 neighbors (128-bit signatures at ham<=_ANN_HAM; fraction vs
-    recall trade-off measured in SCALING.md)."""
+    """The hyperplane-LSH ANN must find ≥0.8 of the true top-10
+    neighbors (512-bit signatures at ham<=_ANN_HAM screen to ~6% of
+    the corpus; fraction vs recall trade-off measured in SCALING.md).
+    The fixtures are uniform-random — the LSH worst case — so this
+    floor holds a fortiori on clustered real corpora (see the
+    planted-neighbor test below for that regime)."""
     exact = {
         (r.query_id, r.vec_id)
         for r in REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
@@ -42,7 +45,56 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     }
     assert exact
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"ANN recall {recall:.2f}"
+    assert recall >= 0.8, f"ANN recall {recall:.2f}"
+
+
+def test_ann_lsh_planted_neighbors_full_recall(spark, sf_dir):
+    """Realistic-regime recall: plant a strong near-duplicate for every
+    query vector (base + small noise → cosine ≈ 0.97) and require the
+    SAME 512-bit screen to recover every planted pair as its top
+    neighbor.  Uniform-random fixtures are the LSH worst case; this is
+    the case ANN actually serves — near-identical vectors must never be
+    screened out."""
+    import numpy as np
+
+    from go_otel_clickhouse_ingestor_spark.operators import similarity as S
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = base.filter(F.col("vec_id") % 50 == 0).collect()
+    rng = np.random.RandomState(7)
+    planted = []
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noisy = v + rng.normal(0.0, 0.05 * np.abs(v).mean(), size=v.shape)
+        planted.append((int(r.vec_id) + 1_000_000, [float(x) for x in noisy]))
+    aug = base.unionAll(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    sigs = S.with_signatures(aug)
+    q = sigs.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"sig{w}").alias(f"qsig{w}") for w in range(S._ANN_WORDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"sig{w}").bitwiseXOR(F.col(f"qsig{w}")))
+        for w in range(S._ANN_WORDS)
+    )
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in sigs.join(
+            F.broadcast(q), F.col("vec_id") == F.col("query_id") + 1_000_000
+        )
+        .filter(ham <= S._ANN_HAM)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    assert len(cand) == len(rows), (
+        f"planted-neighbor recall {len(cand)}/{len(rows)} — the screen must "
+        "never drop a true near-duplicate"
+    )
 
 
 def test_ann_candidates_are_true_cosines(spark, sf_dir):

@@ -801,3 +801,48 @@ def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
         f"{out}/part-*.jsonl"
     )
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in d.collect()}
+
+
+def test_jsonl_sink_save_modes_and_orphan_sweep(spark, sf_dir, tmp_path):
+    """Save-mode semantics: overwrite clears every prior part file (a
+    smaller second job must not leave stale high-numbered parts a
+    part-glob reader would see); append offsets numbering past existing
+    parts and folds the prior manifest; orphaned .tmp-* files from dead
+    task attempts are swept at commit."""
+    import glob
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.sources import jsonl_sink
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    jsonl_sink.register(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = str(tmp_path / "jsonl_modes")
+
+    docs.repartition(4).write.format("jsonl_sink").mode("append").option(
+        "path", out
+    ).save()
+    # simulate a task attempt that died mid-write (no commit message)
+    orphan = os.path.join(out, ".tmp-deadbeef.jsonl")
+    open(orphan, "w").write('{"doc_id": -1}\n')
+
+    # overwrite with FEWER partitions: stale part-00002/3 must vanish
+    docs.limit(10).repartition(2).write.format("jsonl_sink").mode(
+        "overwrite"
+    ).option("path", out).save()
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{out}/part-*.jsonl"))
+    assert parts == ["part-00000.jsonl", "part-00001.jsonl"]
+    assert not os.path.exists(orphan), "orphaned temp must be swept at commit"
+    manifest = json.loads(open(os.path.join(out, "_SUCCESS")).read())
+    assert sorted(manifest["files"]) == parts and manifest["rows"] == 10
+    back = spark.read.schema("doc_id long, n_chars long").json(f"{out}/part-*.jsonl")
+    assert back.count() == 10
+
+    # append on top: numbering continues, manifest folds both jobs
+    docs.limit(5).repartition(2).write.format("jsonl_sink").mode("append").option(
+        "path", out
+    ).save()
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{out}/part-*.jsonl"))
+    assert parts == [f"part-0000{i}.jsonl" for i in range(4)]
+    manifest = json.loads(open(os.path.join(out, "_SUCCESS")).read())
+    assert sorted(manifest["files"]) == parts and manifest["rows"] == 15
