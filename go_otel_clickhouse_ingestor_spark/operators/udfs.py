@@ -127,6 +127,53 @@ def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_group_arrow(t):
+    """Arrow-native grouped-map kernel: same z-score semantics as
+    ``_zscore_group`` but straight from the Arrow record batch into
+    numpy — no per-group pandas DataFrame construction."""
+    import numpy as np
+    import pyarrow as pa
+
+    v = t.column("value").to_numpy()
+    mean = v.mean()
+    sd = v.std(ddof=1)
+    z = (v - mean) / sd if sd == sd and sd else np.zeros_like(v)
+    return pa.table(
+        {
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "z": pa.array(np.round(z, 4)),
+        }
+    )
+
+
+@query(
+    "udf_group_normalize_arrow",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """,
+)
+def udf_group_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped-map: identical semantics to
+    ``udf_group_normalize`` (same oracle) on Spark 4's Arrow-native
+    grouped-map API.  Measured at sf0.1 (1500 groups × ~67 rows): the
+    pandas form costs 2.6 s with an IDENTITY kernel — the per-group
+    pandas DataFrame construction IS the cost, and
+    ``arrow.maxRecordsPerBatch`` doesn't move it (probed 10k→1M, flat;
+    SCALING.md round-5 table) — while this Arrow form runs the same
+    z-score in 0.64 s.  When per-group Python is genuinely needed at
+    scale, this is the API to reach for; when the kernel is expressible
+    as window functions, that form (this query's oracle, 0.1 s) wins
+    outright."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        _zscore_group_arrow, "event_id long, user_id long, z double"
+    )
+
+
 @query(
     "udtf_word_expand",
     oracle="""

@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_cdc_feed_translate", "stat_crosstab", "sub_lateral",
     "text_trigram_lm_score", "tpch_q21", "udtf_word_expand",
     # round-5 additions (appended as they are implemented)
+    "udf_group_normalize_arrow",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -169,6 +169,95 @@ def test_session_window_runs(spark, events_stream):
     assert out.filter(F.col("win_end") < F.col("win_start")).count() == 0
 
 
+def test_session_window_merges_across_triggers_out_of_order(spark, tmp_path):
+    """Session semantics under real out-of-order multi-batch arrival:
+
+    - trigger 1: user 1 at t=0 and t=8min — with a 5-min gap these open
+      as TWO separate sessions in the state store;
+    - trigger 2: user 1 at t=4min arrives LATE (but inside the 10-min
+      watermark) and bridges them — the store must MERGE the two open
+      sessions into one [0, 13min) session; plus user 2 at t=30min;
+    - trigger 3: user 2 at t=60min pushes the watermark to 50min, which
+      closes and emits the merged user-1 session and user-2's [30,35)
+      session, while the t=60min session stays open (not emitted).
+
+    Append mode: only watermark-closed sessions reach the sink, so the
+    output proves merge + eviction, not just windowing."""
+    import os as _os
+
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import session_counts
+
+    t0 = 1_700_000_000_000_000  # µs
+    mins = 60 * 1_000_000
+
+    def ev(eid, t_min, uid):
+        return {
+            "event_id": eid,
+            "ts_us": t0 + int(t_min * mins),
+            "user_id": uid,
+            "event_type": "click",
+            "value": 1.0,
+        }
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    batches = [
+        [ev(1, 0, 1), ev(2, 8, 1)],
+        [ev(3, 4, 1), ev(4, 30, 2)],  # t=4 late: bridges 0 and 8
+        [ev(5, 60, 2)],  # watermark -> 50min: evict closed sessions
+    ]
+    for i, rows in enumerate(batches):
+        p = d / f"{chr(97 + i)}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        # file source orders by mtime; force the trigger order explicitly
+        _os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    name = f"sessooo_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 data triggers, saw {n_batches}"
+
+    got = {
+        (r.user_id, r.win_start.isoformat(), r.win_end.isoformat(), r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    from datetime import datetime, timezone
+
+    def iso(t_min):
+        return (
+            datetime.fromtimestamp(
+                (t0 + int(t_min * mins)) / 1e6, tz=timezone.utc
+            )
+            .replace(tzinfo=None)
+            .isoformat()
+        )
+
+    want = {
+        # merged: 0 + 4 + 8 within 5-min gaps -> one session [0, 13)
+        (1, iso(0), iso(13), 3),
+        # user 2's first session closed by the 50-min watermark
+        (2, iso(30), iso(35), 1),
+    }
+    assert got == want, f"got {got}"
+
+
 def test_streaming_dedup(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicated event_ids collapse."""
     from go_otel_clickhouse_ingestor_spark.streaming.windows import dedup_events

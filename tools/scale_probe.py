@@ -53,32 +53,107 @@ BASE_SF = "/root/testdata/sf0.1"
 SCALE_ROOT = "/tmp/spark_graft_scale"
 
 
-def build_scaled(spark, n: int) -> str:
-    """Materialize an n×-scaled documents table; reuse if present."""
-    out = f"{SCALE_ROOT}/x{n}"
-    if os.path.exists(f"{out}/documents.parquet/_SUCCESS"):
-        return out
-    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
-    letters = string.ascii_lowercase
-    copies = []
-    for k in range(n):
-        rot = letters[k % 26 :] + letters[: k % 26]
-        copies.append(
-            base.select(
-                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-                F.translate("text", letters, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
+def _union_copies(copies):
     df = copies[0]
     for c in copies[1:]:
         df = df.unionByName(c)
-    df.repartition(max(n, 4)).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
+    return df
+
+
+def build_scaled(spark, n: int) -> str:
+    """Materialize n×-scaled documents/embeddings/orders/lineitem
+    tables (each lazily, reused if present).
+
+    - documents: per-copy character rotation (see module docstring).
+    - embeddings: per-copy cyclic rotation of the vector's coordinates
+      — preserves norms and within-copy pairwise dots (workload shape
+      constant per copy) while decorrelating cross-copy vectors.
+    - orders/lineitem: per-copy key offsets, so the customer↔supplier
+      trade graph becomes n disjoint copies — node and edge counts
+      scale by exactly n with per-copy structure unchanged.
+    """
+    out = f"{SCALE_ROOT}/x{n}"
+    letters = string.ascii_lowercase
+    if not os.path.exists(f"{out}/documents.parquet/_SUCCESS"):
+        base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+        copies = []
+        for k in range(n):
+            rot = letters[k % 26 :] + letters[: k % 26]
+            copies.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                    F.translate("text", letters, rot).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        _union_copies(copies).repartition(max(n, 4)).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
+    if not os.path.exists(f"{out}/embeddings.parquet/_SUCCESS"):
+        base = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+        dim = len(base.select("embedding").first()[0])
+        copies = []
+        for k in range(n):
+            r = k % dim
+            rot = (
+                F.concat(
+                    F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
+                )
+                if r
+                else F.col("embedding")
+            )
+            copies.append(
+                base.select(
+                    (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                    rot.alias("embedding"),
+                    "label",
+                )
+            )
+        _union_copies(copies).repartition(max(n, 4)).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+    for tbl, keys in (
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("lineitem", ["l_orderkey", "l_suppkey"]),
+    ):
+        if os.path.exists(f"{out}/{tbl}.parquet/_SUCCESS"):
+            continue
+        base = spark.read.parquet(f"{BASE_SF}/{tbl}.parquet")
+        copies = []
+        for k in range(n):
+            c = base
+            for key in keys:
+                c = c.withColumn(key, F.col(key) + F.lit(k * 10_000_000))
+            copies.append(c)
+        _union_copies(copies).repartition(max(n, 4)).write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
     return out
+
+
+def sem_cell_stats(spark, sf_dir: str) -> dict:
+    """SemDeDup blocking diagnostics at this scale: the chosen K, the
+    max/mean cell size, and the intra-cell candidate-pair volume
+    Σ|cell|·(|cell|-1)/2 — the quantity that must grow ~linearly with N
+    for the blocking to hold at 100 TB (r4 verdict: fixed K made it
+    quadratic)."""
+    from go_otel_clickhouse_ingestor_spark.operators.clustering import kmeans, sem_k
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    k = sem_k(n)
+    assigned, _ = kmeans(spark, e, k=k, iters=2)
+    sizes = [r.c for r in assigned.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+    return {
+        "n": n,
+        "k": k,
+        "max_cell": max(sizes),
+        "mean_cell": round(sum(sizes) / len(sizes), 1),
+        "candidate_pairs": sum(c * (c - 1) // 2 for c in sizes),
+    }
 
 
 def main() -> None:
@@ -99,6 +174,14 @@ def main() -> None:
 
     results = {}
     for name in ops:
+        if name == "sem_cells":
+            # blocking diagnostic, not a registry query
+            results[name] = {
+                "at1": sem_cell_stats(spark, base),
+                "atN": sem_cell_stats(spark, scaled),
+            }
+            print(f"# sem_cells: {results[name]}", file=sys.stderr)
+            continue
         q = reg[name]
         t0 = time.time()
         r1 = q.fn(spark, base).count()
