@@ -23,6 +23,36 @@ _DISC_PRICE = (
 )
 _CHARGE = f"{_DISC_PRICE} * (1 + cast(l_tax as decimal(4,2)))"
 
+#: Derived partsupp: the fixtures ship no partsupp table, so q2/q11/
+#: q16/q20 (like the q7-q9 adaptations) reconstruct one from lineitem —
+#: supply cost as the cheapest observed unit price truncated to cents
+#: (``floor(x*100)/100``: pure IEEE ops that are bit-identical across
+#: engines, where ``round(x, 2)``'s half-tie semantics differ — Spark
+#: HALF_UP vs DuckDB's nearest-double, observed flipping 4382.105 one
+#: cent apart), availqty as the total shipped quantity (integral
+#: doubles; exact under fp addition, cast back to BIGINT).
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(floor(l_extendedprice / l_quantity * 100) / 100) AS ps_supplycost,
+             cast(round(sum(l_quantity), 0) AS BIGINT)   AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _ps(li: DataFrame) -> DataFrame:
+    """Spark twin of ``_PS_SQL`` (derived partsupp from lineitem)."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        (
+            F.min(
+                F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100) / 100
+            ).alias("ps_supplycost")
+        ),
+        F.round(F.sum("l_quantity"), 0).cast("long").alias("ps_availqty"),
+    )
+
 
 @query(
     "tpch_q1",
@@ -889,3 +919,246 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(100)
     w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    euro AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    cheapest AS (
+      SELECT ps_partkey, min(ps_supplycost) AS min_cost
+      FROM euro GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost, rn
+    FROM (
+      SELECT euro.s_acctbal, euro.s_name, euro.n_name,
+             p.p_partkey, p.p_name, euro.ps_supplycost AS cost,
+             row_number() OVER (ORDER BY euro.s_acctbal DESC, euro.n_name,
+                                euro.s_name, euro.ps_partkey) AS rn
+      FROM euro
+      JOIN cheapest ch ON ch.ps_partkey = euro.ps_partkey
+                      AND euro.ps_supplycost = ch.min_cost
+      JOIN part p ON p.p_partkey = euro.ps_partkey
+      WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+    ) t
+    WHERE rn <= 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: derived partsupp, p_type
+    equality instead of LIKE %BRASS — the fixture's p_type is a flat
+    6-value enum).  The classic correlated MIN subquery is decorrelated
+    into a per-part aggregate over the region-scoped supplier pool and
+    joined back on cost equality — both sides compute the SAME
+    element-wise-rounded min, so the equality is exact.  Scale shape:
+    supplier/nation/region broadcast (tiny dims), the derived-partsupp
+    aggregate is the only fact shuffle, the min-cost aggregate re-uses
+    its partitioning, and the final top-100 is
+    orderBy().limit() -> TakeOrderedAndProject, never a global-window
+    funnel."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    euro = (
+        _ps(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    cheapest = euro.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    hit = (
+        euro.join(
+            cheapest,
+            (euro.ps_partkey == cheapest.ps_partkey)
+            & (euro.ps_supplycost == cheapest.min_cost),
+        )
+        .drop(cheapest.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    order = [
+        F.col("s_acctbal").desc(),
+        F.col("n_name").asc(),
+        F.col("s_name").asc(),
+        F.col("ps_partkey").asc(),
+    ]
+    top = hit.orderBy(*order).limit(100)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("ps_supplycost").alias("cost"), "rn",
+        )
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    scoped AS (
+      SELECT ps.ps_partkey,
+             cast(ps.ps_supplycost AS DECIMAL(12,2)) * ps.ps_availqty AS val
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name = 'NATION_7'
+    ),
+    sums AS (SELECT ps_partkey, sum(val) AS sval FROM scoped GROUP BY ps_partkey),
+    tot  AS (SELECT sum(val) AS t FROM scoped)
+    SELECT ps_partkey, cast(round(sval, 2) AS DOUBLE) AS value
+    FROM sums CROSS JOIN tot
+    WHERE sval * 1000 > t
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (adapted: derived partsupp, fixture nation
+    name): per-part inventory value for one nation's suppliers, kept
+    only when above 0.1% of that nation's total.  The global-total
+    scalar is a 1-row broadcast cross join and the HAVING threshold is
+    multiplied out over exact decimals (``sval * 1000 > t``) — the
+    q17/q22 convention, so row membership can't flip on a double's last
+    ULP.  One fact shuffle (the partsupp aggregate), the per-part and
+    global sums reuse it; nation/supplier broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    scoped = (
+        _ps(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            F.expr("cast(ps_supplycost as decimal(12,2)) * ps_availqty").alias("val"),
+        )
+    )
+    sums = scoped.groupBy("ps_partkey").agg(F.sum("val").alias("sval"))
+    tot = scoped.agg(F.sum("val").alias("t"))
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .filter(F.expr("sval * 1000 > t"))
+        .select(
+            "ps_partkey", F.expr("cast(round(sval, 2) as double)").alias("value")
+        )
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#15'
+      AND p.p_type  <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship (adapted: derived partsupp; the
+    fixture has no s_comment, so the classic complaints exclusion is
+    dropped).  COUNT(DISTINCT supplier) per (brand, type, size) bucket
+    over the negated-predicate part scan — brand/type/size filters push
+    to the part scan, part broadcasts into the derived-partsupp
+    aggregate, and the distinct count is the standard two-phase
+    partial/final expand."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        _ps(li)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             cast(round(sum(l_quantity), 0) AS BIGINT) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           cast(round(s.s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'small%'
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > 2 * sh.qty97
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion (adapted: derived partsupp — stock
+    is total shipped quantity, so the classic ``availqty > 0.5 *
+    year_qty`` is re-tuned to ``availqty > 2 * qty97``, which over the
+    fixture's ~7-year shipping span selects (part, supplier) pairs
+    whose 1997 volume under-indexes their stock; both sides are exact
+    BIGINTs so the comparison can't tie on float noise).  Shape:
+    part-name filter pushes to the part scan and broadcasts; the
+    derived-partsupp and 1997-shipment aggregates share the same
+    (partkey, suppkey) shuffle key; the supplier membership test is a
+    left-semi join."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("qty97"))
+    )
+    keep = (
+        _ps(li)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 2 * F.col("qty97"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(keep, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("cast(round(s_acctbal, 2) as double)").alias("s_acctbal"),
+        )
+    )

@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_trigram_lm_score", "tpch_q21", "udtf_word_expand",
     # round-5 additions (appended as they are implemented)
     "udf_group_normalize_arrow",
+    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
