@@ -224,3 +224,64 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, value,
+             count(*)                       OVER w AS n,
+             cast(sum(cast(value AS DECIMAL(14,4)))          OVER w AS DOUBLE) AS s,
+             cast(sum(cast(value AS DECIMAL(14,4))
+                      * cast(value AS DECIMAL(14,4)))        OVER w AS DOUBLE) AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           round((value - (s / n))
+                 / sqrt(((ss - ((s * s) / n)) / (n - 1)) + 1e-12), 4) AS z,
+           (abs((value - (s / n))
+                / sqrt(((ss - ((s * s) / n)) / (n - 1)) + 1e-12)) > 2.0) AS is_anomaly
+    FROM f WHERE n >= 5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: each event's z-score against
+    its user's trailing 21-event frame, flagged at |z| > 2 — the
+    streaming-adjacent outlier primitive of a metrics pipeline (the
+    batch twin of a stateful detector).  The frame's mean/std come from
+    exact-DECIMAL windowed sums (count / Σx / Σx²): sliding-window
+    float accumulation is engine-specific (subtract-on-evict vs rescan
+    re-associate the additions), so the sufficient statistics must be
+    exact before the one double-precision closed form.  The n >= 5
+    guard drops cold-start frames where std is noise.  Scale: one
+    shuffle on user_id, O(frame) state during the sorted scan."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    dec = "cast(value as decimal(14,4))"
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.expr(f"sum({dec})").over(w).cast("double").alias("s"),
+        F.expr(f"sum({dec} * {dec})").over(w).cast("double").alias("ss"),
+    )
+    z = F.expr(
+        "round((value - (s / n)) / sqrt(((ss - ((s * s) / n)) / (n - 1)) + 1e-12), 4)"
+    )
+    flag = F.expr(
+        "abs((value - (s / n)) / sqrt(((ss - ((s * s) / n)) / (n - 1)) + 1e-12)) > 2.0"
+    )
+    return (
+        f.filter(F.col("n") >= 5)
+        .select("event_id", "user_id", z.alias("z"), flag.alias("is_anomaly"))
+    )

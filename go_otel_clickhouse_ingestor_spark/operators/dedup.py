@@ -556,3 +556,54 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.filter(F.col("doc_id") % 10 >= 8)
         .join(base, F.col("fingerprint") == F.col("base_fp"), "left_anti")
     )
+
+
+@query(
+    "dedup_exact_keep_best",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, n_chars, lang, md5(text) AS content_hash
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY content_hash
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             count(*)     OVER (PARTITION BY content_hash)         AS n_copies
+      FROM hashed
+    )
+    SELECT content_hash, n_copies, doc_id AS keeper_doc_id,
+           n_chars AS keeper_n_chars, lang AS keeper_lang
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with QUALITY-AWARE survivor selection: identical
+    texts collapse to one row, keeping the longest copy (ties to the
+    lowest doc_id) instead of ``dedup_exact``'s min-id rule — the
+    curation policy real pipelines use, where duplicates differ in
+    truncation and you keep the fullest.  One window over the content
+    hash (partitioned — never global); at 100 TB this is the same
+    single-shuffle shape as dedup_exact with the survivor policy as
+    the window order, and extending the policy (quality score, source
+    priority) only changes the ORDER BY."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "n_chars", "lang", F.md5("text").alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "content_hash",
+            "n_copies",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_chars").alias("keeper_n_chars"),
+            F.col("lang").alias("keeper_lang"),
+        )
+    )

@@ -253,3 +253,47 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "pr")
         )
     return ranks.select("node", F.round("pr", 8).alias("pr"))
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src)
+    SELECT substr(node, 1, 1) AS node_type, degree, count(*) AS n_nodes
+    FROM deg
+    GROUP BY substr(node, 1, 1), degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier trade graph (the
+    same edge construction as ``graph_pagerank``): per node degree,
+    histogrammed by node type — the first diagnostic run on any graph
+    before an iterative algorithm (skewed degrees predict hot
+    partitions in the rank join; a 100 TB pipeline reads this to decide
+    salting).  Two aggregates, both keyed: degree count on src, then
+    histogram on (type, degree) — output is bounded by the distinct
+    degree values, not the graph."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy(
+        F.substring("node", 1, 1).alias("node_type"), "degree"
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))

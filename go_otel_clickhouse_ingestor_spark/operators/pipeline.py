@@ -400,3 +400,82 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.floor(cum_before / 2048).cast("long").alias("bin"),
     )
+
+
+@query(
+    "pipeline_mix_weights",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 4
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+                  ELSE 1 END AS weight
+      FROM documents
+    ),
+    wt AS (
+      SELECT sum(w) AS wtot FROM (SELECT DISTINCT source, weight AS w FROM weighted) t
+    ),
+    runs AS (
+      SELECT w.doc_id, w.source, w.n_chars, w.weight,
+             floor((200000.0 * w.weight) / wt.wtot) AS quota_chars,
+             sum(w.n_chars) OVER (PARTITION BY w.source
+                                  ORDER BY w.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM weighted w CROSS JOIN wt
+    )
+    SELECT source,
+           max(weight)::BIGINT                                    AS weight,
+           count(*)                                               AS n_docs,
+           sum(n_chars)::BIGINT                                   AS total_chars,
+           max(quota_chars)::BIGINT                               AS quota_chars,
+           count(*) FILTER (WHERE cum_chars <= quota_chars)       AS n_sampled,
+           sum(n_chars) FILTER (WHERE cum_chars <= quota_chars)::BIGINT AS sampled_chars
+    FROM runs
+    GROUP BY source
+    """,
+)
+def pipeline_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: each source gets a char budget
+    proportional to its configured mix weight (web-ish sources
+    upweighted 4×/2×), and docs fill the quota greedily in
+    deterministic doc_id order — the per-source running-sum cut of
+    ``pipeline_budget_sharded``, but with per-shard budgets derived
+    from a weight table instead of one global number.  Emits the
+    per-source audit row (docs/chars available, quota, docs/chars
+    actually sampled) a mixture run logs before materializing.  Scale:
+    the running sum partitions by source (never global), the weight
+    table is a literal broadcast, one source-keyed shuffle total."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 4)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
+        .otherwise(1)
+    )
+    weighted = d.select("doc_id", "source", "n_chars", weight.alias("weight"))
+    wsum = (
+        weighted.select("source", "weight")
+        .distinct()
+        .agg(F.sum("weight").alias("wtot"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = (
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "quota_chars",
+            F.floor((F.lit(200000.0) * F.col("weight")) / F.col("wtot")),
+        )
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+    )
+    fits = F.col("cum_chars") <= F.col("quota_chars")
+    return runs.groupBy("source").agg(
+        F.max("weight").cast("long").alias("weight"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("quota_chars").cast("long").alias("quota_chars"),
+        F.count_if(fits).alias("n_sampled"),
+        F.sum(F.when(fits, F.col("n_chars"))).cast("long").alias("sampled_chars"),
+    )

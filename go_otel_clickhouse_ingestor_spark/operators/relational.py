@@ -1603,3 +1603,113 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.select("event_type", "distinct_users", "distinct_users_global")
+
+
+@query(
+    "sub_quantified",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           s.s_acctbal > ALL (SELECT c.c_acctbal FROM customer c
+                              WHERE c.c_nationkey = s.s_nationkey) AS beats_all,
+           s.s_acctbal > ANY (SELECT c.c_acctbal FROM customer c
+                              WHERE c.c_nationkey = s.s_nationkey) AS beats_some
+    FROM supplier s
+    """,
+)
+def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (``> ALL`` / ``> ANY`` correlated
+    subqueries), decorrelated the way every engine actually executes
+    them: ALL becomes a comparison against the group MAX, ANY against
+    the group MIN, with the vacuous-truth edge handled explicitly — a
+    nation with no customers makes ``> ALL`` TRUE and ``> ANY`` FALSE
+    (left join + null checks).  One tiny per-nation aggregate
+    broadcast against supplier; the oracle runs the genuine quantified
+    subqueries so the decorrelation is what gets differentially
+    verified.  Scale: the aggregate is O(nations) and broadcast;
+    supplier is never shuffled."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.max("c_acctbal").alias("cmax"), F.min("c_acctbal").alias("cmin")
+    )
+    return (
+        s.join(F.broadcast(per_nation), F.col("s_nationkey") == F.col("nk"), "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.when(F.col("cmax").isNull(), F.lit(True))
+            .otherwise(F.col("s_acctbal") > F.col("cmax"))
+            .alias("beats_all"),
+            F.when(F.col("cmin").isNull(), F.lit(False))
+            .otherwise(F.col("s_acctbal") > F.col("cmin"))
+            .alias("beats_some"),
+        )
+    )
+
+
+@query(
+    "stat_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE)       AS sx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sy,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE)     AS sxx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(10,2))
+                      * cast(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS syy,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(((n * sxy) - (sx * sy))
+                 / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6)
+             AS corr_qty_price,
+           round((sxy - ((sx * sy) / n)) / (n - 1), 4) AS covar_samp,
+           round((sxy - ((sx * sy) / n)) / n, 4)       AS covar_pop
+    FROM s
+    """,
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + covariances of (quantity,
+    extendedprice) from exact-decimal sufficient statistics — the
+    agg_linear_regression pattern: the five sums are map-side-combinable
+    DECIMAL aggregates (no partial-sum float drift between engines),
+    and the closed forms run on the handful of group rows after one
+    cast to double, fully parenthesized so both engines execute the
+    identical IEEE sequence.  Never calls the engines' own
+    corr()/covar() (whose internal accumulation order is
+    engine-specific) — that's the point: the distributed-safe form IS
+    the sufficient-statistics form."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cast(l_quantity as decimal(6,2))) as double)").alias("sx"),
+        F.expr("cast(sum(cast(l_extendedprice as decimal(10,2))) as double)").alias(
+            "sy"
+        ),
+        F.expr(
+            "cast(sum(cast(l_quantity as decimal(6,2))"
+            " * cast(l_quantity as decimal(6,2))) as double)"
+        ).alias("sxx"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(10,2))"
+            " * cast(l_extendedprice as decimal(10,2))) as double)"
+        ).alias("syy"),
+        F.expr(
+            "cast(sum(cast(l_quantity as decimal(6,2))"
+            " * cast(l_extendedprice as decimal(10,2))) as double)"
+        ).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "round(((n * sxy) - (sx * sy))"
+            " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6)"
+        ).alias("corr_qty_price"),
+        F.expr("round((sxy - ((sx * sy) / n)) / (n - 1), 4)").alias("covar_samp"),
+        F.expr("round((sxy - ((sx * sy) / n)) / n, 4)").alias("covar_pop"),
+    )

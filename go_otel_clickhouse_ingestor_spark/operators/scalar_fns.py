@@ -502,3 +502,150 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.vals[0]', 'long')").alias("v0"),
         F.expr("cast(v:vals[1] as long)").alias("v1"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+             || 'example.com/' || source || '/doc/' || cast(doc_id % 200 AS VARCHAR)
+             || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&ref=x'
+                                 WHEN 1 THEN '#section-2' ELSE '' END) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)     AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           nullif(regexp_extract(url, '\\?([^#]*)', 1), '')  AS query,
+           nullif(regexp_extract(url, '#(.*)$', 1), '')      AS fragment,
+           nullif(regexp_extract(url, 'utm_source=([^&#]*)', 1), '') AS utm_source
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-component extraction via Spark's ``parse_url`` — the
+    structured sibling of ``dedup_url_canonical``'s regex
+    canonicalizer.  The fixtures carry no URL column, so both engines
+    synthesize the identical deterministic URL from (doc_id, source)
+    (the dedup_url_canonical convention) and the oracle re-derives each
+    component with plain regexes — checking that parse_url's
+    PROTOCOL/HOST/PATH/QUERY/REF/QUERY:key semantics agree with their
+    regex definitions, nulls included (parse_url yields NULL for an
+    absent component; the oracle nullifs its empty match to the same).
+    Scale: pure codegen string expressions, map-only, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "https").otherwise("http"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 5 == 0, "www.").otherwise(""),
+        F.lit("example.com/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed&ref=x")
+        .when(F.col("doc_id") % 3 == 1, "#section-2")
+        .otherwise(""),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("proto"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'REF')").alias("fragment"),
+        F.expr("parse_url(url, 'QUERY', 'utm_source')").alias("utm_source"),
+    )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH pair AS (
+      SELECT doc_id,
+             [doc_id % 5, doc_id % 7, doc_id % 3, doc_id % 11]  AS a,
+             [doc_id % 3, doc_id % 4, doc_id % 11, doc_id % 13] AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(list_cat(a, b))), ','), '') AS union_str,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '')        AS intersect_str,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '')    AS except_str,
+           len(list_distinct(list_cat(a, b)))::BIGINT                     AS n_union,
+           list_has_any(a, b)                                             AS overlaps
+    FROM pair
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except / overlap) over
+    deterministic small-int arrays derived from doc_id.  Spark's
+    array_union/array_intersect/array_except deduplicate with
+    first-occurrence order and DuckDB's list combinators make no order
+    promise, so results are SORTED and serialized to strings before
+    they cross the comparison boundary (the fn_array convention: arrays
+    stay inside the plan).  Scale: codegen array expressions, map-only."""
+    d = table(spark, sf_dir, "documents")
+    a = F.array(
+        (F.col("doc_id") % 5),
+        (F.col("doc_id") % 7),
+        (F.col("doc_id") % 3),
+        (F.col("doc_id") % 11),
+    )
+    b = F.array(
+        (F.col("doc_id") % 3),
+        (F.col("doc_id") % 4),
+        (F.col("doc_id") % 11),
+        (F.col("doc_id") % 13),
+    )
+    p = d.select("doc_id", a.alias("a"), b.alias("b"))
+    return p.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.array_union("a", "b")), ",").alias("union_str"),
+        F.array_join(F.sort_array(F.array_intersect("a", "b")), ",").alias(
+            "intersect_str"
+        ),
+        F.array_join(F.sort_array(F.array_except("a", "b")), ",").alias("except_str"),
+        F.size(F.array_union("a", "b")).cast("long").alias("n_union"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{6,})', 1)                     AS first_long,
+           len(regexp_extract_all(text, '[a-z]+'))::BIGINT            AS n_lower_runs,
+           regexp_replace(substr(text, 1, 80), '[0-9]+', '#', 'g')    AS masked_head,
+           regexp_matches(text, '(the|and|of) ')                      AS has_stopword,
+           regexp_extract(text, '([a-z]+)[.!?]\\s*$', 1)              AS last_word
+    FROM documents
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over real document text: first capture,
+    extract-all count, global replace, boolean match, anchored capture.
+    Patterns stay inside the RE2 ∩ java.util.regex common subset
+    (character classes, alternation, anchors, bounded repetition — no
+    backrefs/lookaround) so both engines compile identical semantics.
+    Scale: codegen regex expressions, map-only; the substr bound on the
+    replace keeps the masked column narrow."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias("first_long"),
+        F.size(F.expr(r"regexp_extract_all(text, '([a-z]+)', 1)"))
+        .cast("long")
+        .alias("n_lower_runs"),
+        F.regexp_replace(F.substring("text", 1, 80), r"[0-9]+", "#").alias(
+            "masked_head"
+        ),
+        F.col("text").rlike(r"(the|and|of) ").alias("has_stopword"),
+        F.regexp_extract("text", r"([a-z]+)[.!?]\s*$", 1).alias("last_word"),
+    )

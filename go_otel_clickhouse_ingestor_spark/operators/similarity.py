@@ -527,3 +527,85 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("query_id", "rnk", "vec_id", "cos_sim")
     )
+
+
+@query(
+    "emb_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           count(*)                                               AS n,
+           cast(round(sum(cast(nrm AS DECIMAL(14,6))), 4) AS DOUBLE) AS sum_norm,
+           round(min(nrm), 6)                                     AS min_norm,
+           round(max(nrm), 6)                                     AS max_norm
+    FROM norms
+    GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics — the embedding-table health
+    check (a norm collapse or blow-up is the first symptom of a bad
+    encoder run) and the oracle-backed member of the similarity family
+    (the ANN operators are rows-only by design).  The norm itself is
+    the unrolled codegen dot (bit-identical to DuckDB's
+    list_dot_product fold); the SUM goes through DECIMAL so partial-sum
+    order can't drift, min/max are order-free.  One agg shuffle keyed
+    on label; map-side combine does the heavy lifting."""
+    e = table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(e)
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding"), dim))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("cast(round(sum(cast(nrm as decimal(14,6))), 4) as double)").alias(
+                "sum_norm"
+            ),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             embedding
+      FROM embeddings
+    )
+    SELECT label, pos::BIGINT AS pos,
+           cast(round(sum(cast(embedding[pos] AS DECIMAL(14,6)))
+                      / count(*), 5) AS DOUBLE) AS c
+    FROM pos
+    GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, emitted as (label, pos, value) rows
+    — the coarse-quantizer training step of ``sim_ann_ivf`` exposed as
+    an oracle-checked query (arrays stay inside the plan per the
+    fn_array convention; the driver hash compares scalars).  Per-
+    dimension sums go through DECIMAL (exact under any partial-sum
+    order), divided by the label count once, in double.  Scale: one
+    posexplode + one (label, pos) keyed agg — output is labels×dim
+    rows regardless of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.expr(
+                "cast(round(sum(cast(v as decimal(14,6))) / count(*), 5) as double)"
+            ).alias("c")
+        )
+        .select("label", F.col("pos").cast("long").alias("pos"), "c")
+    )

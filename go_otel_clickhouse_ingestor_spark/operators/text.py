@@ -578,3 +578,125 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log2(F.col("n") / F.lit(total))), 4).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "text_html_strip",
+    oracle="""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<!DOCTYPE html><p class="doc" id="d' || cast(doc_id AS VARCHAR)
+             || '">' || replace(replace(text, ' and ', ' &amp; '),
+                                ' of ', ' &lt;of&gt; ')
+             || '</p><br/><a href="/d/' || cast(doc_id AS VARCHAR) || '">x</a>'
+               AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(replace(replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', '', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), 1, 120)                                AS clean_head,
+           len(regexp_extract_all(html, '<[^>]*>'))::BIGINT         AS n_tags,
+           length(regexp_replace(html, '<[^>]*>', '', 'g'))::BIGINT AS clean_len
+    FROM wrapped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML strip + entity decode — the first transform applied to any
+    crawled corpus (the reference's pipelines ingest JSON, but a web
+    corpus arrives as markup).  The fixtures carry plain text, so both
+    engines wrap each doc in identical deterministic markup (tags with
+    attributes, entities injected into the body) and the oracle checks
+    the STRIPPER: tag regex removal, the 5-entity decode chain, and
+    the tag census.  Order matters — ``&amp;`` decodes LAST in real
+    strippers to avoid double-decoding, but this op intentionally
+    mirrors one fixed chain in both engines.  Scale: chained codegen
+    regex/replace, map-only, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<!DOCTYPE html><p class="doc" id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.regexp_replace(
+            F.regexp_replace("text", " and ", " &amp; "), " of ", " &lt;of&gt; "
+        ),
+        F.lit('</p><br/><a href="/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a>'),
+    )
+    w = d.select("doc_id", html.alias("html"))
+    stripped = F.regexp_replace("html", "<[^>]*>", "")
+    decoded = stripped
+    for ent, ch in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return w.select(
+        "doc_id",
+        F.substring(decoded, 1, 120).alias("clean_head"),
+        F.size(F.expr("regexp_extract_all(html, '<[^>]*>', 0)"))
+        .cast("long")
+        .alias("n_tags"),
+        F.length(stripped).cast("long").alias("clean_len"),
+    )
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM toks GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT 1000
+      ) t
+    )
+    SELECT toks.doc_id,
+           count(*)                                   AS n_tokens,
+           count(*) FILTER (WHERE vocab.w IS NULL)    AS n_oov,
+           round(count(*) FILTER (WHERE vocab.w IS NULL)
+                 / cast(count(*) AS DOUBLE), 4)       AS oov_rate
+    FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+    GROUP BY toks.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus' top-1000-word
+    vocabulary (frequency desc, word asc — a deterministic cut), then
+    score every document's out-of-vocabulary token rate against it —
+    the standard pre-tokenizer audit before committing a vocab to a
+    training run.  Two-phase shape that matters at 100 TB: the vocab
+    aggregate produces a BOUNDED table (1000 rows) regardless of corpus
+    size, which broadcasts back for a shuffle-free membership probe
+    (the decontaminate_ngram_overlap pattern); per-doc aggregation
+    shuffles on doc_id once."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(1000)
+        .select(F.col("w").alias("vw"))
+    )
+    joined = toks.join(F.broadcast(vocab), toks.w == F.col("vw"), "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_if(F.col("vw").isNull()).alias("n_oov"),
+        F.round(
+            F.count_if(F.col("vw").isNull()) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("oov_rate"),
+    )

@@ -456,3 +456,38 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp, 4).alias("value_interp"),
         )
     )
+
+
+@query(
+    "win_pct_change",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pct_change,
+           round(value - lag(value) OVER w, 6)                       AS diff,
+           coalesce(value > lag(value) OVER w, FALSE)                AS increased
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key percent change — the time-series delta primitive (lag
+    within user ordered by event time).  First event per user yields
+    NULL deltas (SQL lag semantics); the boolean is coalesced to FALSE
+    because null-bool serialization differs between engines (None vs
+    NaN) where null floats agree.  Element-wise IEEE arithmetic on
+    two scalars is engine-deterministic, so only round-for-display is
+    needed.  Scale: one shuffle on user_id; the frame is a single
+    previous row, O(1) state per partition during the sort-based
+    window scan."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((F.col("value") - prev) / prev, 6).alias("pct_change"),
+        F.round(F.col("value") - prev, 6).alias("diff"),
+        F.coalesce(F.col("value") > prev, F.lit(False)).alias("increased"),
+    )

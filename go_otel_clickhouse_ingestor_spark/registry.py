@@ -57,6 +57,12 @@ _DRIVER_PRIORITY: list[str] = [
     # round-5 additions (appended as they are implemented)
     "udf_group_normalize_arrow",
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+    "fn_url", "fn_array_setops", "fn_regexp",
+    "sub_quantified", "stat_corr_matrix",
+    "win_pct_change", "events_anomaly_zscore",
+    "pipeline_mix_weights", "text_html_strip", "text_oov_rate",
+    "dedup_exact_keep_best", "graph_degree_stats",
+    "emb_norm_stats", "emb_label_centroids",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
