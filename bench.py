@@ -68,6 +68,13 @@ HEADLINE = [
     "events_resample_interpolate",
     "text_trigram_lm_score",
     "corpus_build_e2e",
+    # round-5 flagships
+    "tpch_q2",
+    "udf_group_normalize_arrow",
+    "events_anomaly_zscore",
+    "text_oov_rate",
+    "dedup_exact_keep_best",
+    "pipeline_mix_weights",
 ]
 
 

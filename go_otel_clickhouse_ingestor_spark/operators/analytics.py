@@ -285,3 +285,74 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.filter(F.col("n") >= 5)
         .select("event_id", "user_id", z.alias("z"), flag.alias("is_anomaly"))
     )
+
+
+@query(
+    "events_pareto_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             cast(sum(cast(value AS DECIMAL(14,4))) AS DOUBLE) AS user_value
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, user_value,
+             row_number() OVER w AS rk,
+             cast(sum(cast(user_value AS DECIMAL(18,4))) OVER (
+               PARTITION BY event_type ORDER BY user_value DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)           AS cum_value,
+             cast(sum(cast(user_value AS DECIMAL(18,4))) OVER (
+               PARTITION BY event_type) AS DOUBLE)            AS tot_value,
+             count(*) OVER (PARTITION BY event_type)          AS n_users
+      FROM per_user
+      WINDOW w AS (PARTITION BY event_type ORDER BY user_value DESC, user_id)
+    )
+    SELECT event_type,
+           min(rk)                      AS top_users_for_half,
+           max(n_users)                 AS n_users,
+           round(min(rk) / cast(max(n_users) AS DOUBLE), 4) AS user_fraction
+    FROM ranked
+    WHERE cum_value >= tot_value / 2
+    GROUP BY event_type
+    """,
+)
+def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: per event type, how few top users account
+    for half the total value — the 80/20 diagnostic every usage
+    pipeline reports.  Users rank per type (partitioned window, never
+    global) with a deterministic value-then-id order; the running and
+    total sums go through DECIMAL so cumulative float drift can't move
+    the crossing row; the answer is min(rank) past the half-total
+    line.  Scale: one agg shuffle to per-user rows, one window shuffle
+    on event_type; output is O(event types)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.expr("cast(sum(cast(value as decimal(14,4))) as double)").alias(
+            "user_value"
+        )
+    )
+    order = [F.col("user_value").desc(), F.col("user_id").asc()]
+    w = Window.partitionBy("event_type").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    dv = F.expr("cast(user_value as decimal(18,4))")
+    ranked = per_user.select(
+        "event_type",
+        F.row_number().over(w).alias("rk"),
+        F.sum(dv).over(wrun).cast("double").alias("cum_value"),
+        F.sum(dv).over(wall).cast("double").alias("tot_value"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+    )
+    return (
+        ranked.filter(F.col("cum_value") >= F.col("tot_value") / 2)
+        .groupBy("event_type")
+        .agg(
+            F.min("rk").cast("long").alias("top_users_for_half"),
+            F.max("n_users").alias("n_users"),
+            F.round(
+                F.min("rk") / F.max("n_users").cast("double"), 4
+            ).alias("user_fraction"),
+        )
+    )

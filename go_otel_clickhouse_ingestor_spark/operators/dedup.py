@@ -607,3 +607,55 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("keeper_lang"),
         )
     )
+
+
+@query(
+    "dedup_fuzzy_edit_distance",
+    oracle="""
+    WITH blocked AS (
+      SELECT doc_id, lang, lower(substr(text, 1, 16)) AS blk,
+             lower(substr(text, 1, 64)) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head)::BIGINT AS edit_dist
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 8
+    """,
+)
+def dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the third similarity measure
+    in the near-dup family (set overlap: minhash/jaccard; bitwise:
+    simhash; here: character edits, which catches small in-place
+    corruptions the others miss).  Blocking keeps it non-quadratic:
+    candidates must share (language, first-16-chars) — the prefix
+    block plays the role of MinHash's band buckets — and the O(n²)
+    levenshtein kernel runs only on 64-char heads of blocked pairs.
+    At 100 TB the block key is the shuffle key (one co-partitioned
+    self-join) and bucket sizes are bounded by prefix diversity; the
+    same cap-and-verify escape as dedup_simhash applies if a prefix
+    mega-bucket appears."""
+    d = table(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        "lang",
+        F.lower(F.substring("text", 1, 16)).alias("blk"),
+        F.lower(F.substring("text", 1, 64)).alias("head"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return materialized(
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    ).filter(F.col("edit_dist") <= 8)

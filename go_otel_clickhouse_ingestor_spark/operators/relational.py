@@ -1713,3 +1713,70 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round((sxy - ((sx * sy) / n)) / (n - 1), 4)").alias("covar_samp"),
         F.expr("round((sxy - ((sx * sy) / n)) / n, 4)").alias("covar_pop"),
     )
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE)   AS s1,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS s2,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS s3,
+             cast(sum(cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))
+                      * cast(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((((s3 / n) - (3 * (s1 / n) * (s2 / n)))
+                  + (2 * (s1 / n) * (s1 / n) * (s1 / n)))
+                 / pow(((s2 / n) - ((s1 / n) * (s1 / n))), 1.5), 6) AS skewness,
+           round(((((s4 / n) - (4 * (s1 / n) * (s3 / n)))
+                   + (6 * (s1 / n) * (s1 / n) * (s2 / n)))
+                  - (3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)))
+                 / (((s2 / n) - ((s1 / n) * (s1 / n)))
+                    * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3, 6)   AS excess_kurtosis
+    FROM s
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape moments (population skewness, excess
+    kurtosis) per group from exact-decimal raw moments Σx..Σx⁴ — the
+    third member of the sufficient-statistics family
+    (agg_linear_regression, stat_corr_matrix): four map-side-combinable
+    DECIMAL sums, one closed form on the group rows, fully
+    parenthesized so both engines run the identical IEEE sequence.
+    Engines' own skewness()/kurtosis() are never called — their
+    accumulation order and bias conventions differ; the distributed-
+    safe form IS the raw-moment form."""
+    li = table(spark, sf_dir, "lineitem")
+    dq = "cast(l_quantity as decimal(6,2))"
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"cast(sum({dq}) as double)").alias("s1"),
+        F.expr(f"cast(sum({dq} * {dq}) as double)").alias("s2"),
+        F.expr(f"cast(sum({dq} * {dq} * {dq}) as double)").alias("s3"),
+        F.expr(f"cast(sum({dq} * {dq} * {dq} * {dq}) as double)").alias("s4"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "round((((s3 / n) - (3 * (s1 / n) * (s2 / n)))"
+            " + (2 * (s1 / n) * (s1 / n) * (s1 / n)))"
+            " / pow(((s2 / n) - ((s1 / n) * (s1 / n))), 1.5), 6)"
+        ).alias("skewness"),
+        F.expr(
+            "round(((((s4 / n) - (4 * (s1 / n) * (s3 / n)))"
+            " + (6 * (s1 / n) * (s1 / n) * (s2 / n)))"
+            " - (3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)))"
+            " / (((s2 / n) - ((s1 / n) * (s1 / n)))"
+            " * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3, 6)"
+        ).alias("excess_kurtosis"),
+    )

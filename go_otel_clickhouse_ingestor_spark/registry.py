@@ -63,6 +63,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_mix_weights", "text_html_strip", "text_oov_rate",
     "dedup_exact_keep_best", "graph_degree_stats",
     "emb_norm_stats", "emb_label_centroids",
+    "agg_skewness_kurtosis", "events_pareto_users",
+    "dedup_fuzzy_edit_distance",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

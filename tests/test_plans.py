@@ -234,3 +234,51 @@ def test_sharded_pipelines_have_no_global_windows(spark, sf_dir):
     # their single global window is bounded by construction — covered by
     # their own take_ordered assertions, not this zero-window guard.
     assert global_windows(REGISTRY["pipeline_corpus_filter"].fn(spark, sf_dir)) == 1
+
+
+def test_round5_partitioned_windows_stay_partitioned(spark, sf_dir):
+    """Round-5 window/mixture operators must keep every Window keyed —
+    the same zero-global-window guard the sharded pipelines carry."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    for name in (
+        "pipeline_mix_weights",
+        "dedup_exact_keep_best",
+        "events_anomaly_zscore",
+        "win_pct_change",
+    ):
+        assert global_windows(REGISTRY[name].fn(spark, sf_dir)) == 0, name
+
+
+def test_sub_quantified_broadcasts_the_aggregate(spark, sf_dir):
+    """The decorrelated ALL/ANY aggregate is O(nations) and must reach
+    supplier as a broadcast, never a sort-merge shuffle."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["sub_quantified"].fn(spark, sf_dir))
+    assert a["broadcast_joins"] >= 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_text_oov_rate_vocab_is_bounded_broadcast(spark, sf_dir):
+    """The vocabulary cut must plan as TakeOrderedAndProject (bounded
+    1000 rows, no global sort) and probe back via broadcast join."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    df = REGISTRY["text_oov_rate"].fn(spark, sf_dir)
+    a = audit(df)
+    assert a["take_ordered"], "vocab LIMIT should be TakeOrderedAndProject"
+    assert a["broadcast_joins"] >= 1
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_tpch_q2_topk_is_take_ordered(spark, sf_dir):
+    """q2's top-100 must plan as TakeOrderedAndProject; its only global
+    window ranks the <=100 survivors (bounded by construction, the
+    tpch_q3 convention)."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["tpch_q2"].fn(spark, sf_dir))
+    assert a["take_ordered"]
+    assert a["python_row_at_a_time"] == 0
