@@ -75,6 +75,10 @@ HEADLINE = [
     "text_oov_rate",
     "dedup_exact_keep_best",
     "pipeline_mix_weights",
+    # round-5b flagships
+    "join_interval_overlap",
+    "events_ewma",
+    "emb_quantize_int8",
 ]
 
 

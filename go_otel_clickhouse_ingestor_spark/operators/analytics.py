@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table
@@ -355,4 +356,412 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("rk") / F.max("n_users").cast("double"), 4
             ).alias("user_fraction"),
         )
+    )
+
+
+# ------------------------------------------------- round-5b additions
+
+@query(
+    "stat_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, date_part('dow', ts) AS dow, count(*) AS n
+      FROM events GROUP BY event_type, date_part('dow', ts)
+    ),
+    rm AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY event_type),
+    cm AS (SELECT dow, sum(n) AS cn FROM cells GROUP BY dow),
+    tot AS (SELECT sum(n) AS t FROM cells)
+    SELECT round(sum((c.n - (rm.rn * cm.cn / cast(tot.t AS DOUBLE)))
+                     * (c.n - (rm.rn * cm.cn / cast(tot.t AS DOUBLE)))
+                     / (rm.rn * cm.cn / cast(tot.t AS DOUBLE))), 6) AS chi2,
+           cast(((SELECT count(*) FROM rm) - 1)
+                * ((SELECT count(*) FROM cm) - 1) AS BIGINT)        AS dof,
+           cast(max(tot.t) AS BIGINT) AS n_total
+    FROM cells c
+    JOIN rm ON c.event_type = rm.event_type
+    JOIN cm ON c.dow = cm.dow
+    CROSS JOIN tot
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of event_type ×
+    day-of-week — the contingency-table significance test behind every
+    "is traffic mix shifting by weekday" dashboard.  Margins and cell
+    counts are exact integers; only the expected-count division is
+    float, and the final sum runs over ≤ |types|×7 cells, so round(6)
+    is beyond any association noise.  Plan: one (type, dow) agg on the
+    facts, then two margin aggs over the CELLS (already tiny), all
+    joined broadcast — the raw events are touched exactly once.
+    Day-of-week is date_part('dow') in DuckDB (0=Sunday) and Spark's
+    dayofweek()-1 (also 0=Sunday after the shift)."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("double").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.persist()
+    rm = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    cm = cells.groupBy("dow").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    n_rows = rm.agg(F.count(F.lit(1)).alias("nr"))
+    n_cols = cm.agg(F.count(F.lit(1)).alias("nc"))
+    joined = (
+        cells.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "dow")
+        .join(F.broadcast(tot))
+        .withColumn("e", F.col("rn") * F.col("cn") / F.col("t").cast("double"))
+    )
+    return (
+        joined.agg(
+            F.round(
+                F.sum((F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")),
+                6,
+            ).alias("chi2"),
+            F.max("t").alias("n_total"),
+        )
+        .join(F.broadcast(n_rows))
+        .join(F.broadcast(n_cols))
+        .select(
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            "n_total",
+        )
+    )
+
+
+@query(
+    "stat_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE)         AS s1,
+             cast(sum(cast(value AS DECIMAL(24,10))
+                      * cast(value AS DECIMAL(24,10))) AS DOUBLE)       AS s2
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM g
+    )
+    SELECT round(a.mean - b.mean, 6)                                   AS mean_diff,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6)                 AS t_stat,
+           round(((a.var / a.n + b.var / b.n)
+                  * (a.var / a.n + b.var / b.n))
+                 / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                    + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 4)   AS welch_df,
+           a.n AS n_view, b.n AS n_purchase
+    FROM m a CROSS JOIN m b
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic comparing `value` between
+    view and purchase events, with the Welch–Satterthwaite degrees of
+    freedom — the A/B-test primitive.  Moment sums (Σx, Σx²) go
+    through DECIMAL so partial-sum order is irrelevant; everything
+    after is arithmetic on two 1-row sides.  Plan: one filtered agg
+    with map-side combine, then a 2×2 broadcast self-pair — the events
+    table is scanned once."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    dv = "cast(value as decimal(24,10))"
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"cast(sum({dv}) as double)").alias("s1"),
+        F.expr(f"cast(sum({dv} * {dv}) as double)").alias("s2"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_purchase"),
+        F.col("mean").alias("mb"),
+        F.col("var").alias("vb"),
+    )
+    sa = F.col("va") / F.col("n_view")
+    sb = F.col("vb") / F.col("n_purchase")
+    return (
+        a.join(F.broadcast(b))
+        .select(
+            F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+            F.round((F.col("ma") - F.col("mb")) / F.sqrt(sa + sb), 6).alias("t_stat"),
+            F.round(
+                ((sa + sb) * (sa + sb))
+                / (sa * sa / (F.col("n_view") - 1) + sb * sb / (F.col("n_purchase") - 1)),
+                4,
+            ).alias("welch_df"),
+            "n_view",
+            "n_purchase",
+        )
+    )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    WITH serie AS (
+      SELECT user_id,
+             list(cast(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n_obs,
+           round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+             AS ewma
+    FROM serie
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.3) of the
+    value series, seeded at the first observation — the classic
+    smoothing primitive ClickHouse ships as exponentialMovingAverage.
+    The fold is a higher-order aggregate() over the per-user series
+    (collected + array_sorted by (ts, event_id) so ties are
+    deterministic), with a NULL seed + coalesce so the first element
+    seeds the accumulator — identical left-fold order to DuckDB's
+    list_reduce, and since 0.3·x+0.7·acc is pure IEEE mul/add both
+    engines produce bit-identical doubles.  Scale: state is one double
+    per user inside codegen; series are bounded by per-user event
+    counts; one agg shuffle total.  (A streaming twin would be
+    applyInPandasWithState — see streaming/stateful.py.)"""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+                " s -> cast(s.value as double))"
+            ).alias("vals")
+        )
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n_obs"),
+            F.round(
+                F.expr(
+                    "aggregate(vals, cast(null as double),"
+                    " (acc, x) -> coalesce(0.3 * x + 0.7 * acc, x))"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )
+
+
+@query(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - cast(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(len)                      AS longest_streak,
+           count(*)                      AS n_streaks,
+           cast(sum(len) AS BIGINT)      AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per
+    user.  The classic trick — day minus its per-user row_number is
+    constant within a consecutive run — turns streak detection into
+    two partitioned aggregations, no self-join, no iteration.  All
+    windows are partitioned by user_id; day-grain distinct keeps state
+    per user bounded by the calendar.  Exact integer/date arithmetic
+    only."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    isl = days.withColumn(
+        "island", F.expr("date_sub(day, cast(row_number() over"
+                         " (partition by user_id order by day) as int))")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.5)  AS r_med,
+             quantile_cont(frequency,   0.5)   AS f_med,
+             quantile_cont(monetary,    0.5)   AS m_med
+      FROM rfm
+    )
+    SELECT (CASE WHEN recency_days <= r_med THEN 2 ELSE 1 END) AS r_score,
+           (CASE WHEN frequency   >  f_med THEN 2 ELSE 1 END)  AS f_score,
+           (CASE WHEN monetary    >  m_med THEN 2 ELSE 1 END)  AS m_score,
+           count(*) AS n_customers,
+           round(avg(monetary), 4) AS avg_monetary,
+           round(avg(frequency), 6) AS avg_frequency
+    FROM rfm CROSS JOIN cuts
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    median splits — the marketing-analytics staple.  Per-customer RFM
+    is one agg over orders (monetary through DECIMAL so sum order
+    can't drift); the three median cut points are a single exact
+    percentile over the ALREADY-AGGREGATED per-customer table (one row
+    per customer, orders of magnitude smaller than the facts) and ride
+    a broadcast join back — no global window over anything fact-sized,
+    no driver collect.  Both engines use percentile_cont interpolation
+    on identical doubles, so the cuts are bit-identical; segment
+    counts/averages are then exact.  Output is ≤8 segment rows."""
+    o = table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("gmax"))
+    rfm = (
+        o.join(F.broadcast(max_date))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("gmax"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,4))) as double)"
+            ).alias("monetary"),
+        )
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    return (
+        rfm.join(F.broadcast(cuts))
+        .select(
+            F.when(F.col("recency_days") <= F.col("r_med"), 2).otherwise(1).alias("r_score"),
+            F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias("f_score"),
+            F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1).alias("m_score"),
+            "monetary",
+            "frequency",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+            F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+        )
+    )
+
+
+@query(
+    "stat_ks_binned",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    binned AS (
+      SELECT least(99, cast(floor((value - lo) / ((hi - lo) / 100.0))
+                           AS INTEGER)) AS bin,
+             event_type
+      FROM events CROSS JOIN bounds
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    cells AS (
+      SELECT bin,
+             count(*) FILTER (WHERE event_type = 'view')     AS nv,
+             count(*) FILTER (WHERE event_type = 'purchase') AS np
+      FROM binned GROUP BY bin
+    ),
+    cdf AS (
+      SELECT bin,
+             sum(nv) OVER (ORDER BY bin) AS cv,
+             sum(np) OVER (ORDER BY bin) AS cp,
+             (SELECT sum(nv) FROM cells) AS tv,
+             (SELECT sum(np) FROM cells) AS tp
+      FROM cells
+    )
+    SELECT round(max(abs(cv / cast(tv AS DOUBLE)
+                         - cp / cast(tp AS DOUBLE))), 6) AS ks_d,
+           cast(max(tv) AS BIGINT) AS n_view,
+           cast(max(tp) AS BIGINT) AS n_purchase
+    FROM cdf
+    """,
+)
+def stat_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the `value`
+    distributions of view vs purchase events, computed exactly on a
+    100-bin grid (the binned CDF makes the statistic scale-safe: the
+    only ordered window runs over ≤100 bin rows — bounded by
+    construction — where the textbook form would need a global sort of
+    every observation).  Bin edges derive from one min/max scalar
+    broadcast; counts are exact integers; the single division happens
+    at the end, round(6).  One scan, one tiny agg, one 100-row
+    window."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.join(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(99),
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 100.0))
+            .cast("int"),
+        ).alias("bin"),
+        "event_type",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("nv"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+    )
+    tot = cells.agg(F.sum("nv").alias("tv"), F.sum("np").alias("tp"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = cells.join(F.broadcast(tot)).select(
+        F.sum("nv").over(wb).alias("cv"),
+        F.sum("np").over(wb).alias("cp"),
+        "tv",
+        "tp",
+    )
+    return cdf.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cv") / F.col("tv").cast("double")
+                    - F.col("cp") / F.col("tp").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("tv").cast("long").alias("n_view"),
+        F.max("tp").cast("long").alias("n_purchase"),
     )

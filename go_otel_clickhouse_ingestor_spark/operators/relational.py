@@ -1780,3 +1780,167 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3, 6)"
         ).alias("excess_kurtosis"),
     )
+
+
+# ------------------------------------------------- round-5b additions
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    the per-user event path as a single delimited string.  ClickHouse
+    exposes this as groupArray→arrayStringConcat; Spark has no ordered
+    string_agg aggregate, so the portable plan is collect_list of
+    (ts, event_id, event_type) structs + array_sort (struct ordering is
+    lexicographic by field, so ties on ts break on event_id exactly
+    like the oracle's ORDER BY ts, event_id) + transform/array_join —
+    all codegen, one agg shuffle on user_id with map-side partial
+    collect.  Scale: per-user paths are bounded by per-user event
+    counts (~tens), never corpus-sized; the sort is per-group in
+    memory, no global ordering anywhere."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), s -> s.event_type), '>')"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_bit_aggregates",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS band,
+           bit_or(event_id)  AS bor,
+           bit_xor(event_id) AS bxor,
+           count(*)          AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (BIT_AND / BIT_OR / BIT_XOR) over the
+    event-id space per type — the groupBitAnd/Or/Xor functions of the
+    reference's sink dialect.  All three are commutative+associative,
+    so Spark's partial aggregation applies cleanly: map-side combine
+    collapses each partition to three longs before the event_type
+    shuffle.  Exact integer semantics — no float drift possible."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(event_id)").alias("band"),
+        F.expr("bit_or(event_id)").alias("bor"),
+        F.expr("bit_xor(event_id)").alias("bxor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_geometric_harmonic",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(exp(cast(sum(cast(ln(o_totalprice) AS DECIMAL(20,12)))
+                          AS DOUBLE) / count(*)), 4)            AS geo_mean,
+           round(count(*) / cast(sum(cast(1.0 / o_totalprice
+                          AS DECIMAL(28,20))) AS DOUBLE), 4)    AS harm_mean,
+           round(avg(o_totalprice), 4)                          AS arith_mean
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_geometric_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means per priority class (the AM ≥ GM ≥
+    HM ladder — rate-style metrics need HM, ratio-style need GM; plain
+    AVG is wrong for both).  Both are sums in a transformed domain:
+    exp(mean(ln x)) and n/sum(1/x).  The per-element transforms are
+    double; the SUMS go through DECIMAL so partial-aggregation order
+    can't drift the result between engines (ln/div are deterministic
+    per element, addition order is not), then one final double op +
+    round.  One agg shuffle, map-side combine, 5 output rows."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "round(exp(cast(sum(cast(ln(o_totalprice) as decimal(20,12)))"
+            " as double) / count(*)), 4)"
+        ).alias("geo_mean"),
+        F.expr(
+            "round(count(*) / cast(sum(cast(1.0 / o_totalprice"
+            " as decimal(28,20))) as double), 4)"
+        ).alias("harm_mean"),
+        F.round(F.avg("o_totalprice"), 4).alias("arith_mean"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h_start, count(*) AS n_ev
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    hot AS (
+      SELECT h_start FROM hourly
+      WHERE n_ev >= 1.2 * (SELECT avg(n_ev) FROM hourly)
+    )
+    SELECT s.user_id, s.day, count(*) AS n_hot_hours
+    FROM sess s JOIN hot h
+      ON h.h_start <= s.s_end
+     AND h.h_start + INTERVAL 1 HOUR > s.s_start
+    GROUP BY s.user_id, s.day
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity spans vs the
+    corpus's "hot hours" (hour buckets with ≥1.2× the mean event
+    rate).  The oracle states the honest theta condition
+    (h < s_end ∧ h+1h > s_start); the Spark plan NEVER runs that theta
+    join — because hot intervals are hour-aligned, overlap is exactly
+    "the session's covered hour buckets include h", so the plan
+    explodes each session into its hour buckets via sequence() (a
+    day-session covers ≤24) and equi-joins on the bucket.  At 100 TB
+    that turns a cartesian-prone range join into a hash join keyed on
+    the hour, with the hot-hour side naturally tiny (calendar-bounded)
+    and broadcast.  The 1.2×-mean threshold rides a scalar-subquery
+    broadcast, not a driver collect."""
+    ev = table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h_start")).agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    thr = hourly.agg((F.avg("n_ev") * 1.2).alias("thr"))
+    hot = hourly.join(F.broadcast(thr)).filter(
+        F.col("n_ev") >= F.col("thr")
+    ).select("h_start")
+    covered = sess.withColumn(
+        "h_start",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', s_start),"
+                " date_trunc('hour', s_end), interval 1 hour)"
+            )
+        ),
+    )
+    return (
+        covered.join(F.broadcast(hot), "h_start")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_hot_hours"))
+    )

@@ -649,3 +649,60 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(r"(the|and|of) ").alias("has_stopword"),
         F.regexp_extract("text", r"([a-z]+)[.!?]\s*$", 1).alias("last_word"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id, value,
+             cast(props::JSON ->> 'k' AS BIGINT) AS k,
+             CASE WHEN event_id % 3 = 0 THEN cast(event_id AS VARCHAR)
+                  WHEN event_id % 3 = 1 THEN 'x' || cast(event_id AS VARCHAR)
+                  ELSE '' END AS s
+      FROM events
+    )
+    SELECT count(*)                                         AS n,
+           count(try_cast(s AS BIGINT))                     AS n_int_ok,
+           count(try_cast(s AS DOUBLE))                     AS n_dbl_ok,
+           count(*) - count(value / nullif(k - 29, 0))      AS n_div_null,
+           cast(sum(try_cast(s AS BIGINT)) AS BIGINT)       AS sum_ok,
+           round(cast(sum(cast(value / nullif(k - 29, 0)
+                     AS DECIMAL(28,12))) AS DOUBLE), 4)     AS sum_ratio
+    FROM dirty
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (TRY_CAST / TRY_DIVIDE — the
+    ANSI-mode answer to dirty data that must not kill a 100 TB job):
+    a deterministic third of the rows carries a parseable integer
+    string, a third a poisoned 'x'-prefixed one, a third empty, plus a
+    division whose denominator hits zero on real rows (k=29 exists in
+    the fixture).  Spark's try_divide returns NULL exactly where the
+    oracle's nullif-guarded division does; counts of successful parses
+    are exact integers, the surviving-ratio sum goes through DECIMAL.
+    Map-only pass, one 1-row aggregate — no shuffle beyond the final
+    combine."""
+    ev = table(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_id").cast("string"))
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("x"), F.col("event_id").cast("string")))
+        .otherwise(F.lit(""))
+        .alias("s"),
+    )
+    return dirty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.expr("try_cast(s as bigint)")).alias("n_int_ok"),
+        F.count(F.expr("try_cast(s as double)")).alias("n_dbl_ok"),
+        (F.count(F.lit(1)) - F.count(F.expr("try_divide(value, k - 29)"))).alias(
+            "n_div_null"
+        ),
+        F.sum(F.expr("try_cast(s as bigint)")).cast("long").alias("sum_ok"),
+        F.expr(
+            "round(cast(sum(cast(try_divide(value, k - 29)"
+            " as decimal(28,12))) as double), 4)"
+        ).alias("sum_ratio"),
+    )

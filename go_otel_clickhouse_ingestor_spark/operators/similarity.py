@@ -609,3 +609,73 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("pos").cast("long").alias("pos"), "c")
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding::DOUBLE[],
+                                     x -> abs(x))) AS mx,
+             embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label, mx,
+             list_transform(emb,
+               x -> x - floor((x * 127.0) / mx + 0.5) * mx / 127.0) AS err
+      FROM q WHERE mx > 0
+    )
+    SELECT vec_id, label,
+           round(mx, 6) AS max_abs,
+           round(cast(list_sum(list_transform(err,
+                 d -> cast(d * d AS DECIMAL(24,18)))) AS DOUBLE)
+                 / len(err), 9) AS mse
+    FROM e
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table (per-vector
+    max-abs scale, round-half-up via floor(x+0.5) so both engines pin
+    the same tie rule) with per-vector reconstruction MSE — the
+    compression step a 100 TB vector corpus applies before ANN
+    serving (4× smaller than float32; sim_ann_pq is the 64× cousin).
+    Every per-element op is exact IEEE mul/div/add/floor (no libm), so
+    Spark and DuckDB produce bit-identical error terms; the per-vector
+    SUM goes through DECIMAL so fold order is irrelevant.  Map-only:
+    transform() lambdas stay in codegen, no shuffle, no Python — the
+    scale cost is one pass over the vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.expr(
+                "array_max(transform(embedding, x -> abs(cast(x as double))))"
+            ).alias("mx"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        )
+        .filter(F.col("mx") > 0)
+        .withColumn(
+            "err",
+            F.expr(
+                "transform(emb,"
+                " x -> x - floor((x * 127.0) / mx + 0.5) * mx / 127.0)"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round("mx", 6).alias("max_abs"),
+            F.round(
+                F.expr(
+                    "cast(aggregate(err, cast(0 as decimal(24,18)),"
+                    " (a, d) -> cast(a + cast(d * d as decimal(24,18))"
+                    " as decimal(24,18))) as double)"
+                )
+                / F.size("err"),
+                9,
+            ).alias("mse"),
+        )
+    )

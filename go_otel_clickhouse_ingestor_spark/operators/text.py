@@ -700,3 +700,104 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("vw").isNull()) / F.count(F.lit(1)).cast("double"), 4
         ).alias("oov_rate"),
     )
+
+
+# ------------------------------------------------- round-5b additions
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+'))            AS words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))  AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))     AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           round(206.835 - 1.015 * (words / cast(sentences AS DOUBLE))
+                 - 84.6 * (syllables / cast(words AS DOUBLE)), 4)  AS flesch
+    FROM m
+    WHERE words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard cheap
+    proxies: words = latin-letter runs, sentences = terminal-punct
+    runs (floored at 1), syllables = vowel-group count (the classic
+    vowel-cluster approximation — no dictionary needed).  All three
+    counters are regexp_extract_all sizes, identical character classes
+    in Spark's Java regex and DuckDB's RE2 (plain classes, no
+    dialect-divergent constructs).  Pure per-row codegen — no shuffle,
+    no Python — so at 100 TB this is a map-only pass that pipelines
+    with any downstream quality filter."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(text, '[A-Za-z]+', 0))")
+        .cast("long")
+        .alias("words"),
+        F.expr("greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))")
+        .cast("long")
+        .alias("sentences"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .cast("long")
+        .alias("syllables"),
+    )
+    return m.filter(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("words") / F.col("sentences").cast("double"))
+            - 84.6 * (F.col("syllables") / F.col("words").cast("double")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@query(
+    "stat_entropy_gini",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           cast(max(t.tot) AS BIGINT)                                AS n_docs,
+           count(*)                                                  AS n_langs,
+           round(-sum((c.n / cast(t.tot AS DOUBLE))
+                      * ln(c.n / cast(t.tot AS DOUBLE))), 6)         AS entropy,
+           round(1 - sum((c.n / cast(t.tot AS DOUBLE))
+                         * (c.n / cast(t.tot AS DOUBLE))), 6)        AS gini
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def stat_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per corpus source: Shannon entropy and
+    Gini impurity of the language distribution — the two standard
+    "is this slice monoculture?" metrics a mixture-planning pipeline
+    reads before setting sampling weights (cf. pipeline_mix_weights).
+    Counts are exact; the p·ln p sum runs over ≤|langs| cells per
+    source so round(6) is far beyond association noise.  Plan: one
+    (source, lang) agg over the corpus, then margin agg + broadcast
+    join over the already-tiny cell table — documents scanned once."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    c = c.persist()
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.lit(1) - F.sum(p * p), 6).alias("gini"),
+        )
+    )

@@ -491,3 +491,105 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") - prev, 6).alias("diff"),
         F.coalesce(F.col("value") > prev, F.lit(False)).alias("increased"),
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(*) FILTER (WHERE rn = 1) AS n_new,
+             count(*)                       AS n_events
+      FROM firsts GROUP BY date_trunc('day', ts)
+    )
+    SELECT day, n_events, n_new,
+           cast(sum(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — the growth-curve query
+    (COUNT(DISTINCT) OVER is unsupported in every engine's window
+    frame, so the portable plan is the first-seen-flag trick):
+    row_number per user marks each user's first event, daily
+    aggregation counts the flags, and a running SUM over days yields
+    the cumulative distinct total.  The only global window runs over
+    DAY-GRAIN rows — bounded by the calendar (≤ a few thousand rows
+    for a decade), never by data volume, the same bounded-by-
+    construction exemption as pipeline_corpus_filter's final cut.
+    Heavy lifting (per-user ranking, daily agg) is fully partitioned."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w))
+    daily = firsts.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_new"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_events",
+        "n_new",
+        F.sum("n_new").over(wd).alias("cum_users"),
+    )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE) AS revenue
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day,
+           round(revenue, 6) AS revenue,
+           round(quantile_disc(revenue, 0.5)
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS med7
+    FROM daily
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling median of daily revenue per event type —
+    the robust-smoothing twin of the rolling mean (medians shrug off
+    the spike days that wreck an EWMA).  No engine supports a median
+    window frame portably, so the plan collects the ≤7-row frame with
+    collect_list OVER, sorts it, and indexes the LOWER median at
+    ceil(n/2) — exactly DuckDB's quantile_disc(0.5) window semantics,
+    pinned explicitly so even-sized warm-up frames can't diverge on
+    interpolation.  Daily sums go through DECIMAL first, so both
+    engines feed identical doubles into identical frames.  Windows are
+    partitioned by event_type over day-grain rows (calendar-bounded);
+    the constant 7-row frame keeps per-row state O(1)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(value as decimal(24,10))) as double)"
+        ).alias("revenue")
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("revenue").over(wf))
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(
+            F.element_at(frame, F.ceil(F.size(frame) / 2).cast("int")), 6
+        ).alias("med7"),
+    )

@@ -65,6 +65,15 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_norm_stats", "emb_label_centroids",
     "agg_skewness_kurtosis", "events_pareto_users",
     "dedup_fuzzy_edit_distance",
+    # round-5b additions (the 51st+ names overflow the 50-slot window
+    # and lead the round-6 rotation instead)
+    "agg_string_agg_ordered", "agg_bit_aggregates",
+    "join_interval_overlap", "stat_chi2_independence",
+    "stat_welch_ttest", "events_ewma", "text_readability",
+    "stat_entropy_gini", "win_cumulative_distinct", "emb_quantize_int8",
+    "agg_geometric_harmonic",
+    "events_streaks", "orders_rfm_segments", "stat_ks_binned",
+    "win_moving_median", "fn_try_safe",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

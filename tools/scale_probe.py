@@ -114,6 +114,23 @@ def build_scaled(spark, n: int) -> str:
         _union_copies(copies).repartition(max(n, 4)).write.mode("overwrite").parquet(
             f"{out}/embeddings.parquet"
         )
+    if not os.path.exists(f"{out}/events.parquet/_SUCCESS"):
+        # per-copy user_id/event_id offsets with timestamps unchanged:
+        # the user population (sessions, EWMA series) scales by n with
+        # per-user series shape constant, while the calendar — and so
+        # the hot-hour / day-grain side of interval joins — stays fixed,
+        # which is exactly the 100 TB shape (more traffic, same clock).
+        base = spark.read.parquet(f"{BASE_SF}/events.parquet")
+        copies = []
+        for k in range(n):
+            copies.append(
+                base.withColumn(
+                    "user_id", F.col("user_id") + F.lit(k * 10_000_000)
+                ).withColumn("event_id", F.col("event_id") + F.lit(k * 1_000_000_000))
+            )
+        _union_copies(copies).repartition(max(n, 4)).write.mode("overwrite").parquet(
+            f"{out}/events.parquet"
+        )
     for tbl, keys in (
         ("orders", ["o_orderkey", "o_custkey"]),
         ("lineitem", ["l_orderkey", "l_suppkey"]),
