@@ -765,3 +765,122 @@ def stat_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tv").cast("long").alias("n_view"),
         F.max("tp").cast("long").alias("n_purchase"),
     )
+
+
+@query(
+    "agg_median_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*)             AS n,
+           round(max(m.med), 6) AS median,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+           round(quantile_cont(abs(e.value - m.med), 0.5) * 1.4826, 6)
+             AS sigma_robust
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type, plus the 1.4826·MAD
+    robust sigma — the outlier-immune spread estimate every anomaly
+    pipeline should prefer over stddev (one fat-tailed day wrecks a
+    z-score; the MAD shrugs).  Two passes over events: exact median
+    per type (tiny result, broadcast back), then the median of
+    absolute deviations.  Both engines interpolate percentile_cont on
+    identical doubles, so the cuts agree bit-for-bit before round(6).
+    Scale: each pass is one partial+final agg keyed on event_type;
+    the broadcast is |types| rows.  (events_anomaly_zscore is the
+    mean/σ cousin; pipeline_outlier_iqr the quartile one.)"""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)") * 1.4826, 6
+            ).alias("sigma_robust"),
+        )
+    )
+
+
+@query(
+    "stat_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE) AS total
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    lags AS (SELECT unnest([1, 7]) AS lag_k),
+    pairs AS (
+      SELECT l.lag_k, a.total AS x, b.total AS y
+      FROM daily a
+      JOIN lags l ON TRUE
+      JOIN daily b ON b.day = a.day + to_days(l.lag_k)
+    ),
+    s AS (
+      SELECT lag_k, count(*) AS n,
+             cast(sum(cast(x AS DECIMAL(24,8))) AS DOUBLE)     AS sx,
+             cast(sum(cast(y AS DECIMAL(24,8))) AS DOUBLE)     AS sy,
+             cast(sum(cast(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+             cast(sum(cast(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+             cast(sum(cast(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag_k
+    )
+    SELECT lag_k, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS autocorr
+    FROM s
+    """,
+)
+def stat_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily total-value series
+    — the seasonality detector (a strong lag-7 says weekly cycle; a
+    high lag-1 says momentum) behind every forecasting pipeline's
+    sanity check.  The series is day-grain (calendar-bounded); lagged
+    pairs come from an equi-join of the series to itself shifted by k
+    days — co-partitioned join on day, NO ordered window at all — and
+    the Pearson moments go through DECIMAL.  Daily totals are
+    decimal-exact first, so both engines correlate identical doubles.
+    Scale: one corpus-sized agg to day grain; everything after is
+    days×lags rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("cast(sum(cast(value as decimal(24,10))) as double)").alias("total")
+    )
+    lags = spark.createDataFrame([(1,), (7,)], "lag_k int")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day")
+            == F.col("a.day") + F.col("lag_k") * F.expr("INTERVAL 1 DAY"),
+        )
+        .select("lag_k", F.col("a.total").alias("x"), F.col("b.total").alias("y"))
+    )
+    s = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cast(x as decimal(24,8))) as double)").alias("sx"),
+        F.expr("cast(sum(cast(y as decimal(24,8))) as double)").alias("sy"),
+        F.expr("cast(sum(cast(x * y as decimal(30,8))) as double)").alias("sxy"),
+        F.expr("cast(sum(cast(x * x as decimal(30,8))) as double)").alias("sxx"),
+        F.expr("cast(sum(cast(y * y as decimal(30,8))) as double)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select("lag_k", "n", F.round(num / den, 6).alias("autocorr"))

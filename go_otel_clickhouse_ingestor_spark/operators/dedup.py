@@ -659,3 +659,68 @@ def dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     ).filter(F.col("edit_dist") <= 8)
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS grams
+      FROM tok
+    ),
+    e AS (SELECT doc_id, source, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM e a JOIN e b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(grams) AS sz FROM sh)
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / least(sa.sz, sb.sz) >= 0.6
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs (|A∩B| / min(|A|,|B|) ≥ 0.6)
+    — the subset-duplication detector Jaccard structurally misses: a
+    short doc quoted whole inside a long one scores near 1.0 here but
+    can sit far below any usable Jaccard threshold because the union
+    is dominated by the longer side.  (Broder's containment measure —
+    the boilerplate/quotation case every LLM corpus hits.)  Same
+    hashed-gram blocked self-join as dedup_ngram_jaccard — only the
+    denominator changes — so the 100 TB story is identical: gram-
+    blocked, never all-pairs, shuffle keyed on 8-byte gram hashes."""
+    d = table(spark, sf_dir, "documents")
+    e = materialized(gram_hashes(d, keep=("source",)))
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cont = F.col("n_common") / F.least(F.col("sa.sz"), F.col("sb.sz"))
+    return (
+        inter.join(sz.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= 0.6)
+        .select("doc_a", "doc_b", "n_common", F.round(cont, 6).alias("containment"))
+    )

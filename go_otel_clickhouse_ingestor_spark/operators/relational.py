@@ -1944,3 +1944,86 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("n_hot_hours"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts)::BIGINT AS ts_us,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN epoch_us(ts)::BIGINT END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_us,
+             first_value(CASE WHEN event_type = 'view'
+                              THEN epoch_us(ts)::BIGINT END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_us
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN next_view_us IS NULL THEN 'backward'
+                WHEN prev_view_us IS NULL THEN 'forward'
+                WHEN ts_us - prev_view_us <= next_view_us - ts_us
+                  THEN 'backward' ELSE 'forward' END AS direction,
+           CASE WHEN next_view_us IS NULL THEN ts_us - prev_view_us
+                WHEN prev_view_us IS NULL THEN next_view_us - ts_us
+                WHEN ts_us - prev_view_us <= next_view_us - ts_us
+                  THEN ts_us - prev_view_us
+                ELSE next_view_us - ts_us END AS gap_us
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND (prev_view_us IS NOT NULL OR next_view_us IS NOT NULL)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: for every purchase, the closest view by
+    the SAME user in either time direction (ties prefer backward —
+    pandas merge_asof direction='nearest' semantics).  Rather than a
+    union of backward and forward as-of joins (two range joins), the
+    plan computes both candidates in ONE windowed pass over the
+    user-ordered stream — last view strictly before via an
+    IGNORE-NULLS frame ending at 1 PRECEDING, next view strictly after
+    via 1 FOLLOWING — then picks the nearer.  One shuffle on user_id,
+    two sorts share it, no join at all; exact integer microsecond
+    arithmetic end to end."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    view_us = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(view_us, ignorenulls=True).over(wb).alias("prev_view_us"),
+        F.first(view_us, ignorenulls=True).over(wf).alias("next_view_us"),
+    )
+    back_gap = F.col("ts_us") - F.col("prev_view_us")
+    fwd_gap = F.col("next_view_us") - F.col("ts_us")
+    prefer_back = F.col("next_view_us").isNull() | (
+        F.col("prev_view_us").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .filter(F.col("prev_view_us").isNotNull() | F.col("next_view_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.when(prefer_back, "backward").otherwise("forward").alias("direction"),
+            F.when(prefer_back, back_gap).otherwise(fwd_gap).alias("gap_us"),
+        )
+    )

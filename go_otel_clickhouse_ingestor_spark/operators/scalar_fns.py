@@ -706,3 +706,72 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as decimal(28,12))) as double), 4)"
         ).alias("sum_ratio"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    WITH arr AS (
+      SELECT l_orderkey,
+             list(l_quantity      ORDER BY l_linenumber) AS qs,
+             list(l_extendedprice ORDER BY l_linenumber) AS ps
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qs)                                                AS n_lines,
+           cast(round(list_sum(list_transform(qs,
+                 q -> cast(q * 2 AS DECIMAL(18,4)))), 2)
+                AS DOUBLE)                                        AS sum_doubled,
+           cast(len(list_filter(qs, q -> q > 25)) AS BIGINT)      AS n_big,
+           cast(len(list_filter(qs, q -> q > 45)) > 0
+                AS BOOLEAN)                                       AS any_huge,
+           cast(len(list_filter(qs, q -> NOT (q > 0))) = 0
+                AS BOOLEAN)                                       AS all_pos,
+           cast(round(list_sum(list_transform(list_zip(qs, ps),
+                 s -> cast(s[1] * s[2] AS DECIMAL(24,6)))), 2)
+                AS DOUBLE)                                        AS gross
+    FROM arr
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family — transform / filter /
+    exists / forall / zip_with / aggregate, the lambda calculus of
+    ClickHouse's arrayMap/arrayFilter/arrayExists/arrayAll/
+    arrayZip+arraySum — exercised over each order's line vectors
+    (quantities and prices collected in linenumber order, so both
+    engines fold identical arrays).  Per-element products are exact
+    IEEE doubles cast to DECIMAL before summing (fold-order-proof);
+    exists/forall are stated via filter sizes in the oracle because
+    DuckDB spells them list_filter, while Spark uses its native
+    exists()/forall().  Everything is codegen lambdas inside one
+    per-order agg — no Python, no extra shuffle beyond the group
+    key."""
+    li = table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_linenumber, l_quantity,"
+            " l_extendedprice))), s -> s.l_quantity)"
+        ).alias("qs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_linenumber, l_quantity,"
+            " l_extendedprice))), s -> s.l_extendedprice)"
+        ).alias("ps"),
+    )
+    return arr.select(
+        "l_orderkey",
+        F.size("qs").cast("long").alias("n_lines"),
+        F.expr(
+            "cast(round(aggregate(transform(qs, q -> cast(q * 2 as decimal(18,4))),"
+            " cast(0 as decimal(28,4)), (a, x) -> cast(a + x as decimal(28,4))), 2)"
+            " as double)"
+        ).alias("sum_doubled"),
+        F.expr("cast(size(filter(qs, q -> q > 25)) as bigint)").alias("n_big"),
+        F.expr("exists(qs, q -> q > 45)").alias("any_huge"),
+        F.expr("forall(qs, q -> q > 0)").alias("all_pos"),
+        F.expr(
+            "cast(round(aggregate(zip_with(qs, ps,"
+            " (q, p) -> cast(q * p as decimal(24,6))),"
+            " cast(0 as decimal(30,6)), (a, x) -> cast(a + x as decimal(30,6))), 2)"
+            " as double)"
+        ).alias("gross"),
+    )

@@ -801,3 +801,89 @@ def stat_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1) - F.sum(p * p), 6).alias("gini"),
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    top AS (
+      SELECT w, n FROM counts ORDER BY n DESC, w ASC LIMIT 500
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS rnk FROM top
+    ),
+    pts AS (
+      SELECT ln(rnk) AS x, ln(n) AS y FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS m,
+             cast(sum(cast(x AS DECIMAL(20,12))) AS DOUBLE)     AS sx,
+             cast(sum(cast(y AS DECIMAL(20,12))) AS DOUBLE)     AS sy,
+             cast(sum(cast(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+             cast(sum(cast(x * x AS DECIMAL(24,12))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT m AS n_points,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)      AS zipf_slope,
+           round((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx))
+                  * sx) / m, 6)                                     AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) for the top-500 words — natural
+    text runs near slope −1, and a corpus that doesn't is synthetic,
+    templated, or spam-heavy (the distribution-level health check next
+    to the per-doc quality scores).  The vocabulary cut is a bounded
+    top-k (TakeOrderedAndProject, count desc / word asc total order —
+    ties at the boundary can't diverge between engines), ranking runs
+    over exactly 500 rows, and the OLS moments go through DECIMAL.
+    Scale: word counting is the only corpus-sized stage (one agg);
+    everything after is 500 rows."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
+        ).alias("w")
+    )
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(500)
+    )
+    from pyspark.sql.window import Window
+
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"), F.log("n").alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("cast(sum(cast(x as decimal(20,12))) as double)").alias("sx"),
+        F.expr("cast(sum(cast(y as decimal(20,12))) as double)").alias("sy"),
+        F.expr("cast(sum(cast(x * y as decimal(24,12))) as double)").alias("sxy"),
+        F.expr("cast(sum(cast(x * x as decimal(24,12))) as double)").alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6).alias(
+            "intercept"
+        ),
+    )

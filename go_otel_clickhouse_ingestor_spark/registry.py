@@ -74,6 +74,8 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_geometric_harmonic",
     "events_streaks", "orders_rfm_segments", "stat_ks_binned",
     "win_moving_median", "fn_try_safe",
+    "fn_higher_order", "join_asof_nearest", "agg_median_mad",
+    "dedup_ngram_containment", "text_zipf_fit", "stat_autocorr_lag",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

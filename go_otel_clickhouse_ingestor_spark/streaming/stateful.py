@@ -126,3 +126,53 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Streaming EWMA: the stateful twin of the batch ``events_ewma`` query
+# (operators/analytics.py) — same α=0.3 left fold, but the accumulator
+# lives in the state store and folds each micro-batch's rows in
+# (ts, event_id) order, so an out-of-order-free feed reproduces the
+# batch result exactly (tested in tests/test_streaming.py).
+
+_EWMA_ALPHA = 0.3
+_EWMA_OUT_SCHEMA = "user_id long, n_obs long, ewma double"
+_EWMA_STATE_SCHEMA = "ewma double, n long"
+
+
+def _ewma_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's batch rows into the running EWMA.  Rows within
+    the batch are sorted by (ts, event_id) — the same total order the
+    batch query pins — so the fold is deterministic however Spark
+    chunks the group across Arrow batches."""
+    ewma, n = state.get if state.exists else (None, 0)
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"].astype(float):
+            ewma = v if ewma is None else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * ewma
+            n += 1
+        state.update((float(ewma), int(n)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_obs": [n], "ewma": [None if ewma is None else round(float(ewma), 6)]}
+    )
+
+
+def user_ewma(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA maintained across micro-batches.  State
+    is two numbers per user; the shuffle key is user_id — identical
+    partitioning to the batch agg, so at 100 TB the state store scales
+    with the user population, not traffic."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fold,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

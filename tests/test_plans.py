@@ -282,3 +282,55 @@ def test_tpch_q2_topk_is_take_ordered(spark, sf_dir):
     a = audit(REGISTRY["tpch_q2"].fn(spark, sf_dir))
     assert a["take_ordered"]
     assert a["python_row_at_a_time"] == 0
+
+
+def test_join_interval_overlap_is_hash_not_theta(spark, sf_dir):
+    """The interval-overlap semantics must plan as an equi-join on the
+    hour bucket with the hot side broadcast — never a cartesian/BNLJ
+    range join (the formulation that dies at 100 TB)."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    df = REGISTRY["join_interval_overlap"].fn(spark, sf_dir)
+    a = audit(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the hot-hour probe must be a broadcast HASH join on the bucket;
+    # the only nested-loop allowed is the 1-row threshold broadcast
+    assert a["broadcast_joins"] >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_join_asof_nearest_has_no_join_operator(spark, sf_dir):
+    """Nearest as-of rides ONE windowed pass over the user-ordered
+    stream: the plan must contain zero join operators and all windows
+    must be keyed on user_id."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    df = REGISTRY["join_asof_nearest"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "nearest as-of must not plan a join"
+    assert global_windows(df) == 0
+
+
+def test_text_zipf_fit_vocab_cut_is_take_ordered(spark, sf_dir):
+    """The top-500 vocabulary cut must be TakeOrderedAndProject — a
+    bounded top-k, not a global sort of the corpus vocabulary."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["text_zipf_fit"].fn(spark, sf_dir))
+    assert a["take_ordered"], "vocab LIMIT should be TakeOrderedAndProject"
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_round5b_windows_all_keyed(spark, sf_dir):
+    """Round-5b per-entity operators must keep every window partitioned
+    (the day-grain cumulative/median/KS windows are separately
+    documented as calendar-bounded)."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    for name in (
+        "events_streaks",
+        "events_ewma",
+        "agg_string_agg_ordered",
+        "win_moving_median",
+    ):
+        assert global_windows(REGISTRY[name].fn(spark, sf_dir)) == 0, name

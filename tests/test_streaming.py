@@ -935,3 +935,63 @@ def test_jsonl_sink_save_modes_and_orphan_sweep(spark, sf_dir, tmp_path):
     assert parts == [f"part-0000{i}.jsonl" for i in range(4)]
     manifest = json.loads(open(os.path.join(out, "_SUCCESS")).read())
     assert sorted(manifest["files"]) == parts and manifest["rows"] == 15
+
+
+def test_stateful_ewma_matches_sequential_fold(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState) must fold across
+    micro-batches to exactly the sequential α=0.3 fold over the
+    time-ordered series — the stateful twin of the batch events_ewma
+    query."""
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import user_ewma
+
+    rows = [
+        {
+            "user_id": i % 3,
+            "ts": f"2026-01-01T00:{i:02d}:00.000Z",
+            "event_id": i,
+            "value": float((i * 7) % 11),
+        }
+        for i in range(30)
+    ]
+    d = tmp_path / "ewma_stream"
+    d.mkdir()
+    # two triggers, split at the time midpoint (in-order feed)
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:15]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[15:]))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_ewma(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_obs").desc())
+    final = {
+        r.user_id: (r.n_obs, r.ewma)
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    want = {}
+    for uid in range(3):
+        vals = [r["value"] for r in rows if r["user_id"] == uid]
+        acc = None
+        for v in vals:
+            acc = v if acc is None else 0.3 * v + 0.7 * acc
+        want[uid] = (len(vals), round(acc, 6))
+    assert final == want
+    # statefulness across triggers: more emitted rows than users
+    assert out.count() > 3
