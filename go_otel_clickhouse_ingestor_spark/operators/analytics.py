@@ -884,3 +884,89 @@ def stat_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return s.select("lag_k", "n", F.round(num / den, 6).alias("autocorr"))
+
+
+@query(
+    "events_window_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    depth AS (
+      SELECT s1.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS depth
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT depth, count(*) AS n_users
+    FROM depth GROUP BY depth
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse's windowFunnel, the analytics
+    aggregate the reference's sink dialect ships): view → click →
+    purchase where every later step lands within 24 h of the FIRST
+    step, each strictly after the previous — users counted by the
+    deepest step reached.  Same decomposition as events_funnel (one
+    filtered min-agg per step, the window constraint riding the join
+    predicate) so the whole funnel is three partial+final aggs sharing
+    the user_id shuffle key — no per-user event sorting, no state
+    machine, and left joins on user-grain tables for the depth roll."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        s1.join(s2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("_s3")), "user_id", "left")
+        .select(
+            F.when(F.col("_s3").isNotNull(), 3)
+            .when(F.col("_s2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "win_moving_median", "fn_try_safe",
     "fn_higher_order", "join_asof_nearest", "agg_median_mad",
     "dedup_ngram_containment", "text_zipf_fit", "stat_autocorr_lag",
+    "events_window_funnel",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
