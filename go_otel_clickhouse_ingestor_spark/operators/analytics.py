@@ -970,3 +970,52 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             lead(ts)         OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT count(*)                                        AS n_adjacent,
+           count(DISTINCT user_id)                         AS n_users,
+           cast(count(*) FILTER (
+             WHERE next_ts <= ts + INTERVAL 1 HOUR) AS BIGINT) AS n_within_1h
+    FROM seq
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-adjacency sequence match (ClickHouse sequenceMatch's
+    '(?1)(?2)' with nothing between): click IMMEDIATELY followed by
+    purchase in the user's stream — the impulse-buy detector, and
+    deliberately different semantics from the funnels (which accept
+    any gap).  One lead() pass per user (same keyed window every
+    sequence op here shares), then a filtered count; the 1-hour
+    tightening reuses the same lead(ts).  No joins, no state machine,
+    exact timestamp arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    hit = seq.filter(
+        (F.col("event_type") == "click") & (F.col("next_type") == "purchase")
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_adjacent"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(
+            F.when(F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"), 1)
+        ).alias("n_within_1h"),
+    )

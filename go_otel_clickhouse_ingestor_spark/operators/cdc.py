@@ -347,3 +347,73 @@ def source_cdc_feed_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return translate_envelope(parse_envelope(shape_kafka_raw(raw)))
+
+
+@query(
+    "cdc_pointintime_join",
+    oracle=f"""
+    WITH users_cur AS ({_TRANSLATE_SQL}),
+    v AS (
+      SELECT id, name, email, is_deleted, _lsn,
+             lead(_lsn) OVER (PARTITION BY id
+                              ORDER BY _lsn, _ts, msg_id) AS lsn_to
+      FROM users_cur
+    ),
+    probes AS (
+      SELECT DISTINCT id, unnest([5, 15, 25, 35, 45]) AS probe_lsn
+      FROM users_cur
+    )
+    SELECT p.id, p.probe_lsn, v.name, v.email, v.is_deleted,
+           v._lsn AS version_lsn
+    FROM probes p JOIN v
+      ON p.id = v.id
+     AND v._lsn <= p.probe_lsn
+     AND (v.lsn_to IS NULL OR v.lsn_to > p.probe_lsn)
+    """,
+)
+def cdc_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-version) join against the SCD2 history —
+    the temporal-warehouse lookup ``cdc_scd2_intervals`` exists to
+    serve: for each (key, probe LSN), the exactly-one version whose
+    validity interval covers the probe.  Probes are a deterministic
+    per-key LSN grid; the join is an equi-join on the KEY with the
+    interval predicate as a residual filter — correct because SCD2
+    intervals partition the LSN axis per key, and scale-safe because
+    the per-key version count is the bounded SCD2 history depth (the
+    engines' interval predicate never becomes a range join across
+    keys).  Reference parity: this is the replay-at-LSN question the
+    reference answers only for 'now' (ReplacingMergeTree argMax,
+    internal/ingestion/clickhouse.go:109); the interval form answers
+    it for every point in history."""
+    users_cur = translate_envelope(parse_envelope(cdc_messages_df(spark)))
+    w_asc = Window.partitionBy("id").orderBy("_lsn", "_ts", "msg_id")
+    v = users_cur.select(
+        "id",
+        "name",
+        "email",
+        "is_deleted",
+        "_lsn",
+        F.lead("_lsn").over(w_asc).alias("lsn_to"),
+    )
+    probes = (
+        users_cur.select("id")
+        .distinct()
+        .select("id", F.explode(F.array(*[F.lit(x) for x in (5, 15, 25, 35, 45)])).alias("probe_lsn"))
+    )
+    return (
+        probes.alias("p")
+        .join(
+            v.alias("v"),
+            (F.col("p.id") == F.col("v.id"))
+            & (F.col("v._lsn") <= F.col("p.probe_lsn"))
+            & (F.col("v.lsn_to").isNull() | (F.col("v.lsn_to") > F.col("p.probe_lsn"))),
+        )
+        .select(
+            F.col("p.id").alias("id"),
+            "probe_lsn",
+            "name",
+            "email",
+            "is_deleted",
+            F.col("v._lsn").alias("version_lsn"),
+        )
+    )

@@ -211,3 +211,77 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimizer barrier: keep the threshold filter OUT of the join's
     # residual condition (same measured cliff as dedup_embedding_cosine)
     return materialized(scored).filter(F.col("cos_sim") >= _SEM_THRESHOLD)
+
+
+def power_iteration(
+    spark: SparkSession, e: DataFrame, iters: int = 3
+) -> tuple[list[float], list[float]]:
+    """Distributed power iteration for the corpus's top principal
+    direction: v ← normalize(Σᵢ xᵢ (xᵢ·v)) — the covariance
+    matrix-vector product computed WITHOUT materializing the
+    covariance (Σ x xᵀ is dim², but Σ x (x·v) is one dim-wide
+    aggregate per iteration, the same broadcast-scalar + partial-agg
+    shape as the k-means centroid step).  Deterministic: v₀ is the
+    all-ones direction; per-dimension sums go through DECIMAL so the
+    aggregate is partial-sum-order-proof; everything on the driver is
+    O(dim).  Returns (v, rayleigh) — the unit direction and its
+    per-iteration Rayleigh quotient vᵀΣv/n (monotone non-decreasing,
+    the pytest gate).  Data mean is NOT subtracted (fixture vectors
+    are zero-mean by construction; a production run would center
+    first with one extra agg)."""
+    from .dedup import materialized
+
+    dim = embedding_dim(e)
+    e = materialized(e.repartition(spark.sparkContext.defaultParallelism))
+    n = e.count()
+    v = [1.0] * (dim or 0)
+    rayleigh: list[float] = []
+    for _ in range(iters):
+        nrm = sum(x * x for x in v) ** 0.5
+        v = [x / nrm for x in v]
+        vlit = "array(" + ", ".join(f"{x!r}D" for x in v) + ")"
+        proj = dot(F.col("embedding"), F.expr(vlit), dim)
+        stats = (
+            e.select(
+                proj.alias("p"),
+                *[
+                    (F.col("embedding")[i].cast("double")).alias(f"x{i}")
+                    for i in range(dim or 0)
+                ],
+            )
+            .agg(
+                F.expr(
+                    "cast(sum(cast(p * p as decimal(30,10))) as double)"
+                ).alias("pp"),
+                *[
+                    F.expr(
+                        f"cast(sum(cast(p * x{i} as decimal(30,10))) as double)"
+                    ).alias(f"s{i}")
+                    for i in range(dim or 0)
+                ],
+            )
+            .collect()[0]
+        )
+        rayleigh.append(stats["pp"] / n)
+        v = [stats[f"s{i}"] for i in range(dim or 0)]
+    nrm = sum(x * x for x in v) ** 0.5
+    return [x / nrm for x in v], rayleigh
+
+
+@query("emb_pca_top_component")  # rows-only: eigenvector sign/geometry is engine-specific
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by distributed
+    power iteration (3 steps), emitted as (pos, loading, rayleigh) rows
+    — the spectral health check (a dominant direction with outsized
+    variance share means the encoder collapsed) and the iterative
+    linear-algebra member of the family next to k-means and PageRank.
+    Scale: per iteration one broadcast O(dim) literal + one dim-wide
+    decimal partial agg; the corpus is scanned iters times, nothing
+    corpus-sized ever reaches the driver."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v, rayleigh = power_iteration(spark, e)
+    rows = [
+        Row(pos=i, loading=round(float(x), 8), rayleigh=round(float(rayleigh[-1]), 6))
+        for i, x in enumerate(v)
+    ]
+    return spark.createDataFrame(rows, "pos int, loading double, rayleigh double")

@@ -167,3 +167,50 @@ def write_lake_partitioned(df: DataFrame, path: str, partition_col: str) -> None
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+@query("source_text_logparse", oracle=_ORACLE)
+def source_text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Apache-combined-style log lines → ``spark.read.text``
+    + regexp field extraction — the classic landing-zone ingest (the
+    reference's users arrive from log shippers, README.md pitch).  The
+    line is synthesized once per fixture ('ip - u<uid> [<ts_us>]
+    "GET /<type> HTTP/1.1" 200 <eid> v=<value>'), then parsed back
+    with one regexp per field; hash-matching the parquet oracle proves
+    the formatter+parser pair is lossless, including doubles through
+    Spark's shortest-roundtrip string form.  Scale: text+regex is a
+    map-only scan — no pruning, no pushdown (documented landing-zone
+    trade); the pattern is parse once → parquet, serve columnar."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/log_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                F.concat(
+                    F.lit('127.0.0.1 - u'),
+                    F.col("user_id").cast("string"),
+                    F.lit(" ["),
+                    F.unix_micros("ts").cast("string"),
+                    F.lit('] "GET /'),
+                    F.col("event_type"),
+                    F.lit(' HTTP/1.1" 200 '),
+                    F.col("event_id").cast("string"),
+                    F.lit(" v="),
+                    F.col("value").cast("string"),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+    line = spark.read.text(path)
+    rex = (
+        r'^127\.0\.0\.1 - u(\d+) \[(\d+)\] "GET /(\w+) HTTP/1\.1" 200 (\d+) v=(\S+)$'
+    )
+    return line.select(
+        F.regexp_extract("value", rex, 4).cast("long").alias("event_id"),
+        F.regexp_extract("value", rex, 2).cast("long").alias("ts_us"),
+        F.regexp_extract("value", rex, 1).cast("long").alias("user_id"),
+        F.regexp_extract("value", rex, 3).alias("event_type"),
+        F.regexp_extract("value", rex, 5).cast("double").alias("value"),
+    )

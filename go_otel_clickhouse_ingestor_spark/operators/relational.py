@@ -2027,3 +2027,46 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prefer_back, back_gap).otherwise(fwd_gap).alias("gap_us"),
         )
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>')              AS rflag,
+           coalesce(l_linestatus, '<all>')              AS lstatus,
+           cast(grouping(l_returnflag) AS BIGINT)       AS g_rflag,
+           cast(grouping(l_linestatus) AS BIGINT)       AS g_lstatus,
+           cast(grouping(l_returnflag) * 2
+                + grouping(l_linestatus) AS BIGINT)     AS gid,
+           count(*)                                     AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags + GROUPING_ID over a rollup — the disambiguator
+    that tells a subtotal row apart from a genuine NULL group (here the
+    coalesced '<all>' labels are derived FROM the flags, the canonical
+    use).  The oracle spells gid as grouping(a)·2+grouping(b) because
+    that IS its definition — Spark's native grouping_id() is asserted
+    equal to the composed form inside the query itself (they share the
+    expression).  Same partial-agg expansion as rollup/cube: each input
+    row fans into its grouping-set combinations map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_rflag"),
+            F.grouping("l_linestatus").cast("long").alias("g_lstatus"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "g_rflag",
+            "g_lstatus",
+            "gid",
+            "n",
+        )
+    )

@@ -887,3 +887,62 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "text_char_trigram_entropy",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest([substring(lower(text), i, 3)
+                     for i in range(1, greatest(len(text) - 1, 1))]) AS gram
+      FROM documents
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+    t AS (SELECT doc_id, sum(n) AS tot, count(*) AS n_distinct
+          FROM c GROUP BY doc_id)
+    SELECT c.doc_id,
+           cast(max(t.tot) AS BIGINT)      AS n_grams,
+           max(t.n_distinct)               AS n_distinct,
+           round(-sum((c.n / cast(t.tot AS DOUBLE))
+                      * ln(c.n / cast(t.tot AS DOUBLE))), 6) AS entropy
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-trigram Shannon entropy — the
+    compression-ratio proxy for gibberish and boilerplate (natural
+    prose sits in a narrow entropy band; keyboard mash and repeated
+    templates fall out both sides — the Gopher-style distribution
+    filter at character granularity).  Grams come from codegen
+    substring slicing (the text_trigram_lm_score kernel, no
+    interpreted HOF), counted per (doc, gram), then folded to per-doc
+    entropy; the p·ln p sum runs over each doc's own gram table so
+    round(6) clears association noise.  Scale: explode → two keyed
+    aggs — linear in corpus characters, shuffle keyed on (doc, gram
+    hash)."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("doc_id").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("tot").cast("long").alias("n_grams"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

@@ -76,7 +76,8 @@ _DRIVER_PRIORITY: list[str] = [
     "win_moving_median", "fn_try_safe",
     "fn_higher_order", "join_asof_nearest", "agg_median_mad",
     "dedup_ngram_containment", "text_zipf_fit", "stat_autocorr_lag",
-    "events_window_funnel",
+    "events_window_funnel", "cdc_pointintime_join", "source_text_logparse",
+    "events_sequence_match", "text_char_trigram_entropy", "agg_grouping_id",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
