@@ -1019,3 +1019,69 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"), 1)
         ).alias("n_within_1h"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT coalesce(touch_type, '<direct>') AS channel,
+           count(*)                         AS n_purchases,
+           round(cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE), 4)
+             AS revenue
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND (touch_ts IS NULL OR touch_ts >= ts - INTERVAL 7 DAY)
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent non-purchase event within a 7-day lookback (older touches →
+    '<direct>') — the marketing-analytics staple.  Same single
+    IGNORE-NULLS backward frame as join_asof_nearest: one keyed window
+    pass computes the candidate touch, a filter applies the lookback,
+    and a tiny channel-keyed agg rolls revenue (through DECIMAL).  No
+    joins, no per-user collect; the window shuffle is the one cost."""
+    ev = table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(touch, ignorenulls=True).over(wb).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(wb).alias("touch_ts"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (
+                F.col("touch_ts").isNull()
+                | (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"))
+            )
+        )
+        .groupBy(F.coalesce("touch_type", F.lit("<direct>")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.expr(
+                "round(cast(sum(cast(value as decimal(24,10))) as double), 4)"
+            ).alias("revenue"),
+        )
+    )

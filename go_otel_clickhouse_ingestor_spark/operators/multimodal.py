@@ -199,3 +199,63 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return payloads.mapInPandas(_frames_iter, FRAME_SCHEMA)
+
+
+#: Output schema of the resize stage — target geometry + the letterbox
+#: scale a real resampler would apply before the pixel pass.
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, out_w long, out_h long, "
+    "scale double, resized_bytes long"
+)
+
+#: Resize target: longest side (the CLIP/SigLIP-style preprocessing
+#: contract — aspect ratio preserved, no crop).
+_RESIZE_MAX_SIDE = 224
+
+
+def resize_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """'Resize' one decoded Arrow batch: compute the target geometry a
+    real resampler (PIL.Image.resize / cv2) would use — aspect-
+    preserving fit into 224 on the longest side, never upscaled — and
+    a deterministic stand-in for the resized payload size (out_w·out_h
+    ·3, the RGB buffer a real pass would allocate).  The pixel
+    resample itself needs PIL/cv2 (absent here); geometry math and the
+    Arrow plumbing are the real, tested surface."""
+    out = pd.DataFrame()
+    out["doc_id"] = pdf["doc_id"]
+    out["width"] = pdf["width"]
+    out["height"] = pdf["height"]
+    longest = pdf[["width", "height"]].max(axis=1)
+    scale = (_RESIZE_MAX_SIDE / longest).clip(upper=1.0)
+    out["out_w"] = (pdf["width"] * scale).round().astype("int64").clip(lower=1)
+    out["out_h"] = (pdf["height"] * scale).round().astype("int64").clip(lower=1)
+    out["scale"] = scale.round(6)
+    out["resized_bytes"] = out["out_w"] * out["out_h"] * 3
+    return out
+
+
+def _resize_iter(batches):
+    for pdf in batches:
+        if len(pdf):
+            yield resize_media_batch(pdf)
+
+
+@query("multimodal_resize")  # rows-only: stubbed resampler (geometry is real)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize as chained Arrow stages: the decode pass emits
+    header geometry, the resize pass computes the aspect-preserving
+    224-fit a vision-model preprocessor applies (downscale-only,
+    letterbox scale carried for de-normalization).  Two mapInPandas
+    stages pipeline WITHOUT a shuffle between them — at 100 TB this is
+    one map-only pass per media file, embarrassingly parallel, with
+    Arrow batches amortizing the Python boundary.  pytest asserts the
+    geometry invariants (aspect ratio preserved to rounding, ≤224,
+    never upscaled)."""
+    d = table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.lit("fake").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    decoded = payload.mapInPandas(_decode_iter, DECODE_SCHEMA)
+    return decoded.mapInPandas(_resize_iter, RESIZE_SCHEMA)

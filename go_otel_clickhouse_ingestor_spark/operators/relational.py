@@ -2070,3 +2070,85 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+    item_n AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.n_pair,
+           round(p.n_pair / cast(t.n AS DOUBLE), 6)  AS support,
+           round((p.n_pair * cast(t.n AS DOUBLE))
+                 / (ia.n_item * cast(ib.n_item AS DOUBLE)), 6) AS lift
+    FROM pair_n p
+    JOIN item_n ia ON p.item_a = ia.item
+    JOIN item_n ib ON p.item_b = ib.item
+    CROSS JOIN n_orders t
+    WHERE p.n_pair >= 5
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-occurrence counts, support
+    and lift for item pairs bought in the same order (items coarsened
+    to 50 part classes so the fixture has real co-occurrence mass —
+    the standard category-level basket analysis).  The pair join is
+    keyed on the ORDER — each order contributes C(items,2) pairs with
+    items/order bounded (~7 lines), so pair volume is linear in
+    orders, never item²; item margins and the order total ride
+    broadcast joins onto the pair table.  min-support 5 prunes the
+    long tail before the output."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    from .dedup import materialized
+
+    baskets = materialized(baskets)
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n")
+    )
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    return (
+        pair_n.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("nb"))),
+            "item_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n").cast("double"), 6).alias("support"),
+            F.round(
+                (F.col("n_pair") * F.col("n").cast("double"))
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_containment", "text_zipf_fit", "stat_autocorr_lag",
     "events_window_funnel", "cdc_pointintime_join", "source_text_logparse",
     "events_sequence_match", "text_char_trigram_entropy", "agg_grouping_id",
+    "events_attribution_last_touch", "orders_market_basket",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

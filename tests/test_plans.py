@@ -334,3 +334,27 @@ def test_round5b_windows_all_keyed(spark, sf_dir):
         "win_moving_median",
     ):
         assert global_windows(REGISTRY[name].fn(spark, sf_dir)) == 0, name
+
+
+def test_market_basket_pair_join_is_order_keyed(spark, sf_dir):
+    """The basket pair join must key on l_orderkey (pair volume bounded
+    by C(items,2) per order) — no cartesian, margins broadcast."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    df = REGISTRY["orders_market_basket"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    a = audit(df)
+    assert "CartesianProduct" not in plan
+    assert a["broadcast_joins"] >= 2
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_attribution_window_is_user_keyed(spark, sf_dir):
+    """Last-touch attribution must run its backward frame per user —
+    zero global windows, zero joins."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    df = REGISTRY["events_attribution_last_touch"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert global_windows(df) == 0
+    assert "Join" not in plan

@@ -421,3 +421,22 @@ def test_pca_power_iteration_converges_to_numpy_top_eigen(spark, sf_dir):
     _, ray6 = power_iteration(spark, e, iters=6)
     assert ray6[-1] >= ray[-1] * (1 - 1e-9)
     assert ray6[-1] >= 0.75 * float(w[-1])
+
+
+def test_multimodal_resize_geometry_invariants(spark, sf_dir):
+    """Resize stage: aspect preserved to integer rounding, longest side
+    fits 224, never upscaled, scale==1 rows keep identity geometry."""
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    rows = load_all()["multimodal_resize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r.out_w, r.out_h) <= 224
+        assert r.scale <= 1.0
+        if r.scale == 1.0:
+            assert (r.out_w, r.out_h) == (r.width, r.height)
+        else:
+            # aspect ratio preserved within rounding of the scale fit
+            assert abs(r.out_w - r.width * r.scale) <= 0.5 + 1e-6
+            assert abs(r.out_h - r.height * r.scale) <= 0.5 + 1e-6
+        assert r.resized_bytes == r.out_w * r.out_h * 3
