@@ -1085,3 +1085,290 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT c.cohort,
+             date_diff('month', c.cohort,
+                       date_trunc('month', o.o_orderdate))::BIGINT AS offset_m,
+             cast(sum(cast(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN cust c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT epoch_us(cohort)::BIGINT AS cohort_us, offset_m,
+           round(revenue, 2) AS revenue,
+           round(sum(revenue) OVER (PARTITION BY cohort ORDER BY offset_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_ltv
+    FROM rev
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers bucketed by first-order month,
+    revenue rolled by months-since-cohort, cumulative LTV running per
+    cohort — the retention-economics matrix next to the user-count
+    cohort (events_retention_cohort counts heads; this sums money).
+    Cohort table is customer-grain (broadcast), revenue sums go
+    through DECIMAL, and the only window runs per cohort over month
+    offsets — calendar-bounded rows.  Cross-engine month arithmetic is
+    pinned via date_trunc + month-diff on truncated months."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(F.broadcast(cust), "o_custkey")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.months_between(
+                    F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+                )
+            )
+            .cast("long")
+            .alias("offset_m"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,4))) as double)"
+            ).alias("revenue")
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        F.unix_micros("cohort").alias("cohort_us"),
+        "offset_m",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.sum("revenue").over(wc), 2).alias("cum_ltv"),
+    )
+
+
+@query(
+    "events_churn_weekly",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT epoch_us(a.w)::BIGINT AS week_us,
+           count(*) AS n_active,
+           cast(count(*) FILTER (WHERE b.user_id IS NULL) AS BIGINT)
+             AS n_churned
+    FROM act a
+    LEFT JOIN act b
+      ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+    WHERE a.w < (SELECT max(w) FROM act)
+    GROUP BY a.w
+    """,
+)
+def events_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: users active in week W with no activity in W+1
+    (the final week is excluded — churn there is right-censored; week
+    grain because the fixtures span one month).  One distinct to
+    user×week grain, then a self LEFT join shifted by one week —
+    co-partitioned on user_id, null-probe = churned — and a week-grain
+    rollup.  No windows at all; the censoring cut rides a
+    scalar-subquery broadcast."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    from .dedup import materialized
+
+    act = materialized(act)
+    mx = act.agg(F.max("w").alias("mx"))
+    a = act.alias("a")
+    b = act.alias("b")
+    return (
+        a.join(F.broadcast(mx))
+        .filter(F.col("a.w") < F.col("mx"))
+        .join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.w") == F.expr("a.w + INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy(F.unix_micros("a.w").alias("week_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.when(F.col("b.user_id").isNull(), 1)).alias("n_churned"),
+        )
+    )
+
+
+@query(
+    "events_top_movers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    delta AS (
+      SELECT event_type, day, total,
+             total - lag(total) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS chg
+      FROM daily
+    ),
+    ranked AS (
+      SELECT event_type, day, round(total, 4) AS total, round(chg, 4) AS chg,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(chg) DESC, day) AS rnk
+      FROM delta WHERE chg IS NOT NULL
+    )
+    SELECT event_type, epoch_us(day)::BIGINT AS day_us, total, chg, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest day-over-day movers per event type (top-5 absolute
+    deltas) — the 'what changed' dashboard primitive.  Daily totals
+    through DECIMAL, per-type lag for the delta, per-type rank on
+    |Δ| with a day tie-break (total order, engines can't diverge).
+    All windows keyed by event_type over day-grain rows — calendar-
+    bounded; at 100 TB only the first agg touches the facts."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.expr("cast(sum(cast(value as decimal(24,10))) as double)").alias("total")
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.withColumn("chg", F.col("total") - F.lag("total").over(wt)).filter(
+        F.col("chg").isNotNull()
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("chg")).desc(), F.col("day")
+    )
+    return (
+        delta.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.unix_micros("day").alias("day_us"),
+            F.round("total", 4).alias("total"),
+            F.round("chg", 4).alias("chg"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "events_user_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT event_type, count(*) AS n FROM s GROUP BY event_type)
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           round(p.n_both * 1.0 / (sa.n + sb.n - p.n_both), 6) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON p.type_a = sa.event_type
+    JOIN sz sb ON p.type_b = sb.event_type
+    """,
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the USER
+    SETS of each event-type pair (do clickers purchase? is the view
+    audience disjoint from conversions?) — segment-overlap analysis as
+    a set-similarity join.  Distinct to (type, user) grain, self-join
+    keyed on user_id for intersections (co-partitioned, bounded by
+    types-per-user), margins broadcast back onto the ≤C(types,2)-row
+    pair table.  Exact integer counts; one division at the end."""
+    ev = table(spark, sf_dir, "events")
+    from .dedup import materialized
+
+    s = materialized(ev.select("event_type", "user_id").distinct())
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sz = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    WITH cells AS (
+      SELECT date_part('dow', ts)  AS dow,
+             date_part('hour', ts) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cast(dow AS BIGINT) AS dow, cast(hod AS BIGINT) AS hod, n,
+           round(n * 1.0 / (SELECT sum(n) FROM cells), 6) AS share
+    FROM cells
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day traffic heatmap with global share —
+    the ops-dashboard staple (when do users show up?).  One (dow, hod)
+    agg over the facts — 7×24 cells regardless of volume — and the
+    share denominator rides a scalar-subquery broadcast.  Day-of-week
+    pinned to Sunday=0 on both engines (dayofweek()-1 in Spark,
+    date_part('dow') in DuckDB)."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from .dedup import materialized
+
+    cells = materialized(cells)
+    tot = cells.agg(F.sum("n").alias("t"))
+    return cells.join(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share"),
+    )

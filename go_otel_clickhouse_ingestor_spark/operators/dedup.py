@@ -724,3 +724,44 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.6)
         .select("doc_a", "doc_b", "n_common", F.round(cont, 6).alias("containment"))
     )
+
+
+@query(
+    "dedup_cross_source",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS th FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.source AS source_a, b.source AS source_b
+    FROM h a JOIN h b
+      ON a.th = b.th AND a.doc_id < b.doc_id AND a.source <> b.source
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact duplicates: the same text appearing under
+    DIFFERENT corpus sources — the cross-dump contamination check
+    (CommonCrawl snapshot N ∩ snapshot N+1, or web ∩ curated) that
+    per-source dedup passes structurally miss.  Content-hash self-join
+    keyed on the digest (md5 here because the pair must match the
+    oracle's digest; the scale path is xxhash64 as in dedup_exact)
+    with the cross-source constraint as a residual — shuffle keyed on
+    the hash, never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    h = materialized(d.select("doc_id", "source", F.md5("text").alias("th")))
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.th") == F.col("b.th"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )

@@ -2152,3 +2152,53 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_weighted_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             cast(sum(cast(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sw,
+             cast(sum(cast(l_quantity AS DECIMAL(20,6))
+                      * cast(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS swx,
+             cast(sum(cast(l_quantity AS DECIMAL(20,6))
+                      * cast(l_extendedprice AS DECIMAL(20,6))
+                      * cast(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS swxx,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(swx / sw, 4)                              AS wmean_price,
+           round((swxx / sw) - (swx / sw) * (swx / sw), 2) AS wvar_price
+    FROM s
+    """,
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean and variance of unit price per return
+    flag — the volume-weighted-average-price (VWAP) family: a plain
+    AVG over-weights small lines; weighting by quantity answers "what
+    price did the goods actually move at".  All three weighted moments
+    (Σw, Σwx, Σwx²) go through DECIMAL so partial-sum order can't
+    drift, then two divisions at the end.  One partial+final agg, 3
+    output rows."""
+    li = table(spark, sf_dir, "lineitem")
+    dq = "cast(l_quantity as decimal(20,6))"
+    dp = "cast(l_extendedprice as decimal(20,6))"
+    s = li.groupBy("l_returnflag").agg(
+        F.expr(f"cast(sum({dq}) as double)").alias("sw"),
+        F.expr(f"cast(sum({dq} * {dp}) as double)").alias("swx"),
+        F.expr(f"cast(sum({dq} * {dp} * {dp}) as double)").alias("swxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wmean = F.col("swx") / F.col("sw")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(wmean, 4).alias("wmean_price"),
+        F.round((F.col("swxx") / F.col("sw")) - wmean * wmean, 2).alias(
+            "wvar_price"
+        ),
+    )

@@ -150,3 +150,63 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(u < keep_p)
         .select("doc_id", "n_chars", F.round(keep_p, 6).alias("keep_p"))
     )
+
+
+@query(
+    "sample_quantile_bucketize",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS q
+      FROM events
+    ),
+    binned AS (
+      SELECT (CASE WHEN value > q[9] THEN 9 WHEN value > q[8] THEN 8
+                   WHEN value > q[7] THEN 7 WHEN value > q[6] THEN 6
+                   WHEN value > q[5] THEN 5 WHEN value > q[4] THEN 4
+                   WHEN value > q[3] THEN 3 WHEN value > q[2] THEN 2
+                   WHEN value > q[1] THEN 1 ELSE 0 END) AS bucket,
+             value
+      FROM events CROSS JOIN cuts
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM binned GROUP BY bucket
+    """,
+)
+def sample_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bucketizer (Spark ML's QuantileDiscretizer
+    semantics, declaratively): exact decile cut points computed once
+    over the corpus, broadcast, every row bucketed by threshold
+    comparison — the feature-preprocessing primitive for models and
+    for importance-stratified sampling.  Both engines interpolate
+    percentile_cont on identical doubles (bit-identical cuts), the
+    bucket CASE uses strict > consistently, and output is 10 bins with
+    near-equal counts (the equi-depth property).  One pass for cuts,
+    one map-only pass to bucket, one tiny agg."""
+    ev = table(spark, sf_dir, "events")
+    cuts = ev.agg(
+        F.expr(
+            "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        ).alias("q")
+    )
+    binned = ev.join(F.broadcast(cuts)).select(
+        F.when(F.col("value") > F.col("q")[8], 9)
+        .when(F.col("value") > F.col("q")[7], 8)
+        .when(F.col("value") > F.col("q")[6], 7)
+        .when(F.col("value") > F.col("q")[5], 6)
+        .when(F.col("value") > F.col("q")[4], 5)
+        .when(F.col("value") > F.col("q")[3], 4)
+        .when(F.col("value") > F.col("q")[2], 3)
+        .when(F.col("value") > F.col("q")[1], 2)
+        .when(F.col("value") > F.col("q")[0], 1)
+        .otherwise(0)
+        .alias("bucket"),
+        "value",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

@@ -775,3 +775,40 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as double)"
         ).alias("gross"),
     )
+
+
+@query(
+    "fn_time_bucket",
+    oracle="""
+    SELECT (epoch_us(ts) - (epoch_us(ts) % 900000000))       AS bucket_15m_us,
+           (epoch_us(ts) - ((epoch_us(ts) - 300000000)
+                            % 900000000) - 300000000)        AS bucket_15m_offset_us,
+           count(*)                                          AS n,
+           cast(count(DISTINCT user_id) AS BIGINT)           AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time bucketing (ClickHouse toStartOfInterval /
+    TimescaleDB time_bucket): floor to 15-minute buckets, plus the
+    offset-origin variant (bucket boundaries shifted +5 min — the
+    billing-period alignment case date_trunc can't express).  Exact
+    integer microsecond arithmetic on epoch_us — no timezone or
+    rounding semantics to diverge; grouping on the bucket is the
+    standard time-series rollup shuffle."""
+    ev = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = 900_000_000
+    off = 300_000_000
+    return (
+        ev.groupBy(
+            (F.col("us") - (F.col("us") % w)).alias("bucket_15m_us"),
+            (F.col("us") - ((F.col("us") - off) % w) - off).alias(
+                "bucket_15m_offset_us"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )

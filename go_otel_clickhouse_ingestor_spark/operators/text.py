@@ -946,3 +946,43 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+def _compress_iter(batches):
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        raw = pdf["text"].str.encode("utf-8")
+        comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+        raw_len = raw.map(len)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "raw_bytes": raw_len.astype("int64"),
+                "compressed_bytes": comp_len.astype("int64"),
+                "ratio": (comp_len / raw_len).round(6),
+            }
+        )
+        yield out
+
+
+@query("text_compression_ratio")  # rows-only: zlib backend is engine-specific
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the information-density
+    quality signal the big web-corpus pipelines (RefinedWeb, Dolma)
+    filter on: templated/repeated text compresses far below natural
+    prose, random noise barely compresses at all.  zlib level 6 is
+    deterministic for a given input, so the op is rerun-stable, but
+    the byte counts are library-specific → rows-only with a pytest
+    gate (determinism + the repetition ordering invariant).  Arrow-
+    batched mapInPandas; map-only, no shuffle — the 100 TB cost is one
+    decompression-speed-bound pass."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(
+        _compress_iter,
+        "doc_id long, raw_bytes long, compressed_bytes long, ratio double",
+    )

@@ -79,6 +79,9 @@ _DRIVER_PRIORITY: list[str] = [
     "events_window_funnel", "cdc_pointintime_join", "source_text_logparse",
     "events_sequence_match", "text_char_trigram_entropy", "agg_grouping_id",
     "events_attribution_last_touch", "orders_market_basket",
+    "orders_cohort_ltv", "events_churn_weekly", "events_top_movers",
+    "dedup_cross_source", "events_user_overlap", "sample_quantile_bucketize",
+    "fn_time_bucket", "agg_weighted_stats", "events_heatmap_dow_hour",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -440,3 +440,21 @@ def test_multimodal_resize_geometry_invariants(spark, sf_dir):
             assert abs(r.out_w - r.width * r.scale) <= 0.5 + 1e-6
             assert abs(r.out_h - r.height * r.scale) <= 0.5 + 1e-6
         assert r.resized_bytes == r.out_w * r.out_h * 3
+
+
+def test_compression_ratio_orders_repetition(spark, sf_dir):
+    """zlib ratio must be deterministic across runs and must rank a
+    highly repetitive synthetic document below (more compressible
+    than) the corpus median — the signal the filter exists for."""
+    q = REGISTRY["text_compression_ratio"].fn
+    a = {(r.doc_id, r.ratio) for r in q(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.ratio) for r in q(spark, sf_dir).collect()}
+    assert a == b and a
+
+    import zlib
+
+    rows = sorted(r for _, r in a)
+    median = rows[len(rows) // 2]
+    rep = ("spam " * 200).encode()
+    rep_ratio = len(zlib.compress(rep, 6)) / len(rep)
+    assert rep_ratio < median, (rep_ratio, median)
