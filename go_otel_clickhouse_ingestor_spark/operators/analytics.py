@@ -1372,3 +1372,336 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share"),
     )
+
+
+@query(
+    "orders_backlog_daily",
+    oracle="""
+    WITH span0 AS (
+      SELECT o_orderkey, o_orderdate::DATE AS open_day,
+             (max(l_shipdate)::DATE + 1) AS close_next
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    ),
+    span AS (SELECT * FROM span0 WHERE close_next > open_day),
+    days AS (
+      SELECT DISTINCT open_day AS day FROM span
+      UNION SELECT DISTINCT close_next FROM span
+    )
+    SELECT d.day::TIMESTAMP AS day, count(s.o_orderkey) AS backlog
+    FROM days d
+    LEFT JOIN span s ON d.day >= s.open_day AND d.day < s.close_next
+    GROUP BY d.day
+    """,
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog (orders placed but not yet fully
+    shipped) — the interval-stabbing query every ops dashboard runs.
+
+    The ORACLE answers it the naive way: a day × span theta join
+    (`day BETWEEN open AND close`), O(days × orders) — fine at fixture
+    scale, ruinous at 100 TB.  The Spark side is the scale answer: the
+    +1/−1 EVENT SWEEP.  Each span emits two deltas (+1 at open, −1 the
+    day after last shipment), deltas aggregate per day (keyed shuffle
+    with map-side combine), and a running sum over the day grid
+    recovers the backlog — O(orders) work and a window over DISTINCT
+    DAYS (a few thousand rows at any corpus size: day-grain bounded,
+    same contract as ``win_cumulative_distinct``), never a join
+    against the span set.  Identity: backlog(d) = Σ deltas ≤ d =
+    #\\{open ≤ d\\} − #\\{close_next ≤ d\\} = #spans covering d."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("open_day"),
+            F.date_add(F.col("last_ship").cast("date"), 1).alias("close_next"),
+        )
+        # the fixture generates ship dates independent of order dates, so
+        # ~0.6% of spans are INVERTED (last shipment before the order) —
+        # the sweep identity requires well-formed intervals, and a
+        # negative-length "open order" is meaningless; both engines drop
+        # them explicitly
+        .filter(F.col("close_next") > F.col("open_day"))
+    )
+    deltas = span.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.select(F.col("close_next").alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    from pyspark.sql.window import Window
+
+    # day-grain bounded global window: one row per distinct calendar
+    # day, not per order — the sweep's entire point
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    )
+
+
+@query(
+    "stat_benford",
+    oracle="""
+    WITH src AS (
+      SELECT substr(cast(cast(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS d1
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT cast(d1 AS BIGINT) AS digit, count(*) AS n
+          FROM src GROUP BY d1),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT digit, n,
+           round(n / cast(tot AS DOUBLE), 6)                    AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6)                   AS exp_share,
+           round(n / cast(tot AS DOUBLE)
+                 - log10(1.0 + 1.0 / digit), 6)                 AS deviation
+    FROM c CROSS JOIN t
+    """,
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fabricated-data / corrupted-feed detector (real
+    transactional amounts follow P(d)=log10(1+1/d); synthetic or
+    truncated feeds don't).  The leading digit comes from the INTEGER
+    part's decimal string (identical int→string semantics on both
+    engines), never from float log10 whose libm rounding could flip a
+    power-of-ten boundary.  One digit-keyed agg over the facts (9
+    output rows), total broadcast as a 1-row join — the orders table
+    is scanned once, map-side combined."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from .dedup import materialized
+
+    c = materialized(c)
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n") / F.col("tot").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("exp_share"),
+        F.round(obs - exp, 6).alias("deviation"),
+    )
+
+
+@query(
+    "stat_mannwhitney_binned",
+    oracle="""
+    WITH b AS (
+      SELECT cast(floor(value * 10) AS BIGINT) AS bin,
+             count(*) FILTER (event_type = 'click') AS na,
+             count(*) FILTER (event_type = 'view')  AS nb
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, na, nb,
+             coalesce(sum(nb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nb_below
+      FROM b
+    ),
+    s AS (
+      SELECT sum(na) AS n_a, sum(nb) AS n_b,
+             sum(na * (nb_below + nb / 2.0)) AS u_a,
+             sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS ties
+      FROM cum
+    )
+    SELECT cast(n_a AS BIGINT) AS n_a, cast(n_b AS BIGINT) AS n_b,
+           round(u_a, 4) AS u_stat,
+           round((u_a - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - ties / (cast(n_a + n_b AS DOUBLE)
+                                     * (n_a + n_b - 1)))), 6) AS z_score
+    FROM s
+    """,
+)
+def stat_mannwhitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (click vs view values) on a fixed
+    0.1-wide bin grid — the distribution-free A/B significance twin of
+    ``stat_welch_ttest`` (no normality assumption), with the standard
+    tie-corrected normal approximation.  Binning is what makes it
+    scale: instead of ranking N rows in one global sort, both samples
+    collapse to per-bin counts (ONE keyed agg over the facts), and the
+    rank bookkeeping — B-counts strictly below each bin plus half the
+    in-bin ties — runs as a window over the BIN GRID (≤ value_range×10
+    rows, bounded like ``stat_ks_binned``'s CDF grid).  U, the tie
+    term Σ(t³−t), and both margins are exact integers; the only floats
+    are the final μ/σ normalization."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") * 10).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("nb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.select(
+        "na",
+        "nb",
+        F.coalesce(F.sum("nb").over(w), F.lit(0)).alias("nb_below"),
+    )
+    t = F.col("na") + F.col("nb")
+    s = cum.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * (F.col("nb_below") + F.col("nb") / 2.0)).alias("u_a"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    var = (
+        F.col("n_a") * F.col("n_b") / 12.0
+        * ((n + 1) - F.col("ties") / (n.cast("double") * (n - 1)))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("u_a", 4).alias("u_stat"),
+        F.round(
+            (F.col("u_a") - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var), 6
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           round(cast(sum(cast(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+                 / count(*) / 1e6, 6)                           AS mean_gap_s,
+           round(min(gap_us) / 1e6, 6)                          AS min_gap_s,
+           round(max(gap_us) / 1e6, 6)                          AS max_gap_s,
+           round(sqrt((cast(sum(cast(gap_us AS DECIMAL(28,0))
+                                * cast(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+                       - cast(sum(cast(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+                         * sum(cast(gap_us AS DECIMAL(28,0))) / count(*))
+                      / (count(*) - 1)) / 1e6, 6)               AS sd_gap_s
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: for each event,
+    the gap to the SAME USER's previous event (any type), rolled up by
+    the current event's type — mean/min/max/σ of the gap in seconds.
+    The burstiness profile behind rate-limiter and session-timeout
+    tuning.  Gaps are exact integer microseconds from one user-keyed
+    lag pass (partitioned window — never global), moment sums ride
+    DECIMAL so partial-sum order can't flip the hash, and the final
+    per-type agg is 5 rows."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    dg = "cast(gap_us as decimal(28,0))"
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.expr(f"cast(sum({dg}) as double)") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_gap_s"),
+        F.round(F.min("gap_us") / 1e6, 6).alias("min_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+        F.round(
+            F.sqrt(
+                (
+                    F.expr(f"cast(sum({dg} * {dg}) as double)")
+                    - F.expr(f"cast(sum({dg}) as double)")
+                    * F.expr(f"sum({dg})")
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+            / 1e6,
+            6,
+        ).alias("sd_gap_s"),
+    )
+
+
+@query(
+    "events_stickiness_dau_mau",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('month', ts) AS month, ts::DATE AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT date_trunc('month', ts) AS month,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT m.month::TIMESTAMP AS month,
+           (SELECT count(*) FROM daily d2 WHERE d2.month = m.month)
+             AS n_days,
+           cast((SELECT sum(dau) FROM daily d3 WHERE d3.month = m.month)
+                AS BIGINT)                                    AS dau_total,
+           m.mau,
+           round((SELECT sum(dau) FROM daily d4 WHERE d4.month = m.month)
+                 / cast((SELECT count(*) FROM daily d5
+                         WHERE d5.month = m.month) AS DOUBLE)
+                 / m.mau, 6)                                  AS stickiness
+    FROM monthly m
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — avg daily active users
+    over monthly active users, the engagement ratio every growth team
+    tracks (1.0 = every monthly user shows up every day).  Two exact
+    COUNT(DISTINCT) aggregates — day grain and month grain — each one
+    keyed shuffle over the facts, joined on month (a ≤tens-of-rows
+    broadcast).  Exact distincts here; the re-aggregatable sketch/
+    bitmap variants (``agg_hll_sketch_union``, ``agg_bitmap_distinct``)
+    are the precomputed-rollup path when the dashboard can't rescan."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    per_month = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_total"),
+    )
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return monthly.join(F.broadcast(per_month), "month").select(
+        "month",
+        "n_days",
+        "dau_total",
+        "mau",
+        F.round(
+            F.col("dau_total") / F.col("n_days").cast("double") / F.col("mau"), 6
+        ).alias("stickiness"),
+    )

@@ -297,3 +297,189 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(
         F.substring("node", 1, 1).alias("node_type"), "degree"
     ).agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corner AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS p_partkey, count(*) AS n_triangles
+    FROM corner GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an order are adjacent) — the local-clustering primitive
+    behind community detection and recommendation quality checks.
+
+    The scalable shape is DEGREE-ORDERED ORIENTATION (the standard
+    MapReduce triangle algorithm): every undirected edge is directed
+    from its lower-(degree, id) endpoint to the higher one, so wedges
+    are enumerated only at each triangle's LIGHTEST corner — per-node
+    wedge work is C(oriented-out-degree, 2), and a hub of degree d
+    generates O(d) oriented in-edges but few out-edges, killing the
+    quadratic hot-spot a naive id-ordered enumeration (the oracle's
+    fixture-scale form) hits on skewed graphs.  Each triangle is found
+    exactly once, then exploded to its 3 corners for the per-node
+    rollup.  Joins are all equi-keyed on node ids; nothing driver-side."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    from .dedup import materialized
+
+    e = materialized(e)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: src = lower (deg, id) endpoint
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = materialized(
+        ranked.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges at the lightest corner, second/third corner kept in
+    # orientation order so the closing edge is probed in ONE direction
+    wedge = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddeg") < F.col("o2.ddeg"))
+            | (
+                (F.col("o1.ddeg") == F.col("o2.ddeg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("y"),
+        F.col("o2.dst").alias("z"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedge.join(closing, ["y", "z"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("p_partkey")
+    )
+    return corners.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _bfs_level_sql(prev: str, cur: str, visited: list[str]) -> str:
+    notin = " UNION ALL ".join(f"SELECT node FROM {v}" for v in visited)
+    return f"""
+    {cur} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN {prev} ON e.src = {prev}.node
+      WHERE e.dst NOT IN ({notin})
+    )"""
+
+
+@query(
+    "graph_bfs_reachability",
+    oracle=f"""
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    l0 AS (SELECT 'c' || (SELECT min(o_custkey) FROM orders) AS node),
+    {_bfs_level_sql("l0", "l1", ["l0"])},
+    {_bfs_level_sql("l1", "l2", ["l0", "l1"])},
+    {_bfs_level_sql("l2", "l3", ["l0", "l1", "l2"])}
+    SELECT node, cast(0 AS BIGINT) AS dist FROM l0
+    UNION ALL SELECT node, cast(1 AS BIGINT) FROM l1
+    UNION ALL SELECT node, cast(2 AS BIGINT) FROM l2
+    UNION ALL SELECT node, cast(3 AS BIGINT) FROM l3
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-hop distance (≤ 3 hops) from the lowest-
+    keyed customer over the customer↔supplier trade graph — the
+    reachability / blast-radius primitive (fraud rings, supply-chain
+    exposure).  Frontier BFS as DataFrames: each hop is frontier ⋈
+    edges (src-keyed — co-partitions with PageRank's bucketed edge
+    list at 100 TB) followed by an anti-join against the visited set,
+    so per-hop work is O(frontier-adjacent edges) and state is
+    O(visited nodes), never corpus-sized.  The hop count is a fixed
+    unroll (one declarative plan, no convergence loop), matching the
+    oracle's unrolled level CTEs; the only driver-side value is the
+    seed key (a 1-row min)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from .dedup import materialized
+
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = materialized(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    seed_key = o.agg(F.min("o_custkey")).collect()[0][0]  # 1-row scalar
+    frontier = spark.createDataFrame(
+        [(f"c{seed_key}",)], "node string"
+    )
+    visited = frontier
+    out = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        frontier = materialized(frontier)
+        out = out.unionAll(
+            frontier.select("node", F.lit(hop).cast("long").alias("dist"))
+        )
+        visited = visited.unionAll(frontier)
+    return out

@@ -259,3 +259,66 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = payload.mapInPandas(_decode_iter, DECODE_SCHEMA)
     return decoded.mapInPandas(_resize_iter, RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_samples
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_samples,
+             cast(1 + (n_samples - 160) // 80 AS BIGINT) AS n_frames
+      FROM a WHERE n_samples >= 160
+    )
+    SELECT f.doc_id, f.n_samples, f.n_frames,
+           cast(g.frame_idx AS BIGINT)        AS frame_idx,
+           cast(g.frame_idx * 80 AS BIGINT)   AS start_sample,
+           cast(g.frame_idx * 80 + 160 AS BIGINT) AS end_sample,
+           round((g.frame_idx * 80) / 8000.0, 6) AS start_s
+    FROM f, (SELECT unnest(range(0, (SELECT max(n_frames) FROM f)))
+             AS frame_idx) g
+    WHERE g.frame_idx < f.n_frames
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-windowing plan: 8-bit PCM payloads at 8 kHz (the
+    utf-8 text bytes standing in for waveforms, as in
+    ``multimodal_decode``) cut into the standard 20 ms / 10 ms
+    analysis grid — window 160 samples, hop 80 — emitting one row per
+    frame with sample offsets and start time.  This is the Spark-side
+    plumbing every audio feature extractor (fbank/MFCC/wav2vec
+    chunking) sits on: the frame GEOMETRY is exact integer arithmetic
+    (oracle-checked); the per-frame DSP would slot into the same
+    ``mapInPandas`` stage as ``decode_media_batch``.  Frame expansion
+    is a codegen ``sequence()`` explode — per-doc fan-out is
+    n_samples/hop (bounded by the payload, the same contract as
+    ``events_rolling_dau``'s 7× explode), partition-local, zero
+    shuffles — the output is a transformation stage that scales with
+    the corpus, not a report."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_samples"),
+    ).filter(F.col("n_samples") >= 160)
+    f = a.select(
+        "doc_id",
+        "n_samples",
+        (1 + F.floor((F.col("n_samples") - 160) / 80)).cast("long").alias("n_frames"),
+    )
+    return f.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * 80).cast("long").alias("start_sample"),
+        (F.col("frame_idx") * 80 + 160).cast("long").alias("end_sample"),
+        F.round((F.col("frame_idx") * 80) / 8000.0, 6).alias("start_s"),
+    )

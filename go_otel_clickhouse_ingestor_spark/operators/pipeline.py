@@ -479,3 +479,50 @@ def pipeline_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(fits).alias("n_sampled"),
         F.sum(F.when(fits, F.col("n_chars"))).cast("long").alias("sampled_chars"),
     )
+
+
+@query(
+    "decontaminate_exact_substring",
+    oracle="""
+    WITH probes AS (
+      SELECT DISTINCT lower(substr(text, 10, 48)) AS probe
+      FROM documents
+      WHERE doc_id % 13 = 0 AND length(text) >= 57
+    ),
+    train AS (SELECT doc_id, lower(text) AS lt FROM documents
+              WHERE doc_id % 13 <> 0)
+    SELECT t.doc_id, count(*) AS n_probe_hits
+    FROM train t JOIN probes p ON position(p.probe IN t.lt) > 0
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring benchmark decontamination: training documents
+    that contain any 48-char probe lifted verbatim from the held-out
+    split (doc_id % 13 — the same deterministic split both engines
+    derive), with per-doc hit counts.  The exact-match complement of
+    ``decontaminate_ngram_overlap``: n-gram overlap catches paraphrase
+    contamination but tokenization differences can miss byte-identical
+    passages; this catches them by construction.
+
+    Scale shape: the probe set is eval-sized (bounded, broadcast), the
+    corpus side is one map-only pass — each doc is scanned against the
+    probe list JVM-side (``locate``), no shuffle until the per-doc
+    count.  At a 100 TB corpus with a large eval suite you'd compile
+    the probes into one Aho-Corasick automaton in a ``mapInPandas``
+    stage (one text scan for ALL probes) or pre-gate with the n-gram
+    bloom pass; the broadcast-nested-loop form here IS the exact
+    semantics that automaton must reproduce."""
+    d = table(spark, sf_dir, "documents")
+    probes = (
+        d.filter((F.col("doc_id") % 13 == 0) & (F.length("text") >= 57))
+        .select(F.lower(F.substring("text", 10, 48)).alias("probe"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    )
+    hits = train.join(
+        F.broadcast(probes), F.expr("locate(probe, lt) > 0")
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_probe_hits"))

@@ -2202,3 +2202,129 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wvar_price"
         ),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             count(DISTINCT user_id) AS daily_distinct
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(DISTINCT user_id) AS distinct_users
+      FROM events GROUP BY 1
+    )
+    SELECT t.event_type,
+           (SELECT count(*) FROM daily d2
+            WHERE d2.event_type = t.event_type)      AS n_days,
+           t.distinct_users,
+           cast((SELECT sum(daily_distinct) FROM daily d3
+                 WHERE d3.event_type = t.event_type)
+                AS BIGINT)                           AS sum_daily_distinct
+    FROM tot t
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type from mergeable daily roaring
+    bitmaps — ClickHouse's ``groupBitmap``/``groupBitmapOr`` pattern on
+    Spark's bitmap aggregate family.  Why it matters at 100 TB: daily
+    (type, bucket)-keyed bitmaps are built ONCE per partition-pruned
+    day (map-side combinable), then any rollup — month, quarter, all
+    time — is a cheap ``bitmap_or_agg`` over the bitmap table, never a
+    rescan of the facts; it's the exact-arithmetic sibling of
+    ``agg_hll_sketch_union`` (use HLL when 2% error is fine, bitmaps
+    when the count must be exact).  Users land in 32k-bit buckets via
+    ``bitmap_bucket_number``, so each bitmap is bounded regardless of
+    cardinality; the sum-of-daily-distincts column is deliberately
+    reported next to the merged count to show re-aggregation ≠ sum.
+    The oracle recomputes both from raw COUNT(DISTINCT)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    daily = ev.groupBy("event_type", "day", "bkt").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    from .dedup import materialized
+
+    daily = materialized(daily)
+    merged = (
+        daily.groupBy("event_type", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+    )
+    per_day = (
+        daily.groupBy("event_type", "day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("daily_distinct"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("daily_distinct").alias("sum_daily_distinct"),
+        )
+    )
+    return merged.join(per_day, "event_type").select(
+        "event_type", "n_days", "distinct_users", "sum_daily_distinct"
+    )
+
+
+@query(
+    "agg_summap_props",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type,
+             cast(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    c AS (SELECT event_type, k, count(*) AS n FROM kv GROUP BY 1, 2)
+    SELECT event_type,
+           count(*) AS n_keys,
+           '{' || string_agg('"' || k || '":' || n, ',' ORDER BY k) || '}'
+             AS summap
+    FROM c GROUP BY event_type
+    """,
+)
+def agg_summap_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` parity: per event type, the merged
+    key→count map over the JSON ``props.k`` attribute, serialized as a
+    key-sorted JSON object so the map VALUE itself crosses the
+    engine-comparison boundary (map columns don't hash portably;
+    canonical serialization does).  The reference's sink tables carry
+    exactly this shape of per-row JSON attributes (`events.props`,
+    `internal/ingestion/synthetic.go`), and sumMap is how ClickHouse
+    dashboards roll them up.  Plan: JSON extraction is codegen
+    (``get_json_object``), the (type, key)-keyed count is one
+    map-side-combined shuffle, and map assembly is an
+    ``array_sort(collect_list(...))`` over each type's BOUNDED key set
+    (attribute domains are small by construction — the collect contract
+    documented on ``agg_collect_sorted``)."""
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    c = kv.groupBy("event_type", "k").agg(F.count(F.lit(1)).alias("n"))
+    entries = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.array_sort(
+            F.collect_list(F.struct("k", "n"))
+        ).alias("kvs"),
+    )
+    return entries.select(
+        "event_type",
+        "n_keys",
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.expr(
+                    "transform(kvs, e -> concat('\"', e.k, '\":', e.n))"
+                ),
+                ",",
+            ),
+            F.lit("}"),
+        ).alias("summap"),
+    )

@@ -812,3 +812,39 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@query(
+    "fn_mask_redact",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g')                               AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g')                               AS segment_masked,
+           regexp_replace(c_name, '[0-9]', '*', 'g')          AS name_digits_starred
+    FROM customer
+    """,
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking function family (`mask()` — Spark 3.4+): the
+    column-level redaction used when analytics schemas must ship
+    without raw identifiers (the governance sibling of
+    ``text_pii_scrub``'s regex scrubbing).  Default masking maps
+    upper→'X', lower→'x', digit→'n'; the third column shows the
+    per-class override form (digits→'*', letters kept).  Map-only
+    codegen, no shuffle; the oracle re-derives the same masking with
+    explicit regexp chains (fixture identifiers are ASCII, where
+    `mask()`'s Unicode character classes and the oracle's [A-Z]
+    ranges agree)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_mktsegment)").alias("segment_masked"),
+        F.expr("mask(c_name, NULL, NULL, '*', NULL)").alias(
+            "name_digits_starred"
+        ),
+    )

@@ -679,3 +679,64 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
         )
     )
+
+
+@query(
+    "emb_pairwise_distance_hist",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT cast(floor(round(
+               list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 5) * 10)
+             AS BIGINT) AS cos_bin
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    tot AS (SELECT count(*) AS t FROM pairs)
+    SELECT cos_bin, count(*) AS n_pairs,
+           round(count(*) / cast(t AS DOUBLE), 6) AS share
+    FROM pairs CROSS JOIN tot
+    GROUP BY cos_bin, t
+    """,
+)
+def emb_pairwise_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic 1-in-5 sample —
+    the embedding-space health check run before any ANN/SemDeDup job
+    (a healthy space shows a tight near-orthogonal bulk; a collapsed
+    encoder shows mass near cos=1, and that histogram decides the
+    dedup threshold and the LSH band design).  Sampling is the scale
+    lever: hash-deterministic 1-in-m keeps the pair join at
+    (n/m)²/2 — bounded by CHOICE of m, the same contract as
+    ``sim_topk_cosine``'s probe fencing — while the histogram (≤21
+    bins of 0.1-wide cosine) is corpus-size-independent.  Cosines run
+    through the unrolled codegen dot (bit-identical to DuckDB's
+    ``list_dot_product`` fold), get quantized at round(5) BEFORE
+    binning so the floor can't straddle an ULP, and the share
+    denominator rides a 1-row broadcast."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(e)
+    s = e.filter(F.col("vec_id") % 5 == 0)
+    from .dedup import materialized
+
+    s = materialized(s)
+    a = s.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        F.floor(
+            F.round(cosine(F.col("ea"), F.col("eb"), dim), 5) * 10
+        )
+        .cast("bigint")
+        .alias("cos_bin")
+    )
+    hist = pairs.groupBy("cos_bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    hist = materialized(hist)
+    tot = hist.agg(F.sum("n_pairs").alias("t"))
+    return hist.join(F.broadcast(tot)).select(
+        "cos_bin",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("t").cast("double"), 6).alias("share"),
+    )

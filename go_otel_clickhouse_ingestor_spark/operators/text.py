@@ -986,3 +986,113 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _compress_iter,
         "doc_id long, raw_bytes long, compressed_bytes long, ratio double",
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2
+      FROM toks, unnest(list_zip(t, t[2:])) AS u(p)
+      WHERE u.p[2] IS NOT NULL
+    ),
+    bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM bi) AS tb,
+                   (SELECT count(*) FROM uni) AS tu),
+    scored AS (
+      SELECT w1, w2, n_ab,
+             round(ln(n_ab * cast(tu AS DOUBLE) * tu
+                      / (cast(tb AS DOUBLE) * a.n_w * b.n_w)), 6) AS pmi
+      FROM bc JOIN uc a ON bc.w1 = a.w
+              JOIN uc b ON bc.w2 = b.w
+              CROSS JOIN tot
+      WHERE n_ab >= 5
+    )
+    SELECT w1, w2, n_ab, pmi,
+           row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    phrase mining ("machine learning", "new york") for tokenizer vocab
+    curation and boilerplate detection.  PMI = ln(P(ab) / P(a)P(b))
+    from three corpus-sized aggregates (bigram counts, unigram counts,
+    two scalar totals), each a single keyed agg with map-side combine;
+    the unigram table joins back onto the ≥5-support bigram survivors
+    (a vocabulary-bounded table, broadcastable at any corpus size) and
+    the final top-k is a 20-row TakeOrderedAndProject on the rounded
+    score with a (w1, w2) tie-break — rank materialized into ``rn``
+    because the driver hash is order-insensitive.  Bigrams come from a
+    codegen transform over the token array (t[i-1], t[i]) — no Python,
+    one explode."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").alias("t")
+    )
+    from .dedup import materialized
+
+    toks = materialized(toks)
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = materialized(bi)
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab")).filter(
+        F.col("n_ab") >= 5
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = bi.agg(F.count(F.lit(1)).alias("tb")).join(
+        uni.agg(F.count(F.lit(1)).alias("tu"))
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("na"))
+    b = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("nb"))
+    scored = (
+        bc.join(a, "w1")
+        .join(b, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("tu").cast("double")
+                    * F.col("tu")
+                    / (F.col("tb").cast("double") * F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+    from pyspark.sql.window import Window
+
+    return top.select(
+        "w1",
+        "w2",
+        "n_ab",
+        "pmi",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        )
+        .cast("long")
+        .alias("rn"),
+    )

@@ -82,6 +82,14 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_cohort_ltv", "events_churn_weekly", "events_top_movers",
     "dedup_cross_source", "events_user_overlap", "sample_quantile_bucketize",
     "fn_time_bucket", "agg_weighted_stats", "events_heatmap_dow_hour",
+    # round-5d additions
+    "orders_backlog_daily", "graph_triangle_count", "graph_bfs_reachability",
+    "agg_bitmap_distinct", "stat_benford", "stat_mannwhitney_binned",
+    "events_interarrival_stats", "text_collocations_pmi",
+    # round-5e additions
+    "decontaminate_exact_substring", "events_stickiness_dau_mau",
+    "agg_summap_props", "fn_mask_redact", "emb_pairwise_distance_hist",
+    "multimodal_audio_frames",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
