@@ -79,6 +79,13 @@ HEADLINE = [
     "join_interval_overlap",
     "events_ewma",
     "emb_quantize_int8",
+    # round-5d/5e flagships
+    "graph_triangle_count",
+    "orders_backlog_daily",
+    "text_collocations_pmi",
+    "decontaminate_exact_substring",
+    "agg_bitmap_distinct",
+    "emb_pairwise_distance_hist",
 ]
 
 

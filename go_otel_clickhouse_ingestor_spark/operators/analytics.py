@@ -1705,3 +1705,50 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau_total") / F.col("n_days").cast("double") / F.col("mau"), 6
         ).alias("stickiness"),
     )
+
+
+@query(
+    "events_rate_limit_burst",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+               AS burst_1h
+      FROM events
+    )
+    SELECT user_id,
+           count(*)                          AS n_events,
+           max(burst_1h)                     AS max_burst_1h,
+           max(burst_1h) >= 3                AS over_limit
+    FROM w GROUP BY user_id
+    """,
+)
+def events_rate_limit_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour burst detection per user — the rate-limiter /
+    abuse-detection primitive (how many requests landed in any sliding
+    hour ending at each event, and who ever exceeded the limit).  The
+    sliding count is a RANGE frame over epoch seconds (3599 preceding,
+    inclusive hour), USER-PARTITIONED — state per partition is one
+    in-flight frame, never a self-join of events against events (the
+    O(n²)-per-user trap), and the frame bound is data-independent.
+    The per-user rollup collapses to one row per user; at 100 TB both
+    passes ride the same user_id shuffle (and a user-bucketed layout
+    makes them shuffle-free).  Threshold 3 is the fixture-scale limit;
+    the plan is threshold-independent."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    bursts = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("burst_1h")
+    )
+    return bursts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("burst_1h").alias("max_burst_1h"),
+        (F.max("burst_1h") >= 3).alias("over_limit"),
+    )

@@ -214,3 +214,89 @@ def source_text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("value", rex, 3).alias("event_type"),
         F.regexp_extract("value", rex, 5).cast("double").alias("value"),
     )
+
+
+@query("source_xml_roundtrip", oracle=_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML (one ``<event>`` element per row) → read back with
+    an explicit schema via Spark 4's built-in XML source — the last
+    first-class text format (after JSON/CSV), and the shape legacy
+    enterprise drops actually arrive in.  Same landing-zone contract
+    as the other text sources: no pruning/pushdown, parse-whole-row,
+    convert to parquet once; event time crosses as unix_micros BIGINT
+    because XML timestamp round-trips are where precision dies."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/xml_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .save(path)
+        )
+    return (
+        spark.read.schema(_SCHEMA)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+        .select(*_COLS)
+    )
+
+
+@query(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS content_md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via the ``binaryFile`` source — the multimodal
+    landing path: a directory of opaque media/text files becomes a
+    DataFrame of (path, length, content) with NO decoding, the step
+    before ``multimodal_decode``'s mapInPandas codec.  The fixture
+    docs (1-in-10) are written out as individual ``doc_<id>.bin``
+    files once, read back whole, keyed by id parsed from the filename,
+    and fingerprinted JVM-side (md5 over the bytes) — hash-matching
+    the oracle's direct text digest proves byte-lossless ingest.
+    Scale: one task per file (small-file problem is real — at 100 TB
+    you pack media into WebDataset-style tar shards or parquet BLOBs,
+    which is exactly the ``multimodal_cols`` layout this feeds)."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/bin_{suffix}"
+    if not os.path.exists(f"{path}/_DONE"):
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .collect()
+        )  # fixture-bounded file-tree synthesis (1-in-10 docs), not a hot path
+        os.makedirs(path, exist_ok=True)
+        for r in rows:
+            with open(f"{path}/doc_{r.doc_id}.bin", "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        with open(f"{path}/_DONE", "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

@@ -848,3 +848,45 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_digits_starred"
         ),
     )
+
+
+@query(
+    "fn_str_to_map",
+    oracle="""
+    SELECT event_id,
+           event_type                    AS t_val,
+           cast(user_id AS VARCHAR)      AS u_val,
+           cast(3 AS BIGINT)             AS n_keys,
+           'k,t,u'                       AS keys_sorted
+    FROM events
+    """,
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``str_to_map`` parsing of k=v;k=v attribute strings — the
+    format logging agents and legacy feeds emit (the reference's
+    JSON-attributes sibling in flat-text form).  The query SYNTHESIZES
+    the wire string from typed columns, parses it back with
+    ``str_to_map``, and projects lookups + the sorted key census out
+    of the map — hash-matching the oracle's direct column values
+    proves parse ∘ format = identity.  All map construction and
+    access is codegen (map functions), map-typed data never crosses
+    the comparison boundary (lookups and a canonical key join do)."""
+    ev = table(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("t="), F.col("event_type"),
+            F.lit(";u="), F.col("user_id"),
+            F.lit(";k="), F.get_json_object("props", "$.k"),
+        ).alias("s"),
+    )
+    m = wire.select(
+        "event_id", F.expr("str_to_map(s, ';', '=')").alias("m")
+    )
+    return m.select(
+        "event_id",
+        F.element_at("m", "t").alias("t_val"),
+        F.element_at("m", "u").alias("u_val"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+    )

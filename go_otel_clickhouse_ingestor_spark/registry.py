@@ -90,6 +90,9 @@ _DRIVER_PRIORITY: list[str] = [
     "decontaminate_exact_substring", "events_stickiness_dau_mau",
     "agg_summap_props", "fn_mask_redact", "emb_pairwise_distance_hist",
     "multimodal_audio_frames",
+    # round-5f additions
+    "source_xml_roundtrip", "source_binaryfile_ingest", "fn_str_to_map",
+    "events_rate_limit_burst",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
