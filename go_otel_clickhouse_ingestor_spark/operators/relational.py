@@ -2328,3 +2328,70 @@ def agg_summap_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         ).alias("summap"),
     )
+
+
+@query(
+    "sub_in_multicol",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+        AND c.c_acctbal > 9000
+    )
+    """,
+)
+def sub_in_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column IN subquery — ``(a, b) IN (SELECT x, y ...)`` — the
+    row-value membership test (here: open orders of high-balance
+    customers).  Catalyst decorrelates the tuple-IN to a LEFT SEMI
+    join on BOTH columns, so the filter rides one equi-keyed probe of
+    the (small, broadcastable) subquery side — semantically identical
+    to ``sub_in`` but exercising the row-value constructor path the
+    single-column form never touches."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE (o.o_custkey, o.o_orderstatus) IN (
+          SELECT c_custkey, 'O' FROM customer WHERE c_acctbal > 9000
+        )
+        """
+    )
+
+
+@query(
+    "join_mark_existence",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer c
+    """,
+)
+def join_mark_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (mark) join: EXISTS projected as a BOOLEAN COLUMN
+    rather than used as a filter — every customer row survives,
+    flagged by whether an urgent order exists.  This is Spark's
+    ExistenceJoin, a genuinely distinct join type from semi/anti
+    (which DROP rows): the probe side is deduplicated by the join
+    itself (no count-then-compare, no row multiplication), one
+    equi-keyed shuffle on custkey.  The segmentation-flag shape every
+    enrichment pipeline uses (has_purchased, is_active, ...)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        FROM customer c
+        """
+    )

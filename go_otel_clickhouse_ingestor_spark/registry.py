@@ -92,7 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_frames",
     # round-5f additions
     "source_xml_roundtrip", "source_binaryfile_ingest", "fn_str_to_map",
-    "events_rate_limit_burst",
+    "events_rate_limit_burst", "sub_in_multicol", "join_mark_existence",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

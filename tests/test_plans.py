@@ -358,3 +358,78 @@ def test_attribution_window_is_user_keyed(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert global_windows(df) == 0
     assert "Join" not in plan
+
+
+def test_triangle_count_joins_are_equi_keyed(spark, sf_dir):
+    """Triangle enumeration must stay equi-keyed (orderkey for edges,
+    src for wedges, (y, z) for closure) — no cartesian anywhere, no
+    Python."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    df = REGISTRY["graph_triangle_count"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    a = audit(df)
+    assert "CartesianProduct" not in plan
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_backlog_sweep_has_one_day_grain_window_no_join_after_span(spark, sf_dir):
+    """The backlog sweep's running sum is the ONE documented day-grain
+    global window; the span build is the only join (orders⋈lineitem) —
+    no day×span theta join may appear (that's the oracle's job)."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    df = REGISTRY["orders_backlog_daily"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert global_windows(df) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_user_round5_windows_are_keyed(spark, sf_dir):
+    """Inter-arrival gaps and burst detection must keep their windows
+    user-partitioned — zero global windows."""
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    for name in ("events_interarrival_stats", "events_rate_limit_burst"):
+        assert global_windows(REGISTRY[name].fn(spark, sf_dir)) == 0, name
+
+
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    """The PMI top-20 cut must be TakeOrderedAndProject over the scored
+    survivors, never a global sort of the bigram table."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["text_collocations_pmi"].fn(spark, sf_dir))
+    assert a["take_ordered"]
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_exact_substring_probe_side_is_broadcast(spark, sf_dir):
+    """The eval-probe scan must broadcast the (bounded) probe set and
+    stream the corpus — a shuffled or cartesian plan would move the
+    corpus instead."""
+    df = REGISTRY["decontaminate_exact_substring"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_frames_is_map_only(spark, sf_dir):
+    """Frame windowing is a transformation stage: scan → project →
+    sequence explode, ZERO shuffles."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["multimodal_audio_frames"].fn(spark, sf_dir))
+    assert a["shuffle_exchanges"] == 0
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_mask_and_strtomap_are_map_only(spark, sf_dir):
+    """The scalar-function queries stay shuffle-free projections."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    for name in ("fn_mask_redact", "fn_str_to_map"):
+        a = audit(REGISTRY[name].fn(spark, sf_dir))
+        assert a["shuffle_exchanges"] == 0, name
+        assert a["python_row_at_a_time"] == 0, name
