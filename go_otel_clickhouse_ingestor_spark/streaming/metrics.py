@@ -48,6 +48,7 @@ class IngestionMetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        _fold_observed(self, p)  # named df.observe() metrics, if attached
         rows = p.numInputRows or 0
         batch_s = ((p.batchDuration or 0)) / 1000.0
         with self._lock:
@@ -130,3 +131,66 @@ def serve_metrics(
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+# -- df.observe() bridge ----------------------------------------------------
+#
+# SURVEY.md §1.1 maps the reference's metrics time-series onto
+# ``df.observe()`` + listeners: observe attaches named aggregates to a
+# plan so every execution reports them for free — no second scan, no
+# caching — which is how per-batch row/error accounting should travel
+# at 100 TB (a separate count() would re-run the pipeline).
+
+#: The observation name both the batch and streaming paths use.
+OBSERVATION_NAME = "ingestion"
+
+
+def with_ingest_observation(df):
+    """Attach the reference's ingest counters to a BATCH DataFrame as a
+    named observation: total rows and malformed rows (null after
+    envelope decode — the engine-side analog of the reference's insert
+    errors, ``internal/metrics/metrics.go:24-28``).
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER the
+    first action on ``df``.  The aggregates ride the existing plan —
+    zero extra passes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    err = (
+        F.count(F.when(F.col("id").isNull(), 1))
+        if "id" in cols
+        else F.count(F.lit(None))
+    )
+    obs = Observation(OBSERVATION_NAME)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        err.alias("rows_malformed"),
+    )
+    return observed, obs
+
+
+def observe_stream(df):
+    """Streaming face of the same observation: attach by NAME (the
+    ``Observation`` class is batch-only); each micro-batch's values
+    arrive in ``QueryProgressEvent.observedMetrics['ingestion']`` and
+    ``IngestionMetricsListener`` folds them into the counters."""
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        OBSERVATION_NAME,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.lit(None)).alias("rows_malformed"),
+    )
+
+
+def _fold_observed(listener: IngestionMetricsListener, progress) -> None:
+    """Fold a QueryProgressEvent's observed metrics into the counters
+    (called from onQueryProgress; split out for direct unit testing)."""
+    row = (progress.observedMetrics or {}).get(OBSERVATION_NAME)
+    if row is None:
+        return
+    with listener._lock:
+        listener.insert_errors_total += row["rows_malformed"] or 0

@@ -224,3 +224,77 @@ def test_main_cdc_file_mode_lands_translated_rows(spark, tmp_path):
     assert {"id", "name", "email", "is_deleted", "_op", "_lsn", "_ts"} <= set(out.columns)
     # A10: sink edge serializes _ts as second-precision strings
     assert all(len(r._ts) == 19 for r in out.limit(3).collect())
+
+
+def test_batch_observation_reports_rows_for_free(spark, sf_dir):
+    """with_ingest_observation: the named observation reports row and
+    malformed counts off the EXISTING plan — values must match a direct
+    count without re-running anything."""
+    from go_otel_clickhouse_ingestor_spark.streaming.metrics import (
+        with_ingest_observation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c"), (None, "d")], "id long, name string"
+    )
+    observed, obs = with_ingest_observation(df)
+    n = observed.count()
+    got = obs.get
+    assert got["rows_total"] == n == 4
+    assert got["rows_malformed"] == 2
+
+
+def test_streaming_observed_metrics_reach_listener(spark, tmp_path):
+    """observe_stream: per-batch observed metrics must arrive in the
+    listener's fold (exercised directly with a progress double, then
+    end-to-end through a real availableNow query)."""
+    import types
+
+    from pyspark.sql import functions as F
+
+    from go_otel_clickhouse_ingestor_spark.streaming.metrics import (
+        OBSERVATION_NAME,
+        IngestionMetricsListener,
+        _fold_observed,
+        observe_stream,
+    )
+
+    # direct fold: observed malformed rows count as insert errors
+    lis = IngestionMetricsListener()
+    prog = types.SimpleNamespace(
+        observedMetrics={OBSERVATION_NAME: {"rows_total": 10, "rows_malformed": 3}}
+    )
+    _fold_observed(lis, prog)
+    assert lis.insert_errors_total == 3
+
+    # end-to-end: a real streaming query carries the named observation
+    src = str(tmp_path / "src")
+    spark.range(25).select(F.col("id")).write.mode("overwrite").parquet(src)
+    seen: list[dict] = []
+
+    class Capture(IngestionMetricsListener):
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            om = event.progress.observedMetrics
+            if om and OBSERVATION_NAME in om:
+                seen.append(om[OBSERVATION_NAME].asDict())
+            super().onQueryProgress(event)
+
+    cap = Capture()
+    spark.streams.addListener(cap)
+    try:
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            observe_stream(stream)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(60)
+        deadline = __import__("time").time() + 20
+        while not seen and __import__("time").time() < deadline:
+            __import__("time").sleep(0.2)
+    finally:
+        spark.streams.removeListener(cap)
+    assert seen, "no observed metrics arrived in the listener"
+    assert sum(m["rows_total"] for m in seen) == 25
