@@ -176,3 +176,82 @@ def user_ewma(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------
+# Event-time state TTL: the watermark-driven eviction pattern.  At
+# 100 TB of keyed state the store only survives if abandoned keys AGE
+# OUT; the deterministic way is an EventTimeTimeout pinned to
+# last-seen event time + TTL — when the watermark passes it, the key
+# gets one final "expired" emission and its state is dropped.  (The
+# processing-time variant exists but is wall-clock-dependent and
+# untestable deterministically; event-time TTL is what replays
+# correctly.)
+
+_TTL_OUT_SCHEMA = "user_id long, n_events long, total_value double, status string"
+_TTL_STATE_SCHEMA = "total double, cnt long"
+
+#: Keys expire after this much EVENT TIME without activity.
+STATE_TTL_MS = 10 * 60 * 1000
+
+
+def _accumulate_ttl(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running totals with event-time TTL: fold rows, arm the timeout
+    at (max event time this batch + TTL); on watermark-driven timeout
+    emit the final row flagged 'expired' and remove the state."""
+    if state.hasTimedOut:
+        total, cnt = state.get if state.exists else (0.0, 0)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [round(total, 6)],
+                "status": ["expired"],
+            }
+        )
+        return
+    total, cnt = state.get if state.exists else (0.0, 0)
+    max_ts_ms = 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        cnt += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+    state.update((total, cnt))
+    if max_ts_ms:
+        state.setTimeoutTimestamp(max_ts_ms + STATE_TTL_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [cnt],
+            "total_value": [round(total, 6)],
+            "status": ["active"],
+        }
+    )
+
+
+def user_running_totals_ttl(events: DataFrame) -> DataFrame:
+    """Per-user running totals whose state EXPIRES after
+    ``STATE_TTL_MS`` of event-time inactivity (watermark-driven
+    EventTimeTimeout): active updates emit 'active' rows; a key whose
+    timeout fires emits one final 'expired' row and frees its state.
+    Requires a watermark on ``ts`` (the timeout is meaningless without
+    one — Spark enforces this)."""
+    return (
+        events.withWatermark("ts", "1 minute")
+        .select("ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate_ttl,
+            outputStructType=_TTL_OUT_SCHEMA,
+            stateStructType=_TTL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -142,3 +142,28 @@ def stream_stream_click_purchase_join(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         how,
     )
+
+
+def session_counts_dynamic_gap(events: DataFrame) -> DataFrame:
+    """Session windows with a PER-ROW gap expression — purchases hold a
+    session open for 30 minutes, everything else 5 — the Spark 4
+    dynamic-gap form of ``session_counts``.  Real pipelines need this
+    the moment different event classes have different engagement
+    half-lives (a checkout flow shouldn't time out like a pageview);
+    per-row gaps mean session merge is decided by each event's OWN
+    horizon, and the state-store mechanics (merge on overlap, evict on
+    watermark) are identical to the fixed-gap case."""
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        with_watermark(events)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+        )
+    )

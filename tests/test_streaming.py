@@ -995,3 +995,145 @@ def test_stateful_ewma_matches_sequential_fold(spark, tmp_path):
     assert final == want
     # statefulness across triggers: more emitted rows than users
     assert out.count() > 3
+
+
+def test_session_window_dynamic_gap_per_event_type(spark, tmp_path):
+    """Per-row gap expressions: a purchase holds its session open for
+    30 minutes while clicks get 5 — so the SAME arrival times merge
+    for a purchasing user and split for a clicking one.
+
+    - user 1: purchase t=0 (horizon 30min), click t=20min — the click
+      lands inside the purchase's horizon -> ONE session [0, 30min)
+      (end = max(0+30, 20+5)), n=2;
+    - user 2: click t=0, click t=20min — 5-min horizons don't touch ->
+      TWO sessions [0,5) and [20,25);
+    - user 3: click t=60min pushes the watermark to 50min, closing and
+      emitting all of the above (its own session stays open)."""
+    import os as _os
+
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        session_counts_dynamic_gap,
+    )
+
+    t0 = 1_700_000_000_000_000  # µs
+    mins = 60 * 1_000_000
+
+    def ev(eid, t_min, uid, etype):
+        return {
+            "event_id": eid,
+            "ts_us": t0 + int(t_min * mins),
+            "user_id": uid,
+            "event_type": etype,
+            "value": 1.0,
+        }
+
+    d = tmp_path / "dyn_sess"
+    d.mkdir()
+    batches = [
+        [ev(1, 0, 1, "purchase"), ev(2, 0, 2, "click")],
+        [ev(3, 20, 1, "click"), ev(4, 20, 2, "click")],
+        [ev(5, 60, 3, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        p = d / f"{chr(97 + i)}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        _os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    name = f"dynsess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_counts_dynamic_gap(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = sorted(
+        (r.user_id, (r.win_end.timestamp() - r.win_start.timestamp()) / 60.0, r.n_events)
+        for r in rows
+    )
+    assert (1, 30.0, 2) in got, f"purchase horizon should merge u1: {got}"
+    u2 = [x for x in got if x[0] == 2]
+    assert u2 == [(2, 5.0, 1), (2, 5.0, 1)], (
+        f"click horizons must split u2 into two 5-min sessions: {got}"
+    )
+    assert not any(u == 3 for (u, _, _) in got), "u3's session is still open"
+
+
+def test_state_ttl_expires_idle_keys_on_watermark(spark, tmp_path):
+    """Event-time state TTL: a key idle past STATE_TTL_MS of EVENT time
+    must emit one final 'expired' row and drop its state when the
+    watermark crosses its timeout — deterministic replay-safe eviction,
+    no wall clock involved.
+
+    - batch 1: user 1 at t=0 -> 'active', timer armed at 10min;
+    - batch 2: user 2 at t=30min -> watermark (after batch) = 29min;
+    - batch 3: user 2 at t=40min -> processing starts with watermark
+      29min > 10min, so user 1's timer fires: 'expired' row."""
+    import os as _os
+
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        user_running_totals_ttl,
+    )
+
+    t0 = 1_700_000_000_000_000
+    mins = 60 * 1_000_000
+
+    def ev(eid, t_min, uid, val):
+        return {
+            "event_id": eid,
+            "ts_us": t0 + int(t_min * mins),
+            "user_id": uid,
+            "event_type": "click",
+            "value": val,
+        }
+
+    d = tmp_path / "ttl_stream"
+    d.mkdir()
+    batches = [
+        [ev(1, 0, 1, 5.0)],
+        [ev(2, 30, 2, 1.0)],
+        [ev(3, 40, 2, 2.0)],
+    ]
+    for i, rows in enumerate(batches):
+        p = d / f"{chr(97 + i)}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        _os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_totals_ttl(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    tagged = {(r.user_id, r.status, r.n_events, r.total_value) for r in rows}
+    assert (1, "active", 1, 5.0) in tagged, tagged
+    assert (1, "expired", 1, 5.0) in tagged, f"user 1 never expired: {tagged}"
+    assert (2, "active", 2, 3.0) in tagged, tagged
+    # expiry removed the state: no further user-1 rows after the final one
+    assert sum(1 for r in rows if r.user_id == 1) == 2
