@@ -189,7 +189,9 @@ def observe_stream(df):
 def _fold_observed(listener: IngestionMetricsListener, progress) -> None:
     """Fold a QueryProgressEvent's observed metrics into the counters
     (called from onQueryProgress; split out for direct unit testing)."""
-    row = (progress.observedMetrics or {}).get(OBSERVATION_NAME)
+    # observedMetrics is absent on progress events from queries with no
+    # attached Observation (and on minimal test fakes) — treat as empty.
+    row = (getattr(progress, "observedMetrics", None) or {}).get(OBSERVATION_NAME)
     if row is None:
         return
     with listener._lock:
