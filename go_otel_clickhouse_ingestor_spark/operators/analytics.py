@@ -1752,3 +1752,113 @@ def events_rate_limit_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("burst_1h").alias("max_burst_1h"),
         (F.max("burst_1h") >= 3).alias("over_limit"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             cast(sum(x) AS DOUBLE) AS s,
+             cast(sum(x * x) AS DOUBLE) AS ss
+      FROM daily
+    ),
+    z AS (
+      SELECT day, x,
+             cast(floor((x - (s / n))
+                        / sqrt(((ss - ((s * s) / n)) / (n - 1)) + 1e-12)
+                        * 1000000 + 0.5) AS BIGINT) AS z_u
+      FROM daily CROSS JOIN stats
+    ),
+    c AS (
+      SELECT day, x,
+             sum(z_u - 500000) OVER o AS c_pos,
+             sum(z_u + 500000) OVER o AS c_neg
+      FROM z
+      WINDOW o AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    w AS (
+      SELECT day, x, c_pos, c_neg,
+             min(c_pos) OVER o AS c_pos_min,
+             max(c_neg) OVER o AS c_neg_max
+      FROM c
+      WINDOW o AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(cast(x AS DOUBLE), 2) AS daily_value,
+           round((c_pos - least(c_pos_min, 0)) / 1000000.0, 6)    AS cusum_pos,
+           round((greatest(c_neg_max, 0) - c_neg) / 1000000.0, 6) AS cusum_neg,
+           (c_pos - least(c_pos_min, 0)) > 4000000                AS alarm_up,
+           (greatest(c_neg_max, 0) - c_neg) > 4000000             AS alarm_down
+    FROM w
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) on the daily
+    revenue series: standardized residuals z_t, slack k=0.5, alarm
+    threshold h=4σ.  The recursive chart S⁺_t = max(0, S⁺_{t-1} + z_t
+    − k) is rewritten in closed form as a prefix sum minus its running
+    minimum — two stacked windows instead of a sequential fold, so it
+    stays a set-based plan.  z is fixed to integer MICRO-units with the
+    pinned floor(x·1e6 + 0.5) rule before the prefix sums: running
+    double sums are evaluation-order-specific across engines (segment
+    tree vs sliding accumulate), integer sums are exact everywhere.
+    Global mean/σ come from one exact-DECIMAL aggregate broadcast back.
+
+    Scale: the series is DAY-grain — the unpartitioned ordered window
+    is bounded by the calendar (366 rows/year) no matter how many
+    events feed it; the heavy lifting (daily totals) is one partial
+    aggregation.  Per-metric/per-tenant charts would partition the
+    window by that key."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(14,4)"))
+        .cast("decimal(18,4)")
+        .alias("x")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("ss"),
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "x",
+        F.expr(
+            "cast(floor((x - (s / n))"
+            " / sqrt(((ss - ((s * s) / n)) / (n - 1)) + 1e-12)"
+            " * 1000000 + 0.5) as bigint)"
+        ).alias("z_u"),
+    )
+    o = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = z.select(
+        "day",
+        "x",
+        F.sum(F.col("z_u") - 500000).over(o).alias("c_pos"),
+        F.sum(F.col("z_u") + 500000).over(o).alias("c_neg"),
+    )
+    w = c.select(
+        "day",
+        "x",
+        "c_pos",
+        "c_neg",
+        F.min("c_pos").over(o).alias("c_pos_min"),
+        F.max("c_neg").over(o).alias("c_neg_max"),
+    )
+    s_pos = F.col("c_pos") - F.least(F.col("c_pos_min"), F.lit(0))
+    s_neg = F.greatest(F.col("c_neg_max"), F.lit(0)) - F.col("c_neg")
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("x").cast("double"), 2).alias("daily_value"),
+        F.round(s_pos / 1000000.0, 6).alias("cusum_pos"),
+        F.round(s_neg / 1000000.0, 6).alias("cusum_neg"),
+        (s_pos > 4000000).alias("alarm_up"),
+        (s_neg > 4000000).alias("alarm_down"),
+    )

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.fixtures import cdc_messages_df, cdc_messages_values_sql
+from ..sources.fixtures import (
+    cdc_messages_all_values_sql,
+    cdc_messages_df,
+    cdc_messages_values_sql,
+)
 from ..tables import table
 
 #: Spark schema of the Debezium envelope (internal/model/cdc.go:7-26).
@@ -415,5 +419,74 @@ def cdc_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "email",
             "is_deleted",
             F.col("v._lsn").alias("version_lsn"),
+        )
+    )
+
+
+#: Widened (v2-aware) envelope schema: superset of ENVELOPE_SCHEMA.
+#: from_json leaves absent fields NULL, so v1 bytes parse unchanged —
+#: additive drift needs a schema widening, never a reprocess.
+ENVELOPE_SCHEMA_V2 = (
+    "before struct<id:long,name:string,email:string,phone:string>, "
+    "after struct<id:long,name:string,email:string,phone:string>, "
+    "source struct<lsn:long,ts_us:long,schema:string,table:string,version:string>, "
+    "op string, ts_us long"
+)
+
+
+@query(
+    "cdc_schema_drift",
+    oracle=f"""
+    {norm_cte(cdc_messages_all_values_sql())}
+    SELECT msg_id,
+           json_extract_string(j, '$.op')                         AS op,
+           try_cast(json_extract(j, '$.after.id') AS BIGINT)      AS id,
+           coalesce(json_extract_string(j, '$.after.name'), '')   AS name,
+           coalesce(json_extract_string(j, '$.after.phone'), '')  AS phone,
+           (json_extract(j, '$.after.phone') IS NOT NULL)         AS has_phone,
+           coalesce(json_extract_string(j, '$.source.version'),
+                    'pre-versioning')                             AS src_version
+    FROM parsed
+    WHERE parse_ok AND json_extract_string(j, '$.op') IN ('c', 'u')
+      AND json_type(j, '$.after') IS NOT NULL
+      AND json_type(j, '$.after') <> 'NULL'
+    """,
+)
+def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema drift absorbed in place: the upstream table
+    gains a column (``after.phone``) and the envelope gains a
+    ``source.version`` tag mid-stream; the consumer parses the MIXED
+    corpus with one widened struct schema (``ENVELOPE_SCHEMA_V2``) —
+    ``from_json`` yields NULL for fields a generation doesn't carry, so
+    v1 rows read as phone-less v2 rows and nothing is reprocessed.
+    This is the Spark-native form of the reference's implicit contract
+    (internal/model/cdc.go:7-26 — Go json.Unmarshal equally ignores
+    unknown fields and zero-fills missing ones).  ``has_phone``
+    separates 'column existed but was null' from 'column predates the
+    drift'; at 100 TB the same widening applies to a streaming
+    from_json with schema evolution handled by config push, not
+    pipeline restart."""
+    from ..sources.fixtures import cdc_messages_all_df
+
+    df = parse_envelope(cdc_messages_all_df(spark))
+    # Re-parse with the widened schema: same normalization, wider struct.
+    norm = normalized_json(F.col("value"))
+    env2 = F.from_json(F.when(F.col("parse_ok"), norm), ENVELOPE_SCHEMA_V2)
+    after = env2.getField("after")
+    op = env2.getField("op")
+    return (
+        df.withColumn("env2", env2)
+        .filter(F.col("parse_ok") & op.isin("c", "u") & after.isNotNull())
+        .select(
+            "msg_id",
+            op.alias("op"),
+            after.getField("id").alias("id"),
+            F.coalesce(after.getField("name"), F.lit("")).alias("name"),
+            F.coalesce(after.getField("phone"), F.lit("")).alias("phone"),
+            after.getField("phone").isNotNull().alias("has_phone"),
+            F.coalesce(
+                env2.getField("source").getField("version"),
+                F.lit("pre-versioning"),
+            ).alias("src_version"),
         )
     )

@@ -765,3 +765,93 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.source").alias("source_b"),
         )
     )
+
+
+#: Tokens per dedup "paragraph" segment — the fixture corpus has no
+#: newline structure, so the paragraph unit is a deterministic
+#: fixed-width token window (real corpora split on '\n\n' instead; the
+#: plan below is segmentation-agnostic).
+SEGMENT_TOKENS = 12
+
+
+@query(
+    "dedup_paragraph_corpus",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             [ {{'i': i - 1,
+                 's': array_to_string(
+                        toks[((i-1)*{SEGMENT_TOKENS}+1):((i-1)*{SEGMENT_TOKENS}+{SEGMENT_TOKENS})], ' ')}}
+               for i in range(1, cast(ceil(len(toks)/{SEGMENT_TOKENS}.0) AS BIGINT) + 1) ] AS segs
+      FROM tok WHERE len(toks) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(segs) AS u FROM seg),
+    e AS (SELECT doc_id, u.i AS seg_idx, u.s AS seg FROM ex),
+    k AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rk
+      FROM e
+    )
+    SELECT doc_id,
+           count(*)::BIGINT                            AS n_segments,
+           sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE rk = 1), '')       AS cleaned_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/RefinedWeb-style paragraph-level corpus dedup: every doc is
+    split into deterministic 12-token segments, a segment is kept only
+    at its FIRST corpus-wide occurrence (ordered by doc_id, then
+    position — so in-doc repeats dedup too), and each doc is
+    reassembled from its surviving segments in order.
+
+    Scale design: the keep-first decision is a window over
+    ``md5(segment)`` — shuffle keyed on the 16-byte digest, occurrence
+    lists per digest are tiny (duplicate cardinality), nothing is ever
+    all-pairs.  The segment TEXT rides the same shuffle here because
+    reassembly needs it back; at 100 TB you'd instead keep a
+    (digest → first doc_id, first seg_idx) winners table and join it
+    back to the exploded corpus (two hash-partitioned passes, text
+    moves once).  Reassembly is array_sort(collect_list(struct)) per
+    doc — grouped by doc_id, bounded by document length."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size(toks)/{SEGMENT_TOKENS}.0) as int) - 1),"
+        f" i -> array_join(slice(toks, i*{SEGMENT_TOKENS}+1, {SEGMENT_TOKENS}), ' '))"
+    )
+    e = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    k = e.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rk") == 1, F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum((F.col("rk") == 1).cast("int")).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "  case when rk = 1 then struct(seg_idx, seg) end)), x -> x.seg)"
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )

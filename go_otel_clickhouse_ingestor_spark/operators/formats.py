@@ -300,3 +300,74 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+#: Static dim for the DPP demo: event_type → engagement tier.  Inline
+#: (VALUES) on both engines so the oracle sees identical bytes.
+EVENT_TIERS = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "acquisition"),
+    ("error", "ops"),
+]
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT e.event_type,
+           count(*)                                              AS n_events,
+           cast(round(sum(cast(e.value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'revenue'), ('signup', 'acquisition'),
+                 ('error', 'ops')) d(event_type, tier)
+      ON e.event_type = d.event_type
+    WHERE d.tier = 'engagement'
+    GROUP BY e.event_type
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact side is the
+    event_type-partitioned parquet layout of
+    :func:`source_partitioned_pruning`, the dim side is a tiny tier
+    table filtered AFTER planning starts — no literal predicate on the
+    partition column exists in the query, yet Spark inserts a runtime
+    ``dynamicpruningexpression`` into the scan's PartitionFilters,
+    reusing the dim's broadcast result to enumerate surviving
+    partitions before any fact IO (asserted by tests/test_plans.py).
+    This is THE 100 TB star-join primitive: a date-partitioned fact
+    joined to a filtered dim ('last quarter', 'EU tenants') scans only
+    matching directories, turning a full-table scan into a pruned one
+    with zero query rewrite.  The static twin (literal IN on the
+    partition column) is source_partitioned_pruning; here pruning
+    survives the indirection through a join."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/part_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(EVENT_TIERS, "event_type string, tier string")
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("tier") == "engagement")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "cast(round(sum(cast(value as decimal(14,4))), 2) as double)"
+            ).alias("total_value"),
+        )
+    )

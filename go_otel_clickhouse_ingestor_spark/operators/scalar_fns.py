@@ -890,3 +890,65 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
     )
+
+
+@query(
+    "fn_datetime_tz",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, ts, ts + INTERVAL 69 DAY AS ts2 FROM events
+    ),
+    conv AS (
+      SELECT event_id, ts, ts2,
+             timezone('America/New_York', timezone('UTC', ts))  AS ny,
+             timezone('Asia/Kolkata',     timezone('UTC', ts))  AS kolkata,
+             timezone('America/New_York', timezone('UTC', ts2)) AS ny2
+      FROM s
+    )
+    SELECT event_id,
+           strftime(ny,      '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           strftime(kolkata, '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+           hour(ny)::BIGINT                       AS ny_hour,
+           cast(floor((epoch(ny) - epoch(ts)) / 60) AS BIGINT)   AS ny_offset_min,
+           cast(floor((epoch(kolkata) - epoch(ts)) / 60) AS BIGINT) AS kolkata_offset_min,
+           strftime(ny2, '%Y-%m-%d %H:%M:%S')     AS ny_wall_dst,
+           cast(floor((epoch(ny2) - epoch(ts2)) / 60) AS BIGINT) AS ny_offset_min_dst
+    FROM conv
+    """,
+)
+def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-timezone datetime family: ``from_utc_timestamp`` into an
+    IANA zone (America/New_York: whole-hour offset + DST rules;
+    Asia/Kolkata: the +05:30 half-hour case), wall-clock formatting,
+    hour extraction, and the UTC-offset-in-minutes probe.  The fixture
+    month (Jan 2024) sits entirely in EST, so a +69-day shifted copy of
+    each timestamp straddles the 2024-03-10 US spring-forward (the shift
+    lands Jan-1 events ON the transition day) — the
+    ``_dst`` columns flip from −300 to −240 minutes, proving real IANA
+    rule evaluation rather than a fixed offset.  All map-only codegen
+    expressions; the oracle derives the same instants via DuckDB's ICU
+    timezone() dual (session-timezone-independent on both engines:
+    Spark runs UTC per session.py, the oracle pins UTC via the inner
+    timezone('UTC', ts) cast)."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.col("ts"),
+        F.col("ts") + F.expr("INTERVAL 69 DAYS").alias("i"),
+    ).toDF("event_id", "ts", "ts2")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    kolkata = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    ny2 = F.from_utc_timestamp("ts2", "America/New_York")
+    off = lambda wall, base: (
+        (F.to_unix_timestamp(wall) - F.to_unix_timestamp(base)) / 60
+    ).cast("long")
+    return s.select(
+        "event_id",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+        F.date_format(kolkata, "yyyy-MM-dd HH:mm:ss").alias("kolkata_wall"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+        off(ny, F.col("ts")).alias("ny_offset_min"),
+        off(kolkata, F.col("ts")).alias("kolkata_offset_min"),
+        F.date_format(ny2, "yyyy-MM-dd HH:mm:ss").alias("ny_wall_dst"),
+        off(ny2, F.col("ts2")).alias("ny_offset_min_dst"),
+    )

@@ -740,3 +740,68 @@ def emb_pairwise_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("n_pairs") / F.col("t").cast("double"), 6).alias("share"),
     )
+
+
+@query(
+    "emb_dim_variance",
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos,
+             count(*) AS n,
+             cast(sum(cast(v AS DECIMAL(14,7))) AS DOUBLE) AS s,
+             cast(sum(cast(v AS DECIMAL(14,7))
+                      * cast(v AS DECIMAL(14,7))) AS DOUBLE) AS ss
+      FROM e GROUP BY pos
+    ),
+    v AS (
+      SELECT pos::BIGINT AS pos, n::BIGINT AS n,
+             round(s / n, 6) AS mean,
+             round((ss - ((s * s) / n)) / (n - 1), 6) AS variance
+      FROM stats
+    )
+    SELECT pos, n, mean, variance,
+           row_number() OVER (ORDER BY variance DESC, pos) AS var_rank
+    FROM v
+    """,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding table — the
+    feature-selection / dead-dimension diagnostic (a near-zero-variance
+    dimension carries no signal and can be pruned before ANN indexing;
+    a runaway one dominates unnormalized distances).  posexplode turns
+    the corpus into (pos, value) pairs; one partial-aggregated shuffle
+    keyed on pos (64 groups) computes exact-DECIMAL Σx/Σx² so the
+    closed-form variance is bit-stable across engines; ranking the 64
+    result rows is a bounded window.  Scale: explode fan-out is dim×
+    rows map-side, the shuffle carries only 64 × (n, Σx, Σx²) after
+    map-side combine — this is the same dim-wide aggregate shape as
+    the PCA power iteration (clustering.py) without the iteration."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("pos", "v0")
+    ).select("pos", F.col("v0").cast("double").alias("v"))
+    dec = "cast(v as decimal(14,7))"
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"cast(sum({dec}) as double)").alias("s"),
+        F.expr(f"cast(sum({dec} * {dec}) as double)").alias("ss"),
+    )
+    v = stats.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        F.round(
+            (F.col("ss") - (F.col("s") * F.col("s")) / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("variance"),
+    )
+    w = Window.orderBy(F.col("variance").desc(), F.col("pos"))
+    return v.withColumn("var_rank", F.row_number().over(w).cast("long"))

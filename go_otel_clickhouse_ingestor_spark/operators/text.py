@@ -1096,3 +1096,70 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rn"),
     )
+
+
+@query(
+    "text_dup_line_fraction",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             [ array_to_string(toks[((i-1)*12+1):((i-1)*12+12)], ' ')
+               for i in range(1, cast(ceil(len(toks)/12.0) AS BIGINT) + 1) ] AS segs
+      FROM tok WHERE len(toks) > 0
+    ),
+    e AS (SELECT doc_id, unnest(segs) AS seg FROM seg),
+    g AS (
+      SELECT doc_id, seg, count(*) AS cnt, len(seg) AS chars
+      FROM e GROUP BY doc_id, seg
+    )
+    SELECT doc_id,
+           sum(cnt)::BIGINT                                    AS n_segments,
+           round(sum(cnt - 1) * 1.0 / sum(cnt), 6)             AS dup_seg_frac,
+           round(sum((cnt - 1) * chars) * 1.0
+                 / sum(cnt * chars), 6)                        AS dup_char_frac
+    FROM g GROUP BY doc_id
+    """,
+)
+def text_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-paragraph metrics per document (Rae et al.
+    2021, arXiv:2112.11446 §A1.1 quality filters): the fraction of a
+    doc's segments that are repeats of an earlier identical segment in
+    the SAME doc, by count and by character mass.  Gopher drops docs
+    with high duplicate-line/paragraph fractions — boilerplate,
+    scraped nav bars, template spam.  Segments are the deterministic
+    12-token windows of :func:`dedup_paragraph_corpus` (real corpora
+    split on newlines; the metric is segmentation-agnostic).
+
+    Scale: two partial-aggregated shuffles, both keyed by doc_id (the
+    (doc_id, segment-hash) pre-aggregation collapses repeats before
+    the per-doc rollup) — map-linear, no windows, no joins."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
+    segs = F.expr(
+        "transform(sequence(0, cast(ceil(size(toks)/12.0) as int) - 1),"
+        " i -> array_join(slice(toks, i*12+1, 12), ' '))"
+    )
+    g = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode(segs).alias("seg"))
+        .groupBy("doc_id", "seg")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.length(F.first("seg")).alias("chars"))
+    )
+    return g.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_segments"),
+        F.round(
+            F.sum(F.col("cnt") - 1) / F.sum("cnt"), 6
+        ).alias("dup_seg_frac"),
+        F.round(
+            F.sum((F.col("cnt") - 1) * F.col("chars"))
+            / F.sum(F.col("cnt") * F.col("chars")),
+            6,
+        ).alias("dup_char_frac"),
+    )

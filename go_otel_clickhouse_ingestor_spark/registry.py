@@ -93,6 +93,11 @@ _DRIVER_PRIORITY: list[str] = [
     # round-5f additions
     "source_xml_roundtrip", "source_binaryfile_ingest", "fn_str_to_map",
     "events_rate_limit_burst", "sub_in_multicol", "join_mark_existence",
+    # round-5g additions
+    "dedup_paragraph_corpus", "text_dup_line_fraction",
+    "events_changepoint_cusum", "fn_datetime_tz", "cdc_schema_drift",
+    "emb_dim_variance", "join_dynamic_partition_pruning",
+    "join_bloom_prefilter",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -91,3 +91,66 @@ def messages_values_sql(messages: list[tuple[int, str, str]]) -> str:
 def cdc_messages_values_sql() -> str:
     """The fixture corpus as a DuckDB VALUES literal."""
     return messages_values_sql(CDC_MESSAGES)
+
+
+def _env_v2(op, after=None, before=None, lsn=None, ts_us=None):
+    """Generation-2 envelope: ``after.phone`` column added upstream and
+    a ``source.version`` tag — the additive schema drift a long-lived
+    CDC consumer must absorb without redeploy."""
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "source": {
+                "lsn": lsn,
+                "ts_us": ts_us,
+                "schema": "app",
+                "table": "users",
+                "version": "2.1",
+            },
+            "op": op,
+            "ts_us": ts_us,
+        },
+        separators=(", ", ": "),
+    )
+
+
+def _user_v2(uid, name, email, phone):
+    u = {"id": uid, "name": name, "email": email}
+    if phone is not None:
+        u["phone"] = phone
+    return u
+
+
+#: Generation-2 messages (appended after the v1 corpus; msg_id keeps
+#: ascending so offset order == arrival order across the drift).
+CDC_MESSAGES_V2: list[tuple[int, str, str]] = [
+    # 101: v2 create with the new phone column
+    (101, '{"id": 20}', _env_v2("c", after=_user_v2(20, "Fay", "fay@example.com", "+1-555-0100"), lsn=2001, ts_us=1755090000000000)),
+    # 102: v2 update, phone changed
+    (102, '{"id": 20}', _env_v2("u", after=_user_v2(20, "Fay", "fay@example.com", "+1-555-0199"), before=_user_v2(20, "Fay", "fay@example.com", "+1-555-0100"), lsn=2002, ts_us=1755090001000000)),
+    # 103: v2 create where the OPTIONAL new column is absent (nullable
+    #      drift, not just tagged presence)
+    (103, '{"id": 21}', _env_v2("c", after=_user_v2(21, "Gil", "gil@example.com", None), lsn=2003, ts_us=1755090002000000)),
+    # 104: v2 delete
+    (104, '{"id": 20}', _env_v2("d", before=_user_v2(20, "Fay", "fay@example.com", "+1-555-0199"), lsn=2004, ts_us=1755090003000000)),
+    # 105: v2 stringified (double-encoding survives the drift)
+    (105, '{"id": 22}', json.dumps(_env_v2("c", after=_user_v2(22, "Hal", "hal@example.com", "+1-555-0122"), lsn=2005, ts_us=1755090004000000))),
+]
+
+
+def cdc_messages_all() -> list[tuple[int, str, str]]:
+    """v1 + v2 corpus, offset order."""
+    return CDC_MESSAGES + CDC_MESSAGES_V2
+
+
+def cdc_messages_all_df(spark: SparkSession) -> DataFrame:
+    """The mixed-generation corpus as a kafka-shaped DataFrame."""
+    return spark.createDataFrame(
+        cdc_messages_all(), "msg_id long, key string, value string"
+    )
+
+
+def cdc_messages_all_values_sql() -> str:
+    """The mixed-generation corpus as a DuckDB VALUES literal."""
+    return messages_values_sql(cdc_messages_all())

@@ -433,3 +433,65 @@ def test_mask_and_strtomap_are_map_only(spark, sf_dir):
         a = audit(REGISTRY[name].fn(spark, sf_dir))
         assert a["shuffle_exchanges"] == 0, name
         assert a["python_row_at_a_time"] == 0, name
+
+
+def test_dpp_partition_filter_is_dynamic(spark, sf_dir):
+    """join_dynamic_partition_pruning: the partitioned fact scan must
+    carry a runtime dynamicpruning expression on the partition column —
+    no literal partition predicate exists in the query."""
+    df = REGISTRY["join_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "dynamicpruning" in plan, "DPP did not fire on the partitioned scan"
+    assert "PartitionFilters" in plan
+
+
+def test_bloom_prefilter_semi_probe_is_broadcast(spark, sf_dir):
+    """join_bloom_prefilter: the key pre-filter must be a BROADCAST
+    left-semi probe (map-side, before the shuffle join) — if it ever
+    plans as a shuffled semi join the pattern costs a shuffle instead
+    of saving one."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    import re
+
+    semi = [
+        ln
+        for ln in plan.splitlines()
+        if "LeftSemi" in ln
+    ]
+    assert semi, "expected a left-semi probe in the plan"
+    assert any("Broadcast" in ln for ln in semi), semi
+
+
+def test_paragraph_dedup_window_is_hash_keyed(spark, sf_dir):
+    """dedup_paragraph_corpus: the keep-first window partitions by the
+    segment digest (never a global window), and reassembly aggregates
+    by doc_id."""
+    plan = _plan(spark, sf_dir, "dedup_paragraph_corpus")
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "partition" in ln.lower()]
+    assert all("md5" in ln for ln in win if "row_number" in ln), win
+    assert global_windows(REGISTRY["dedup_paragraph_corpus"].fn(spark, sf_dir)) == 0
+
+
+def test_cusum_heavy_lifting_is_partial_agg(spark, sf_dir):
+    """events_changepoint_cusum: the only unpartitioned windows run at
+    DAY grain (calendar-bounded by construction); the per-event work is
+    a partial-aggregated groupBy."""
+    plan = _plan(spark, sf_dir, "events_changepoint_cusum")
+    from go_otel_clickhouse_ingestor_spark.plans.audit import global_windows
+
+    assert "HashAggregate" in plan
+    # day-grain global windows are the documented exception here: the
+    # series is bounded by the calendar, not the data volume.
+    assert global_windows(
+        REGISTRY["events_changepoint_cusum"].fn(spark, sf_dir)
+    ) <= 2
+
+
+def test_dim_variance_is_single_agg_shuffle(spark, sf_dir):
+    """emb_dim_variance: one aggregate over the exploded pairs; the
+    ranking window runs over 64 rows (dim-bounded)."""
+    plan = _plan(spark, sf_dir, "emb_dim_variance")
+    assert "Generate" in plan  # posexplode stays JVM-side
+    assert "HashAggregate" in plan
