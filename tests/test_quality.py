@@ -458,3 +458,112 @@ def test_compression_ratio_orders_repetition(spark, sf_dir):
     rep = ("spam " * 200).encode()
     rep_ratio = len(zlib.compress(rep, 6)) / len(rep)
     assert rep_ratio < median, (rep_ratio, median)
+
+
+def _bpe_reference(word: str) -> list[str]:
+    """Independent BPE reference: apply each merge RANK-EXHAUSTIVELY in
+    table order (a different algorithm from the engine's
+    lowest-rank-first loop).  The two are equivalent exactly when every
+    merge's output token only feeds HIGHER-rank merges — true for the
+    frozen BPE_MERGES table by construction (each compound's parts are
+    produced at strictly lower ranks), so any divergence flags a bug in
+    the merge loop."""
+    from go_otel_clickhouse_ingestor_spark.operators.text import BPE_MERGES
+
+    parts = list(word)
+    for a, b in BPE_MERGES:
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def test_bpe_tokenize_matches_reference_and_bounds(spark, sf_dir):
+    """text_bpe_tokenize: hand-computed merges, independent reference
+    equality over the corpus vocabulary, determinism, and the
+    n_words <= n_bpe <= n_chars sandwich."""
+    from go_otel_clickhouse_ingestor_spark.operators.text import bpe_encode
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    # hand-computed merge chains
+    assert bpe_encode("the") == ["the"]
+    assert bpe_encode("and") == ["and"]
+    assert bpe_encode("where") == ["whe", "re"]
+    assert bpe_encode("x") == ["x"]
+    assert bpe_encode("") == []
+
+    q = load_all()["text_bpe_tokenize"]
+    rows = q.fn(spark, sf_dir).collect()
+    rows2 = q.fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2)), "nondeterministic"
+
+    docs = {r.doc_id: r for r in rows}
+    import duckdb
+
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert len(docs) == len(texts)
+    for doc_id, text in texts[:100]:
+        words = text.lower().split()
+        want = sum(len(_bpe_reference(w)) for w in words)
+        got = docs[doc_id]
+        assert got.n_tokens_ws == len(words)
+        assert got.n_tokens_bpe == want, f"doc {doc_id}"
+        # sandwich: merging only shrinks char count, never below words
+        assert len(words) <= got.n_tokens_bpe <= sum(len(w) for w in words)
+
+
+def test_compaction_rewrites_only_oversplit_partitions(spark, sf_dir, tmp_path):
+    """compact_lake_partitions: oversplit partitions collapse to the
+    file budget with identical data; healthy partitions keep their
+    exact files (same names, same bytes) — per-partition atomicity."""
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.operators.formats import (
+        compact_lake_partitions,
+        list_partition_files,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table as t
+
+    path = str(tmp_path / "lake")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    # 'click' lands as sliver files (oversplit); the rest land healthy.
+    click = ev.filter(F.col("event_type") == "click").repartition(16)
+    rest = ev.filter(F.col("event_type") != "click").repartition(2)
+    click.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    rest.write.mode("append").partitionBy("event_type").parquet(path)
+
+    before = list_partition_files(path, "event_type")
+    assert len(before["click"]) > 4
+    healthy = {v: f for v, f in before.items() if v != "click"}
+    sizes_before = {
+        v: [(os.path.basename(p), os.path.getsize(p)) for p in fs]
+        for v, fs in healthy.items()
+    }
+    want = spark.read.parquet(path).groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).collect()
+
+    result = compact_lake_partitions(spark, path, "event_type", max_files_per_partition=4)
+    assert set(result) == {"click"}
+    nb, na = result["click"]
+    assert nb > 4 and na <= 4
+
+    after = list_partition_files(path, "event_type")
+    assert len(after["click"]) <= 4
+    for v, fs in healthy.items():
+        assert [
+            (os.path.basename(p), os.path.getsize(p)) for p in after[v]
+        ] == sizes_before[v], f"partition {v} was touched"
+    got = spark.read.parquet(path).groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
