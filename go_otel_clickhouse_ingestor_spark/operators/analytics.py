@@ -1862,3 +1862,86 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s_pos > 4000000).alias("alarm_up"),
         (s_neg > 4000000).alias("alarm_down"),
     )
+
+
+@query(
+    "events_forecast_holt",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(cast(sum(cast(value AS DECIMAL(14,4))) AS DECIMAL(18,4))
+                  AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    serie AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*)     OVER (PARTITION BY event_type)              AS n
+      FROM daily
+    ),
+    state AS (
+      SELECT event_type, i, n, x, x AS l, cast(0.0 AS DOUBLE) AS b
+      FROM serie WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i, s.n, s.x,
+             0.5 * s.x + 0.5 * (st.l + st.b) AS l,
+             0.3 * ((0.5 * s.x + 0.5 * (st.l + st.b)) - st.l)
+               + 0.7 * st.b                  AS b
+      FROM state st JOIN serie s
+        ON s.event_type = st.event_type AND s.i = st.i + 1
+    )
+    SELECT event_type,
+           n::BIGINT          AS n_days,
+           round(l, 6)        AS level,
+           round(b, 6)        AS trend,
+           round(l + b, 6)    AS forecast_next
+    FROM state WHERE i = n
+    """,
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level α=0.5, trend β=0.3)
+    over each event type's daily series, emitting the final state and
+    the one-step-ahead forecast level+trend — the classic short-horizon
+    capacity/traffic forecast primitive.
+
+    Engine side: the recursion is a higher-order ``aggregate()`` fold
+    over the per-type series (collected and array_sorted by day, state
+    = one named_struct of two doubles inside codegen) — same shape as
+    events_ewma, so per-group cost is O(days) with one agg shuffle.
+    The oracle unrolls the identical recurrence as a RECURSIVE CTE
+    (sequential by construction) rather than DuckDB's list_reduce,
+    whose struct accumulator updates fields IN PLACE left-to-right —
+    the trend expression would read the already-updated level
+    (measured, engine-specific); the CTE pins the textbook two-phase
+    semantics both engines then compute bit-identically in IEEE
+    doubles.  Scale: series are day-grain per type — state bounded by
+    the calendar; the heavy lifting is the partial-aggregated daily
+    rollup."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,4)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("x")
+    )
+    serie = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+        .alias("xs")
+    )
+    fold = F.expr(
+        "aggregate(slice(xs, 2, size(xs) - 1),"
+        " named_struct('l', element_at(xs, 1), 'b', cast(0.0 as double)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5d * x + 0.5d * (acc.l + acc.b),"
+        "   'b', 0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l)"
+        "        + 0.7d * acc.b))"
+    )
+    return serie.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.round(fold.getField("l"), 6).alias("level"),
+        F.round(fold.getField("b"), 6).alias("trend"),
+        F.round(fold.getField("l") + fold.getField("b"), 6).alias("forecast_next"),
+    )

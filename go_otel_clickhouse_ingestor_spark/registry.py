@@ -97,7 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_paragraph_corpus", "text_dup_line_fraction",
     "events_changepoint_cusum", "fn_datetime_tz", "cdc_schema_drift",
     "emb_dim_variance", "join_dynamic_partition_pruning",
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", "events_forecast_holt",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

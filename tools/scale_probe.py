@@ -134,6 +134,10 @@ def build_scaled(spark, n: int) -> str:
     for tbl, keys in (
         ("orders", ["o_orderkey", "o_custkey"]),
         ("lineitem", ["l_orderkey", "l_suppkey"]),
+        # customer offsets match the events user_id offsets, so the
+        # fact⋈dim join population scales by n with per-copy join
+        # selectivity unchanged
+        ("customer", ["c_custkey"]),
     ):
         if os.path.exists(f"{out}/{tbl}.parquet/_SUCCESS"):
             continue
