@@ -2395,3 +2395,67 @@ def join_mark_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@query(
+    "reshape_nest_unnest",
+    oracle="""
+    WITH nested AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             cast(round(sum(cast(l_extendedprice AS DECIMAL(14,4))
+                            * cast(l_quantity AS DECIMAL(14,4))), 2)
+                  AS DOUBLE) AS order_gross
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_orderkey, n.n_lines, n.order_gross,
+           l.l_linenumber, l.l_partkey, l.l_quantity
+    FROM lineitem l JOIN nested n USING (l_orderkey)
+    """,
+)
+def reshape_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested columnar modeling round-trip: lineitems are rolled up
+    into ONE row per order carrying an ``array<struct<...>>`` of its
+    lines (sorted by l_linenumber — the parquet nested-type layout a
+    denormalized lake table actually stores), order-level facts are
+    computed while nested, then ``inline()`` explodes the array back to
+    flat rows.  The flat output must equal the original join — proving
+    nest ∘ unnest is lossless, the property that makes single-table
+    nested layouts safe replacements for a fact⋈detail join at read
+    time (one scan, zero shuffles for 'order with its lines' access
+    patterns; Dremel/parquet repetition levels do the heavy lifting).
+    Scale: one groupBy(orderkey) shuffle builds the nest; the unnest is
+    map-only Generate.  The oracle answers it relationally (join back
+    the per-order rollup) — identical rows, two different physical
+    designs, which IS the point."""
+    li = table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "array_sort(collect_list(struct(l_linenumber, l_partkey, "
+            "l_quantity, l_extendedprice)))"
+        ).alias("lines")
+    )
+    enriched = nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(
+            "cast(round(aggregate(lines, cast(0 as decimal(24,8)), (acc, x) ->"
+            " cast(acc + cast(x.l_extendedprice as decimal(14,4))"
+            "       * cast(x.l_quantity as decimal(14,4)) as decimal(24,8))), 2)"
+            " as double)"
+        ).alias("order_gross"),
+        "lines",
+    )
+    return enriched.select(
+        "l_orderkey",
+        "n_lines",
+        "order_gross",
+        F.expr("inline(lines)"),
+    ).select(
+        "l_orderkey",
+        "n_lines",
+        "order_gross",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+    )

@@ -219,3 +219,54 @@ def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_in t, LATERAL word_expand(t.text) wc
         """
     )
+
+
+def _iter_score_kernel(batches):
+    """Iterator-form scalar kernel: per-task init runs ONCE (here a
+    trivial 'model' constant; in production a tokenizer, ONNX session,
+    or compiled regex set), then every Arrow batch reuses it."""
+    import numpy as np
+
+    bias = 7.0  # stand-in for an expensively-constructed artifact
+    for values in batches:
+        yield 1.0 / (1.0 + np.exp(-(values + bias) / 100.0))
+
+
+@query(
+    "udf_scalar_iter",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(value + 7.0) / 100.0)), 6) AS score
+    FROM events
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the API shape for Python stages with
+    expensive per-task initialization: the generator body before the
+    first ``yield`` runs once per task, then streams Arrow batches
+    through the prepared state.  The elementwise form
+    (udf_scalar_vectorized) re-enters the kernel per batch with no
+    init hook; at 100 TB the difference is loading a model/tokenizer
+    32,000× (once per batch) vs 1,000× (once per task).  Same
+    ArrowEvalPython plan node, no shuffle; math mirrored exactly in
+    the SQL oracle."""
+    from typing import Iterator
+
+    ev = table(spark, sf_dir, "events")
+
+    def _score(batches):
+        return _iter_score_kernel(batches)
+
+    # the module uses postponed annotation evaluation, which turns the
+    # Iterator[pd.Series] hints pandas_udf sniffs for into unresolvable
+    # strings — attach real annotation objects instead
+    _score.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    score = pandas_udf(_score, "double")
+
+    return ev.select(
+        "event_id", F.round(score(F.col("value")), 6).alias("score")
+    )

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_changepoint_cusum", "fn_datetime_tz", "cdc_schema_drift",
     "emb_dim_variance", "join_dynamic_partition_pruning",
     "join_bloom_prefilter", "events_forecast_holt",
+    "reshape_nest_unnest", "udf_scalar_iter",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
