@@ -86,6 +86,11 @@ HEADLINE = [
     "decontaminate_exact_substring",
     "agg_bitmap_distinct",
     "emb_pairwise_distance_hist",
+    # round-5g flagships
+    "dedup_paragraph_corpus",
+    "text_bpe_tokenize",
+    "join_dynamic_partition_pruning",
+    "events_forecast_holt",
 ]
 
 

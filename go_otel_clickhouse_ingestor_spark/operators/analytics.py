@@ -1945,3 +1945,72 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold.getField("b"), 6).alias("trend"),
         F.round(fold.getField("l") + fold.getField("b"), 6).alias("forecast_next"),
     )
+
+
+@query(
+    "orders_abc_class",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             cast(sum(cast(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(18,4))
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(revenue) OVER ()                         AS tot
+      FROM rev
+    )
+    SELECT l_partkey,
+           cast(round(cast(revenue AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                WHEN cum * 10 <= tot * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    until the running share crosses 70% of total, B until 90%, C for
+    the tail — the standard prioritization cut (tighter controls on the
+    few parts carrying most value).  The share comparisons are exact
+    DECIMAL cross-multiplications (cum·10 ≤ tot·7), never a float
+    division whose ULP could flip a class at the boundary.  The global
+    ordered window runs over the PER-PART rollup (bounded by part
+    cardinality, not order volume) — the heavy lifting is the
+    partial-aggregated revenue rollup; at catalog scale you'd
+    range-partition by the revenue sort key (events_pareto_users is
+    the per-group sibling)."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,4)"))
+        .cast("decimal(18,4)")
+        .alias("revenue")
+    )
+    o = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(o).alias("cum"),
+        F.sum("revenue").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "l_partkey",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        cls.alias("abc_class"),
+    )

@@ -526,3 +526,113 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(probes), F.expr("locate(probe, lt) > 0")
     )
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_probe_hits"))
+
+
+def _aho_build(probes: list) ->  tuple[list, list, list]:
+    """Aho-Corasick automaton over ``probes``: returns (goto, fail,
+    out) — goto[i] is a char→state dict, out[i] the set of probe ids
+    recognized at state i (output links pre-propagated through the
+    fail chain, so matching never walks fail links)."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    out: list[set] = [set()]
+    for pid, p in enumerate(probes):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].add(pid)
+    fail = [0] * len(goto)
+    dq = deque(goto[0].values())
+    while dq:
+        s = dq.popleft()
+        for ch, t in goto[s].items():
+            dq.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t] |= out[fail[t]]
+    return goto, fail, out
+
+
+def _aho_scan_iter(probes: list):
+    """mapInPandas factory: builds the automaton ONCE per task (the
+    iterator-UDF init pattern), then streams documents through it."""
+
+    def run(batches):
+        import pandas as pd
+
+        goto, fail, out = _aho_build(probes)
+
+        def n_hits(text: str) -> int:
+            found: set = set()
+            s = 0
+            for ch in text:
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                if out[s]:
+                    found |= out[s]
+            return len(found)
+
+        for pdf in batches:
+            n = pdf["lt"].map(n_hits)
+            res = pd.DataFrame({"doc_id": pdf["doc_id"], "n_probe_hits": n})
+            yield res[res["n_probe_hits"] > 0]
+
+    return run
+
+
+@query(
+    "decontaminate_aho_corasick",
+    oracle="""
+    WITH probes AS (
+      SELECT DISTINCT lower(substr(text, 10, 48)) AS probe
+      FROM documents
+      WHERE doc_id % 13 = 0 AND length(text) >= 57
+    ),
+    train AS (SELECT doc_id, lower(text) AS lt FROM documents
+              WHERE doc_id % 13 <> 0)
+    SELECT t.doc_id, count(*) AS n_probe_hits
+    FROM train t JOIN probes p ON position(p.probe IN t.lt) > 0
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANY-PROBE scale path of ``decontaminate_exact_substring``,
+    implemented for real: all eval probes compiled into one
+    Aho-Corasick automaton, each training doc scanned ONCE for every
+    probe simultaneously (O(text + matches) per doc, independent of
+    probe count) inside an Arrow-batched ``mapInPandas`` stage with
+    per-task automaton construction.  Same oracle, same output as the
+    broadcast-nested-loop form — two physical designs, one semantics:
+    the JVM ``locate`` join is O(text × probes) and wins for small
+    eval suites; the automaton wins once probe count × corpus size
+    crosses the crossover (SCALING.md measured the join form going
+    quadratic when probes scale with the corpus).  The probe list is
+    collected to the driver (eval-suite-sized by constraint — the same
+    bound that lets the join form broadcast) and ships to tasks inside
+    the closure."""
+    d = table(spark, sf_dir, "documents")
+    probes = [
+        r.probe
+        for r in (
+            d.filter((F.col("doc_id") % 13 == 0) & (F.length("text") >= 57))
+            .select(F.lower(F.substring("text", 10, 48)).alias("probe"))
+            .distinct()
+            .collect()
+        )
+    ]
+    train = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    )
+    return train.mapInPandas(
+        _aho_scan_iter(probes), "doc_id long, n_probe_hits long"
+    )

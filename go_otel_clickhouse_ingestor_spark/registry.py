@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_dim_variance", "join_dynamic_partition_pruning",
     "join_bloom_prefilter", "events_forecast_holt",
     "reshape_nest_unnest", "udf_scalar_iter",
+    "decontaminate_aho_corasick", "orders_abc_class",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -567,3 +567,32 @@ def test_compaction_rewrites_only_oversplit_partitions(spark, sf_dir, tmp_path):
         F.count("*").alias("n"), F.sum("event_id").alias("s")
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_aho_corasick_matches_brute_force():
+    """decontaminate_aho_corasick's automaton vs str-in brute force on
+    randomized adversarial probe sets (overlaps, nested prefixes)."""
+    import random
+
+    from go_otel_clickhouse_ingestor_spark.operators.pipeline import _aho_build
+
+    def scan(text, probes):
+        goto, fail, out = _aho_build(probes)
+        found, s = set(), 0
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            found |= out[s]
+        return {probes[i] for i in found}
+
+    rng = random.Random(7)
+    for _ in range(300):
+        probes = list(
+            dict.fromkeys(
+                "".join(rng.choices("ab", k=rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 8))
+            )
+        )
+        text = "".join(rng.choices("ab", k=60))
+        assert scan(text, probes) == {p for p in probes if p in text}
