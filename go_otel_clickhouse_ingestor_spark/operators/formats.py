@@ -442,3 +442,68 @@ def compact_lake_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     after = list_partition_files(path, partition_col)
     return {v: (len(victims[v]), len(after[v])) for v in victims}
+
+
+@query(
+    "source_json_corrupt_records",
+    oracle="""
+    WITH classified AS (
+      SELECT CASE WHEN event_id % 17 = 0 THEN '_corrupt'
+                  ELSE event_type END AS bucket,
+             CASE WHEN event_id % 17 <> 0 THEN value END AS value
+      FROM events
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n,
+           cast(round(sum(cast(coalesce(value, 0) AS DECIMAL(14,4))), 2)
+                AS DOUBLE) AS total_value
+    FROM classified GROUP BY bucket
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on the JSON landing path: the fixture
+    is written as JSONL with every 17th line deterministically mangled
+    (brace chopped off), then read back under ``mode=PERMISSIVE`` with
+    ``columnNameOfCorruptRecord`` — corrupt lines survive as rows whose
+    data columns are NULL and whose ``_corrupt`` column holds the raw
+    bytes, so the pipeline can COUNT, quarantine, and replay them
+    instead of dying (the reference's malformed-drop, cdc.go:63-67,
+    upgraded to an auditable quarantine).  DROPMALFORMED/FAILFAST are
+    config points of the same reader.  The census buckets corrupt rows
+    under '_corrupt' next to the per-type good rows; the oracle derives
+    the identical classification relationally from the parquet truth.
+    Scale: map-only parse; the quarantine column rides the scan, no
+    extra pass."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/corrupt_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        line = F.to_json(
+            F.struct("event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value")
+        )
+        mangled = F.when(
+            F.col("event_id") % 17 == 0,
+            F.concat(F.lit("{bad-json "), F.substring(line, 2, 2_000_000)),
+        ).otherwise(line)
+        (
+            table(spark, sf_dir, "events")
+            .select(mangled.alias("value"))
+            .write.mode("overwrite")
+            .text(path)
+        )
+    parsed = (
+        spark.read.schema(
+            "event_id long, ts_us long, event_type string, value double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    bucket = F.when(F.col("_corrupt").isNotNull(), "_corrupt").otherwise(
+        F.col("event_type")
+    )
+    return parsed.select(bucket.alias("bucket"), "value").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "cast(round(sum(cast(coalesce(value, 0) as decimal(14,4))), 2) as double)"
+        ).alias("total_value"),
+    )

@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "join_bloom_prefilter", "events_forecast_holt",
     "reshape_nest_unnest", "udf_scalar_iter",
     "decontaminate_aho_corasick", "orders_abc_class",
+    "source_json_corrupt_records",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

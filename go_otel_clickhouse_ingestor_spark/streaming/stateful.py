@@ -255,3 +255,70 @@ def user_running_totals_ttl(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------
+# Streaming Holt: the stateful twin of the batch ``events_forecast_holt``
+# query (operators/analytics.py) — same (level, trend) recurrence with
+# α=0.5, β=0.3, folded per event_type as daily totals arrive.  State is
+# three numbers per key; a complete in-order feed reproduces the batch
+# fold bit-for-bit (tested against the batch query's arithmetic).
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_OUT_SCHEMA = (
+    "event_type string, n_days long, level double, trend double, forecast_next double"
+)
+_HOLT_STATE_SCHEMA = "level double, trend double, n long"
+
+
+def _holt_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one event type's arriving daily totals into the Holt
+    (level, trend) state.  Batch rows are sorted by day; the first
+    observation seeds level (trend 0), matching the batch query's
+    aggregate() zero element."""
+    level, trend, n = state.get if state.exists else (None, 0.0, 0)
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        rows = rows.sort_values("day")
+        for x in rows["x"].astype(float):
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (level + trend)
+                trend = _HOLT_BETA * (new_level - level) + (1 - _HOLT_BETA) * trend
+                level = new_level
+            n += 1
+        state.update((float(level), float(trend), int(n)))
+    out_level = None if level is None else round(float(level), 6)
+    out_trend = None if level is None else round(float(trend), 6)
+    fc = None if level is None else round(float(level) + float(trend), 6)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n],
+            "level": [out_level],
+            "trend": [out_trend],
+            "forecast_next": [fc],
+        }
+    )
+
+
+def type_holt_forecast(daily: DataFrame) -> DataFrame:
+    """Per-type streaming Holt level/trend maintained across
+    micro-batches over a (event_type, day, x) daily-total feed.  The
+    upstream stage is the watermarked daily rollup (windows.py); state
+    is O(|event types|), shuffle keyed identically to the batch agg."""
+    return (
+        daily.select("event_type", "day", "x")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _holt_fold,
+            outputStructType=_HOLT_OUT_SCHEMA,
+            stateStructType=_HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

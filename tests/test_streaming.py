@@ -1137,3 +1137,81 @@ def test_state_ttl_expires_idle_keys_on_watermark(spark, tmp_path):
     assert (2, "active", 2, 3.0) in tagged, tagged
     # expiry removed the state: no further user-1 rows after the final one
     assert sum(1 for r in rows if r.user_id == 1) == 2
+
+
+def test_stateful_holt_matches_sequential_fold(spark, tmp_path):
+    """Streaming Holt (applyInPandasWithState) must fold daily totals
+    across micro-batches to exactly the sequential α=0.5/β=0.3
+    recurrence — the stateful twin of the batch events_forecast_holt
+    query."""
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        type_holt_forecast,
+    )
+
+    rows = [
+        {
+            "event_type": t,
+            "day": f"2026-01-{d:02d}",
+            "x": float((d * 13 + len(t) * 7) % 29 + 1),
+        }
+        for t in ("click", "view")
+        for d in range(1, 13)
+    ]
+    d = tmp_path / "holt_stream"
+    d.mkdir()
+    # three triggers of four days each, in day order per type; the file
+    # source orders by modification time, so pin strictly increasing
+    # mtimes (same-second writes tie-break arbitrarily — measured)
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 60
+    for i in range(3):
+        chunk = [r for r in rows if (int(r["day"][-2:]) - 1) // 4 == i]
+        p = d / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        _os.utime(p, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema("event_type string, day date, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"holt_{uuid.uuid4().hex[:8]}"
+    q = (
+        type_holt_forecast(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n_days").desc())
+    final = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_next)
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    want = {}
+    for t in ("click", "view"):
+        xs = [r["x"] for r in rows if r["event_type"] == t]
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.3 * (nl - level) + 0.7 * trend
+            level = nl
+        want[t] = (
+            len(xs),
+            round(level, 6),
+            round(trend, 6),
+            round(level + trend, 6),
+        )
+    assert final == want
+    # state persisted across all three triggers
+    assert out.count() > 2
