@@ -1,0 +1,156 @@
+"""Declarative data-quality expectations (Great-Expectations-style,
+Spark-native).
+
+A deployment replacing the reference needs the audit the reference
+never had: its ClickHouse tables accepted whatever the ingestor wrote
+(at-least-once, no constraints — README.md's MergeTree tables declare
+no uniqueness and ClickHouse doesn't enforce FKs).  This module makes
+the implied contract explicit and checkable: each expectation compiles
+to a conditional aggregate or an anti-join, the whole suite runs as a
+handful of partial-aggregated passes, and the result is a small
+violations table a scheduler can gate promotion on (write-audit-
+publish).
+
+Scale shape: all single-table expectations over one table FUSE into
+ONE map-side conditional aggregation (one scan, one 1-row shuffle per
+table); referential integrity is a broadcast-or-shuffle anti-join
+counted, never materialized.  Nothing here is row-expanded — the audit
+costs one pass per table regardless of how many column expectations
+are declared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+#: The declared contract for the TPC-H-ish fixture warehouse.  Each
+#: entry: (check_name, table, violation_predicate_sql) — a row
+#: violates the expectation when the predicate is TRUE.
+ROW_EXPECTATIONS: list[tuple[str, str, str]] = [
+    ("orders_custkey_not_null", "orders", "o_custkey IS NULL"),
+    ("orders_status_accepted", "orders", "o_orderstatus NOT IN ('O','F','P')"),
+    ("orders_totalprice_positive", "orders", "o_totalprice <= 0"),
+    ("orders_date_in_span", "orders",
+     "o_orderdate < TIMESTAMP '1990-01-01' OR o_orderdate >= TIMESTAMP '2005-01-01'"),
+    ("lineitem_quantity_range", "lineitem",
+     "l_quantity < 1 OR l_quantity > 50"),
+    ("lineitem_discount_range", "lineitem",
+     "l_discount < 0 OR l_discount > 0.1"),
+    ("events_value_not_null", "events", "value IS NULL"),
+    ("events_type_accepted", "events",
+     "event_type NOT IN ('click','view','purchase','signup','error')"),
+]
+
+
+@query(
+    "dq_expectations_audit",
+    oracle="""
+    SELECT 'orders_custkey_not_null' AS check_name,
+           count(*) AS n_checked,
+           cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted', count(*),
+           cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive', count(*),
+           cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_date_in_span', count(*),
+           cast(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                      OR o_orderdate >= TIMESTAMP '2005-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range', count(*),
+           cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range', count(*),
+           cast(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_not_null', count(*),
+           cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_type_accepted', count(*),
+           cast(sum(CASE WHEN event_type NOT IN
+                 ('click','view','purchase','signup','error')
+               THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'orders_orderkey_unique', count(*),
+           cast(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_ref_integrity', count(*),
+           cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the declared expectation suite, one result row per check:
+    (check_name, n_checked, n_violations).  Row expectations against
+    the same table fuse into a single conditional aggregation (one
+    scan per table); uniqueness is count-vs-distinct; referential
+    integrity counts unmatched probe rows through a left join.  Gate
+    pattern: promote the batch only when every n_violations = 0
+    (write-audit-publish); quarantine queries are the same predicates
+    un-aggregated."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for name, tbl, pred in ROW_EXPECTATIONS:
+        by_table.setdefault(tbl, []).append((name, pred))
+
+    parts: list[DataFrame] = []
+    for tbl, checks in by_table.items():
+        t = table(spark, sf_dir, tbl)
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            *[
+                F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(name)
+                for name, pred in checks
+            ],
+        )
+        for name, _ in checks:
+            parts.append(
+                agg.select(
+                    F.lit(name).alias("check_name"),
+                    "n_checked",
+                    F.col(name).alias("n_violations"),
+                )
+            )
+
+    o = table(spark, sf_dir, "orders")
+    parts.append(
+        o.agg(
+            F.lit("orders_orderkey_unique").alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            ),
+        ).select("check_name", "n_checked", "n_violations")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = o.select("o_orderkey")
+    joined = li.join(keys, li.l_orderkey == keys.o_orderkey, "left")
+    parts.append(
+        joined.agg(
+            F.lit("lineitem_orderkey_ref_integrity").alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_violations"),
+        ).select("check_name", "n_checked", "n_violations")
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -118,3 +118,46 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "agg_skew_two_phase",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)                          AS n_users,
+           count(*)                                         AS n_events,
+           cast(round(sum(cast(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot GROUP BY keys: phase 1
+    aggregates on (key, salt) — the whale key's rows split across SALT
+    reducers — phase 2 merges the SALT partials per key.  COUNT and SUM
+    re-merge trivially; COUNT(DISTINCT user_id) is made mergeable by
+    salting on ``hash(user_id)`` so each distinct user lands in exactly
+    one salt bucket and the final count is a plain SUM of bucket
+    distincts — the standard trick that also underlies Spark's own
+    partial distinct Expand.  Result provably equals the direct
+    aggregation (the oracle).  At 100 TB this is how a 'GROUP BY
+    event_type' with 5 keys survives: without salting, five reducers
+    do all the work; AQE can split skewed JOIN partitions but not a
+    skewed agg key — this rewrite is the standing fix."""
+    ev = table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn(
+            "salt", F.pmod(F.xxhash64("user_id"), F.lit(SALT)).cast("int")
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).alias("v"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("u").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.expr("cast(round(sum(v), 2) as double)").alias("total_value"),
+    )

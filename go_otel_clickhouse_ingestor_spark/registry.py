@@ -100,7 +100,8 @@ _DRIVER_PRIORITY: list[str] = [
     "join_bloom_prefilter", "events_forecast_holt",
     "reshape_nest_unnest", "udf_scalar_iter",
     "decontaminate_aho_corasick", "orders_abc_class",
-    "source_json_corrupt_records",
+    "source_json_corrupt_records", "agg_skew_two_phase",
+    "dq_expectations_audit",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
@@ -148,6 +149,7 @@ def load_all() -> dict[str, Query]:
         bucketed,
         cdc,
         clustering,
+        dataquality,
         dedup,
         formats,
         graph,
