@@ -2459,3 +2459,99 @@ def reshape_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_quantity",
     )
+
+
+@query(
+    "agg_product_compound",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             list(cast(round((1 + l_tax) * 100) AS DOUBLE)
+                  ORDER BY l_linenumber, l_tax) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(cents)::BIGINT AS n_lines,
+           floor(list_reduce(cents, (acc, x) -> acc * x)
+                 / power(100, len(cents)) * 100000000 + 0.5)
+             / 100000000.0 AS compound_factor
+    FROM lines
+    """,
+)
+def agg_product_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregation done exactly: the per-order compounding
+    factor Π(1 + tax) over its lines — the pattern behind compounded
+    returns, survival probabilities, and chained adjustment factors.
+    Neither engine's float product (exp(Σln) or pairwise multiply) is
+    order-stable across partitions, and DECIMAL folds die twice over:
+    DuckDB's two-argument list_reduce pins the accumulator to the
+    ELEMENT type (a (6,2) list silently rounds every intermediate to
+    two places), and Spark's precision-loss rule clamps a
+    (30,14)×(30,14) product back to scale 6 — both measured.  So the
+    factors are fixed to integer CENTS (101..110) carried as exact
+    DOUBLE integers, the fold is sequential double multiplication in a
+    PINNED total order (sorted by line number with the tax value as
+    tie-break — duplicate line numbers exist in the fixture), so both
+    engines execute the identical IEEE operation sequence bit-for-bit,
+    and the final quantization uses the pinned floor(x·1e8 + 0.5) rule
+    because the engines' round() functions disagree on exact half-ties
+    (two fixture rows land on one — measured).  For UNBOUNDED groups the
+    scale path is log-space summation with a sign/zero census
+    (mergeable, last-ULP-approximate), validated against this exact
+    form."""
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_linenumber,"
+            " cast(round((1 + l_tax) * 100) as double) as c))), s -> s.c)"
+        ).alias("cents")
+    )
+    return lines.select(
+        "l_orderkey",
+        F.size("cents").cast("long").alias("n_lines"),
+        F.expr(
+            "floor(aggregate(slice(cents, 2, size(cents) - 1),"
+            " element_at(cents, 1), (acc, x) -> acc * x)"
+            " / power(100, size(cents)) * 100000000 + 0.5d)"
+            " / cast(100000000 as double)"
+        ).alias("compound_factor"),
+    )
+
+
+@query(
+    "sql_pivot_dynamic_values",
+    oracle="""
+    SELECT user_id,
+           cast(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           cast(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           cast(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           cast(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def sql_pivot_dynamic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot: the column list is DISCOVERED at plan-build time
+    (distinct event_type, collected sorted) and fed to ``pivot(col,
+    values)`` — the two-phase pattern for pivoting on an open domain,
+    vs agg_pivot's hard-coded value list.  Passing the discovered list
+    explicitly keeps the main query ONE pass (Spark's value-less
+    ``pivot()`` would run the same discovery query implicitly; doing it
+    ourselves makes the extra scan visible and cacheable).  The
+    discovery result is schema, not data — bounded by the column
+    domain, which must be small for ANY pivot to make sense; the
+    oracle hard-codes the same domain as CASE sums, which is exactly
+    the plan the pivot compiles to."""
+    ev = table(spark, sf_dir, "events")
+    values = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", values)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
+    )

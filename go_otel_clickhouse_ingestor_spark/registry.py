@@ -101,7 +101,8 @@ _DRIVER_PRIORITY: list[str] = [
     "reshape_nest_unnest", "udf_scalar_iter",
     "decontaminate_aho_corasick", "orders_abc_class",
     "source_json_corrupt_records", "agg_skew_two_phase",
-    "dq_expectations_audit",
+    "dq_expectations_audit", "agg_product_compound",
+    "sql_pivot_dynamic_values",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
