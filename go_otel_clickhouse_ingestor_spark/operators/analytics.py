@@ -2014,3 +2014,64 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
         cls.alias("abc_class"),
     )
+
+
+@query(
+    "orders_ship_latency",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, min(l.l_shipdate)) AS lat_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           min(lat_days)::BIGINT       AS min_days,
+           max(lat_days)::BIGINT       AS max_days,
+           round(avg(lat_days), 4)     AS avg_days,
+           cast(floor(quantile_cont(lat_days, 0.5) * 10000 + 0.5) / 10000.0
+                AS DOUBLE)             AS p50_days,
+           cast(floor(quantile_cont(lat_days, 0.9) * 10000 + 0.5) / 10000.0
+                AS DOUBLE)             AS p90_days
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency distribution per order priority
+    — the operational SLA view (does URGENT actually ship faster?).
+    Latency is exact integer days (order date → earliest line
+    shipment); the rollup is min/max/avg plus interpolated p50/p90
+    (PERCENTILE_CONT semantics, matching agg_percentile_exact's
+    contract, quantized by the pinned floor rule since interpolation
+    is the one non-integer step).  Scale: one orderkey-keyed join +
+    two partial-aggregated shuffles; percentiles run per priority
+    group (5 groups) over integer day values — bounded state via
+    Spark's exact percentile over a value-count sketch."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias("lat_days"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("lat_days").cast("long").alias("min_days"),
+        F.max("lat_days").cast("long").alias("max_days"),
+        F.round(F.avg("lat_days"), 4).alias("avg_days"),
+        F.expr(
+            "cast(floor(percentile(lat_days, 0.5) * 10000 + 0.5d) / 10000.0d"
+            " as double)"
+        ).alias("p50_days"),
+        F.expr(
+            "cast(floor(percentile(lat_days, 0.9) * 10000 + 0.5d) / 10000.0d"
+            " as double)"
+        ).alias("p90_days"),
+    )

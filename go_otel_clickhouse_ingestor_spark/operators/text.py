@@ -1255,3 +1255,50 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bpe_iter,
         "doc_id long, n_tokens_ws long, n_tokens_bpe long, bpe_per_word double",
     )
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    b AS (
+      SELECT doc_id,
+             cast(('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS BIGINT)
+               AS bucket
+      FROM e
+    )
+    SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF): tokens mapped to a fixed
+    1024-bucket feature space by hashing — no vocabulary pass, no
+    dictionary state, which is why it is THE bag-of-words featurizer
+    at corpus scale (a vocabulary join needs a second pass and a
+    broadcast that grows with the corpus; the hash needs neither, at
+    the cost of collisions the downstream model absorbs).  The bucket
+    is the first 8 hex chars of md5 mod 1024 — bit-portable across
+    engines (Spark's own HashingTF uses murmur3, which DuckDB lacks;
+    the CONTRACT is any fixed hash, so the oracle-checkable one is
+    used).  Output is the sparse (doc, bucket, count) triple layout —
+    exactly what a downstream trainer ingests.  Scale: explode +
+    one partial-aggregated shuffle keyed (doc_id, bucket); map-side
+    combine collapses repeats before the wire."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
+    e = d.select("doc_id", F.explode(toks).alias("t"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"), F.lit(1024)
+    ).cast("long")
+    return (
+        e.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

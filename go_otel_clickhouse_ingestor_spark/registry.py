@@ -102,7 +102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "decontaminate_aho_corasick", "orders_abc_class",
     "source_json_corrupt_records", "agg_skew_two_phase",
     "dq_expectations_audit", "agg_product_compound",
-    "sql_pivot_dynamic_values",
+    "sql_pivot_dynamic_values", "text_feature_hashing",
+    "orders_ship_latency",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
