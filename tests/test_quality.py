@@ -633,3 +633,52 @@ def test_webdataset_shards_roundtrip_and_layout(spark, sf_dir, tmp_path):
     orig = {r.doc_id: (bytes(r.payload), r.meta) for r in docs.collect()}
     got = {r.doc_id: (bytes(r.payload), r.meta) for r in back.collect()}
     assert got == orig
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zordered: with per-file min/max stats, a selective range
+    filter on EITHER column must skip most files — while the
+    single-column-sorted baseline skips only on its sort key."""
+    from go_otel_clickhouse_ingestor_spark.operators.formats import (
+        file_skipping_stats,
+        write_zordered,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table as t
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "single")
+    write_zordered(ev, z_path, "user_id", "value", files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    def surviving(path, col, lo, hi):
+        stats = file_skipping_stats(spark, path, "user_id", "value").collect()
+        pre = "a" if col == "user_id" else "b"
+        keep = [r for r in stats if not (r[f"{pre}_max"] < lo or r[f"{pre}_min"] > hi)]
+        return len(keep), len(stats)
+
+    # data identical either way
+    assert (
+        spark.read.parquet(z_path).count()
+        == spark.read.parquet(s_path).count()
+        == ev.count()
+    )
+
+    lo_u, hi_u = 100, 150          # narrow user_id slice
+    lo_v, hi_v = 10.0, 15.0        # narrow value slice
+    zu, zn = surviving(z_path, "user_id", lo_u, hi_u)
+    su, sn = surviving(s_path, "user_id", lo_u, hi_u)
+    zv, _ = surviving(z_path, "value", lo_v, hi_v)
+    sv, _ = surviving(s_path, "value", lo_v, hi_v)
+
+    # single-sort: near-perfect on its key, useless on the other
+    assert su <= sn // 4
+    assert sv == sn, "value filter should prune nothing in the user-sorted layout"
+    # z-order: prunes meaningfully on BOTH dimensions
+    assert zu <= zn // 2, (zu, zn)
+    assert zv <= zn // 2, (zv, zn)
