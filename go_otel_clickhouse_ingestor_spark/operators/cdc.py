@@ -35,9 +35,11 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.fixtures import (
+    CDC_MESSAGES_V2,
     cdc_messages_all_values_sql,
     cdc_messages_df,
     cdc_messages_values_sql,
+    messages_values_sql,
 )
 from ..tables import table
 
@@ -489,4 +491,87 @@ def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("pre-versioning"),
             ).alias("src_version"),
         )
+    )
+
+
+#: The v2 batch translated through the SAME pipeline (oracle side).
+_V2_TRANSLATE_SQL = translate_sql(messages_values_sql(CDC_MESSAGES_V2))
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH users_cur AS ({_TRANSLATE_SQL}),
+    snapshot AS (
+      SELECT id, name, email, _lsn FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                   ORDER BY _lsn DESC, _ts DESC, msg_id DESC) AS rn
+        FROM users_cur) t
+      WHERE rn = 1 AND is_deleted = 0
+    ),
+    batch_cur AS ({_V2_TRANSLATE_SQL}),
+    batch AS (
+      SELECT id, name, email, is_deleted, _lsn FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                   ORDER BY _lsn DESC, _ts DESC, msg_id DESC) AS rn
+        FROM batch_cur) t
+      WHERE rn = 1
+    )
+    SELECT coalesce(b.id, s.id)                     AS id,
+           CASE WHEN b.id IS NULL THEN s.name  ELSE b.name  END AS name,
+           CASE WHEN b.id IS NULL THEN s.email ELSE b.email END AS email,
+           CASE WHEN b.id IS NULL THEN s._lsn  ELSE b._lsn  END AS _lsn,
+           CASE WHEN b.id IS NULL THEN 'kept'
+                WHEN s.id IS NULL THEN 'inserted'
+                ELSE 'updated' END                  AS action
+    FROM snapshot s FULL JOIN batch b ON s.id = b.id
+    WHERE b.id IS NULL OR b.is_deleted = 0
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on a plain parquet lake: the current
+    snapshot (v1 corpus's current state) merged with an incoming CDC
+    batch (the v2 messages) — WHEN MATCHED AND delete THEN DELETE,
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, untouched
+    rows kept.  Classic Spark has no MERGE statement outside table
+    formats; the full-outer-join rewrite IS what Delta/Iceberg compile
+    MERGE to, minus their transactional file replacement — pair it
+    with dynamic partition overwrite (compact_lake_partitions) for the
+    write side.  The batch is first collapsed to ONE net change per
+    key (latest by _lsn — the rule A16 pins), so the merge is
+    idempotent under replay: at-least-once delivery upstream converges
+    to the same snapshot.  Scale: one key-partitioned join, batch side
+    usually broadcastable; action column kept for write-audit-publish
+    accounting."""
+    snap = current_state(
+        translate_envelope(parse_envelope(cdc_messages_df(spark)))
+    ).select("id", "name", "email", "_lsn")
+
+    from ..sources.fixtures import CDC_MESSAGES_V2
+
+    v2 = spark.createDataFrame(
+        CDC_MESSAGES_V2, "msg_id long, key string, value string"
+    )
+    batch_all = translate_envelope(parse_envelope(v2))
+    w = Window.partitionBy("id").orderBy(
+        F.col("_lsn").desc(), F.col("_ts").desc(), F.col("msg_id").desc()
+    )
+    batch = (
+        batch_all.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "name", "email", "is_deleted", "_lsn")
+    )
+    s = snap.alias("s")
+    b = batch.alias("b")
+    j = s.join(b, F.col("s.id") == F.col("b.id"), "full_outer")
+    from_batch = F.col("b.id").isNotNull()
+    return j.filter(~from_batch | (F.col("b.is_deleted") == 0)).select(
+        F.coalesce(F.col("b.id"), F.col("s.id")).alias("id"),
+        F.when(from_batch, F.col("b.name")).otherwise(F.col("s.name")).alias("name"),
+        F.when(from_batch, F.col("b.email")).otherwise(F.col("s.email")).alias("email"),
+        F.when(from_batch, F.col("b._lsn")).otherwise(F.col("s._lsn")).alias("_lsn"),
+        F.when(~from_batch, "kept")
+        .when(F.col("s.id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action"),
     )
