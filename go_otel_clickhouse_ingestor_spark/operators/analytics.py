@@ -2075,3 +2075,94 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as double)"
         ).alias("p90_days"),
     )
+
+
+#: Poisson(1) inverse CDF breakpoints for the deterministic bootstrap.
+_POISSON_CDF = [
+    (0.36787944, 0),
+    (0.73575888, 1),
+    (0.91969860, 2),
+    (0.98101184, 3),
+    (0.99634015, 4),
+    (0.99940582, 5),
+]
+_BOOT_B = 32
+
+
+def _poisson_case(u: str) -> str:
+    """SQL CASE mapping a uniform [0,1) value to a Poisson(1) draw."""
+    branches = " ".join(
+        f"WHEN {u} < {p!r} THEN {k}" for p, k in _POISSON_CDF
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH draws AS (
+      SELECT e.event_type, b.b, e.value,
+             {_poisson_case("(('0x' || substr(md5(e.event_id || '-' || b.b), 1, 8))::BIGINT / 4294967296.0)")} AS w
+      FROM events e, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT event_type, b,
+             cast(sum(w * cast(value AS DECIMAL(14,4))) AS DOUBLE)
+               / nullif(sum(w), 0) AS m
+      FROM draws GROUP BY event_type, b
+    ),
+    sorted AS (
+      SELECT event_type, list_sort(list(m)) AS ms FROM means GROUP BY event_type
+    )
+    SELECT event_type,
+           round(list_avg(ms), 6) AS boot_mean,
+           round(ms[2], 6)              AS ci_lo,
+           round(ms[{_BOOT_B} - 1], 6)  AS ci_hi
+    FROM sorted
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-type mean
+    value — THE way to bootstrap at cluster scale (Chamandy et al.,
+    Google 2012): instead of resampling rows (impossible without
+    global coordination), every (row, replicate) pair draws an
+    independent Poisson(1) weight, so each of the B=32 replicate means
+    is computable in the SAME single pass, map-side, with no shuffle
+    of raw data — one (type, b)-keyed aggregation, then a 32-element
+    sort per type.  The draw is DETERMINISTIC: u = md5(event_id, b)
+    mapped through the Poisson(1) inverse CDF — rerun-stable, engine-
+    portable (the same census both engines compute), replayable.  The
+    interval is the (2nd, 31st) order statistics of the replicate
+    means (~94% coverage at B=32); production raises B, the plan shape
+    is unchanged.  Weighted sums go through DECIMAL so replicate means
+    are bit-stable."""
+    ev = table(spark, sf_dir, "events")
+    draws = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        "(cast(conv(substring(md5(concat(cast(event_id as string), '-',"
+        " cast(b as string))), 1, 8), 16, 10) as bigint) / 4294967296.0d)"
+    )
+    draws = draws.withColumn("w", F.expr(_poisson_case(u)))
+    means = draws.groupBy("event_type", "b").agg(
+        (
+            F.expr("cast(sum(w * cast(value as decimal(14,4))) as double)")
+            / F.expr("nullif(sum(w), 0)")
+        ).alias("m")
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(F.expr("array_sort(collect_list(m))").alias("ms"))
+        .select(
+            "event_type",
+            F.round(
+                F.expr("aggregate(ms, 0d, (a, x) -> a + x) / size(ms)"), 6
+            ).alias("boot_mean"),
+            F.round(F.expr("element_at(ms, 2)"), 6).alias("ci_lo"),
+            F.round(F.expr(f"element_at(ms, {_BOOT_B - 1})"), 6).alias("ci_hi"),
+        )
+    )

@@ -103,7 +103,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_json_corrupt_records", "agg_skew_two_phase",
     "dq_expectations_audit", "agg_product_compound",
     "sql_pivot_dynamic_values", "text_feature_hashing",
-    "orders_ship_latency", "cdc_merge_upsert",
+    "orders_ship_latency", "cdc_merge_upsert", "stat_bootstrap_ci",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
