@@ -210,3 +210,50 @@ def sample_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sized AS (
+      SELECT min(cnt) AS quota FROM (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r, sized s
+    WHERE r.rk <= s.quota
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every class (lang) keeps exactly
+    ``min(class size)`` rows — the classic training-set rebalance when
+    one class dwarfs the rest.  Selection is a per-class window ranked
+    by ``md5(doc_id)`` — a deterministic shuffle, so the sample is
+    rerun-stable, addition-stable for existing docs, and needs no
+    global sort; the quota is a 1-row broadcast.  At 100 TB the
+    per-class windows are the cost — each class sorts its own
+    partition slice (hash-keyed, parallel across classes); for classes
+    too large to sort, swap rank-by-hash for hash-threshold sampling
+    (sample_hash_deterministic) at quota/size rate, trading exact
+    counts for a scan-only plan."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    quota = d.groupBy("lang").count().agg(F.min("count").alias("quota"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )

@@ -682,3 +682,38 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: prunes meaningfully on BOTH dimensions
     assert zu <= zn // 2, (zu, zn)
     assert zv <= zn // 2, (zv, zn)
+
+
+def test_corpus_to_webdataset_export_chain(spark, sf_dir, tmp_path):
+    """End-to-end composition: the corpus_build_e2e pipeline's
+    surviving documents flow straight into the WebDataset shard writer
+    and come back byte-lossless — the full curate→package path a
+    training run consumes."""
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table as t
+
+    built = load_all()["corpus_build_e2e"].fn(spark, sf_dir)
+    keep_ids = built.select("doc_id").distinct()
+    docs = (
+        t(spark, sf_dir, "documents")
+        .join(keep_ids, "doc_id")
+        .select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("payload"),
+            F.to_json(F.struct("lang", "source")).alias("meta"),
+        )
+    )
+    out = str(tmp_path / "export")
+    manifest = write_webdataset_shards(docs, out).collect()
+    n = docs.count()
+    assert n > 0 and sum(r.n_samples for r in manifest) == n
+    back = read_webdataset_shards(spark, out)
+    assert back.count() == n
+    joined = back.alias("b").join(docs.alias("d"), "doc_id")
+    assert (
+        joined.filter(F.expr("b.payload <> d.payload")).count() == 0
+    ), "payload bytes must survive the export chain"
