@@ -2166,3 +2166,76 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(f"element_at(ms, {_BOOT_B - 1})"), 6).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT cast(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+             count(*) AS n_tot,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT h, n_tot, n_err,
+             sum(n_tot) OVER w6 AS tot6,
+             sum(n_err) OVER w6 AS err6
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h,
+           n_tot::BIGINT                                   AS n_total,
+           n_err::BIGINT                                   AS n_errors,
+           round(n_err * 4.0 / n_tot, 6)                   AS burn_1h,
+           round(err6 * 4.0 / tot6, 6)                     AS burn_6h,
+           (2 * n_err > n_tot AND 2 * err6 > tot6)         AS page_alert
+    FROM win
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (Google SRE workbook ch.5)
+    over the event stream the reference ingests: with an error budget
+    of 25%, burn rate = error_fraction / budget; a page fires only
+    when BOTH the fast window (1 h — catches the spike) and the slow
+    window (6 h — filters blips) burn faster than 2× — the standard
+    pairing that keeps pages actionable.  The alert predicate is pure
+    INTEGER cross-multiplication (burn > 2 ⟺ 2·errors > total), so no
+    float boundary can flip it between engines; the reported burn
+    rates are display-only rounds.  The trailing window is a RANGE
+    frame over the integer hour index (gap-correct when hours are
+    missing — ROWS would silently widen).  Scale: hour-grain rollup is
+    one partial agg; the window state is calendar-bounded (per
+    service/tenant it partitions by that key)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        "n_tot",
+        "n_err",
+        F.sum("n_tot").over(w6).alias("tot6"),
+        F.sum("n_err").over(w6).alias("err6"),
+    )
+    return win.select(
+        "h",
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.col("n_err").cast("long").alias("n_errors"),
+        F.round(F.col("n_err") * 4.0 / F.col("n_tot"), 6).alias("burn_1h"),
+        F.round(F.col("err6") * 4.0 / F.col("tot6"), 6).alias("burn_6h"),
+        (
+            (2 * F.col("n_err") > F.col("n_tot"))
+            & (2 * F.col("err6") > F.col("tot6"))
+        ).alias("page_alert"),
+    )

@@ -104,7 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_expectations_audit", "agg_product_compound",
     "sql_pivot_dynamic_values", "text_feature_hashing",
     "orders_ship_latency", "cdc_merge_upsert", "stat_bootstrap_ci",
-    "sample_balanced_classes",
+    "sample_balanced_classes", "events_slo_burn_rate",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
