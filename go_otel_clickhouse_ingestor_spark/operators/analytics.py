@@ -2239,3 +2239,87 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2 * F.col("err6") > F.col("tot6"))
         ).alias("page_alert"),
     )
+
+
+@query(
+    "events_apdex_score",
+    oracle="""
+    SELECT event_type,
+           count(*)                                             AS n,
+           cast(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS satisfied,
+           cast(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS tolerating,
+           round((sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN value > 50 AND value <= 200
+                        THEN 1 ELSE 0 END) * 0.5) / count(*), 6) AS apdex
+    FROM events GROUP BY event_type
+    """,
+)
+def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index) per event type, treating
+    ``value`` as a latency: satisfied ≤ T, tolerating ≤ 4T (T=50),
+    apdex = (satisfied + tolerating/2) / total — the standard
+    user-experience SLI the reference's metrics consumers would chart.
+    Pure integer counts until one final division; a single
+    partial-aggregated pass."""
+    ev = table(spark, sf_dir, "events")
+    sat = F.sum(F.when(F.col("value") <= 50, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("value") > 50) & (F.col("value") <= 200), 1).otherwise(0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        sat.cast("long").alias("satisfied"),
+        tol.cast("long").alias("tolerating"),
+        F.round((sat + tol * 0.5) / F.count(F.lit(1)), 6).alias("apdex"),
+    )
+
+
+@query(
+    "events_sli_availability",
+    oracle="""
+    WITH minutes AS (
+      SELECT cast(epoch(date_trunc('minute', ts)) / 60 AS BIGINT) AS m,
+             cast(ts AS DATE) AS day,
+             count(*) AS n_tot,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS active_minutes,
+           cast(sum(CASE WHEN 2 * n_err > n_tot THEN 1 ELSE 0 END) AS BIGINT)
+             AS bad_minutes,
+           round(1.0 - sum(CASE WHEN 2 * n_err > n_tot THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS availability
+    FROM minutes GROUP BY day
+    """,
+)
+def events_sli_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily availability SLI: a minute is DOWN when errors outnumber
+    successes (integer majority — no float threshold), availability =
+    1 − bad_minutes / active_minutes per day.  This is the
+    minutes-based availability definition most error budgets are
+    written against (not request-weighted — one catastrophic minute in
+    a quiet hour counts fully).  Two partial-aggregated rollups
+    (minute grain then day grain), both calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    minutes = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("minute", "ts")) / 60)
+        .cast("long")
+        .alias("m"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+    )
+    bad = F.sum(F.when(2 * F.col("n_err") > F.col("n_tot"), 1).otherwise(0))
+    return minutes.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("active_minutes"),
+        bad.cast("long").alias("bad_minutes"),
+        F.round(1.0 - bad * 1.0 / F.count(F.lit(1)), 6).alias("availability"),
+    )

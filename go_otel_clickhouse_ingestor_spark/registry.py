@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_pivot_dynamic_values", "text_feature_hashing",
     "orders_ship_latency", "cdc_merge_upsert", "stat_bootstrap_ci",
     "sample_balanced_classes", "events_slo_burn_rate",
+    "events_apdex_score", "events_sli_availability",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
