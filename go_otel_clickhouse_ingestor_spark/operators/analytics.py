@@ -2323,3 +2323,69 @@ def events_sli_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad.cast("long").alias("bad_minutes"),
         F.round(1.0 - bad * 1.0 / F.count(F.lit(1)), 6).alias("availability"),
     )
+
+
+#: OTel/Prometheus explicit bucket boundaries for the value histogram.
+OTEL_BUCKETS = [5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0]
+
+
+@query(
+    "events_histogram_otel_buckets",
+    oracle=f"""
+    WITH b AS (
+      SELECT unnest([{", ".join(str(b) for b in OTEL_BUCKETS)}, 'inf'::DOUBLE])
+        AS le
+    ),
+    agg AS (
+      SELECT e.event_type, b.le,
+             sum(CASE WHEN e.value <= b.le THEN 1 ELSE 0 END)::BIGINT
+               AS cumulative_count
+      FROM events e CROSS JOIN b
+      GROUP BY e.event_type, b.le
+    ),
+    tot AS (
+      SELECT event_type,
+             count(*) AS total_count,
+             cast(round(sum(cast(value AS DECIMAL(14,4))), 4) AS DOUBLE)
+               AS value_sum
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, a.le, a.cumulative_count,
+           t.total_count, t.value_sum
+    FROM agg a JOIN tot t USING (event_type)
+    """,
+)
+def events_histogram_otel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel/Prometheus explicit-bucket histogram of the value metric
+    per event type: CUMULATIVE ``le`` buckets (each bucket counts
+    everything at or below its bound, +Inf equals the total) plus the
+    series sum and count — byte-for-byte the histogram exposition
+    shape the reference's /metrics endpoint publishes
+    (internal/obs/metrics.go histogram; streaming/metrics.py renders
+    the same family live).  The plan is ONE pass: a bounded 8-row
+    bucket table cross-joined in (broadcast), conditional sums per
+    (type, le) — never an explode-per-event; the cumulative property
+    comes from the ≤ predicate, not a second windowed pass.  Exact
+    integer counts; the sum goes through DECIMAL."""
+    ev = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(b,) for b in OTEL_BUCKETS] + [(float("inf"),)], "le double"
+    )
+    agg = (
+        ev.crossJoin(F.broadcast(buckets))
+        .groupBy("event_type", "le")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0))
+            .cast("long")
+            .alias("cumulative_count")
+        )
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.expr(
+            "cast(round(sum(cast(value as decimal(14,4))), 4) as double)"
+        ).alias("value_sum"),
+    )
+    return agg.join(F.broadcast(tot), "event_type").select(
+        "event_type", "le", "cumulative_count", "total_count", "value_sum"
+    )

@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_ship_latency", "cdc_merge_upsert", "stat_bootstrap_ci",
     "sample_balanced_classes", "events_slo_burn_rate",
     "events_apdex_score", "events_sli_availability",
+    "events_histogram_otel_buckets",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
