@@ -2389,3 +2389,131 @@ def events_histogram_otel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     return agg.join(F.broadcast(tot), "event_type").select(
         "event_type", "le", "cumulative_count", "total_count", "value_sum"
     )
+
+
+@query(
+    "events_exemplar_per_bucket",
+    oracle=f"""
+    WITH b AS (
+      SELECT unnest([{", ".join(str(b) for b in OTEL_BUCKETS)}, 'inf'::DOUBLE])
+        AS le,
+             unnest([0.0, {", ".join(str(b) for b in OTEL_BUCKETS)}]) AS lo
+    ),
+    tagged AS (
+      SELECT e.event_type, b.le, e.event_id, e.value,
+             row_number() OVER (PARTITION BY e.event_type, b.le
+                                ORDER BY md5(e.event_id::VARCHAR), e.event_id)
+               AS rk
+      FROM events e JOIN b ON e.value > b.lo AND e.value <= b.le
+    )
+    SELECT event_type, le,
+           event_id AS exemplar_event_id,
+           round(value, 6) AS exemplar_value
+    FROM tagged WHERE rk = 1
+    """,
+)
+def events_exemplar_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel histogram EXEMPLARS: one representative raw event per
+    (type, bucket), chosen by md5-rank — deterministic, rerun-stable,
+    and unbiased within the bucket (hash order ≈ uniform), which is
+    what makes the exemplar a fair drill-down sample rather than
+    'first row the scan happened to hit'.  Buckets here are DISJOINT
+    (lo, le] ranges (exemplars attach per bucket, unlike the
+    cumulative counts of events_histogram_otel_buckets).  The bucket
+    table is 8 broadcast rows; selection is one keyed window over the
+    bucketed events.  Exemplars are what link a latency histogram
+    spike to an actual trace — the reference's histogram + tracing
+    span machinery (SURVEY A14/A15) meet here."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    bounds = [0.0] + OTEL_BUCKETS
+    buckets = spark.createDataFrame(
+        list(zip(bounds, OTEL_BUCKETS + [float("inf")])), "lo double, le double"
+    )
+    tagged = ev.join(
+        F.broadcast(buckets),
+        (F.col("value") > F.col("lo")) & (F.col("value") <= F.col("le")),
+    )
+    w = Window.partitionBy("event_type", "le").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        tagged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "le",
+            F.col("event_id").alias("exemplar_event_id"),
+            F.round("value", 6).alias("exemplar_value"),
+        )
+    )
+
+
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(value AS DECIMAL(14,4))) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    n AS (
+      SELECT day, x,
+             lag(x)  OVER (ORDER BY day) AS prev1,
+             lead(x) OVER (ORDER BY day) AS next1,
+             lag(x, 2)  OVER (ORDER BY day) AS prev2,
+             lead(x, 2) OVER (ORDER BY day) AS next2
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(x, 2) AS daily_value,
+           (x > prev1 AND x > next1)                    AS is_local_peak,
+           (x > prev1 AND x > next1 AND
+            x > coalesce(prev2, x - 1) AND
+            x > coalesce(next2, x - 1))                 AS is_prominent_peak
+    FROM n
+    WHERE prev1 IS NOT NULL AND next1 IS NOT NULL
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the daily series: a day is a peak when
+    it exceeds both neighbors, prominent when it also exceeds the
+    2-away neighbors (edges treated as passing via the coalesce
+    sentinel — a boundary day can still be prominent).  Comparisons on
+    exact decimal daily sums cast once to double (identical values
+    both engines), strict inequalities so ties never flip engines.
+    Day-grain global window — calendar-bounded; per-metric it
+    partitions by the metric key.  Peaks are the anomaly-calendar
+    complement to CUSUM's sustained-shift detection
+    (events_changepoint_cusum)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("x")
+    )
+    w = Window.orderBy("day")
+    n = daily.select(
+        "day",
+        "x",
+        F.lag("x", 1).over(w).alias("prev1"),
+        F.lead("x", 1).over(w).alias("next1"),
+        F.lag("x", 2).over(w).alias("prev2"),
+        F.lead("x", 2).over(w).alias("next2"),
+    )
+    peak = (F.col("x") > F.col("prev1")) & (F.col("x") > F.col("next1"))
+    prominent = (
+        peak
+        & (F.col("x") > F.coalesce(F.col("prev2"), F.col("x") - 1))
+        & (F.col("x") > F.coalesce(F.col("next2"), F.col("x") - 1))
+    )
+    return (
+        n.filter(F.col("prev1").isNotNull() & F.col("next1").isNotNull())
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("x", 2).alias("daily_value"),
+            peak.alias("is_local_peak"),
+            prominent.alias("is_prominent_peak"),
+        )
+    )

@@ -952,3 +952,34 @@ def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ny2, "yyyy-MM-dd HH:mm:ss").alias("ny_wall_dst"),
         off(ny2, F.col("ts2")).alias("ny_offset_min_dst"),
     )
+
+
+@query(
+    "fn_printf",
+    oracle="""
+    SELECT event_id,
+           printf('%08d', event_id)                         AS padded_id,
+           printf('%.2f', value)                            AS money,
+           printf('%s=%d @ %.4f', event_type, user_id, value) AS composed,
+           printf('%x', user_id)                            AS hex_user
+    FROM events
+    """,
+)
+def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (``format_string``): zero-padded ids,
+    fixed-decimal money, composed label strings, hex rendering — the
+    wire/display formatting family (the reference serializes its
+    ClickHouse rows through Go's fmt, clickhouse.go:113-124; these are
+    the same verbs).  %.2f/%.4f format the shortest-round double —
+    both engines use the same C-style semantics so the strings match
+    byte-for-byte.  Map-only codegen."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.format_string("%08d", "event_id").alias("padded_id"),
+        F.format_string("%.2f", "value").alias("money"),
+        F.format_string(
+            "%s=%d @ %.4f", "event_type", "user_id", "value"
+        ).alias("composed"),
+        F.format_string("%x", "user_id").alias("hex_user"),
+    )

@@ -106,7 +106,8 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_ship_latency", "cdc_merge_upsert", "stat_bootstrap_ci",
     "sample_balanced_classes", "events_slo_burn_rate",
     "events_apdex_score", "events_sli_availability",
-    "events_histogram_otel_buckets",
+    "events_histogram_otel_buckets", "events_exemplar_per_bucket",
+    "events_peak_detection", "fn_printf",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
