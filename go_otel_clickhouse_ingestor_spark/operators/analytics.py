@@ -2517,3 +2517,79 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             prominent.alias("is_prominent_peak"),
         )
     )
+
+
+@query(
+    "events_counter_rate_resets",
+    oracle="""
+    WITH serie AS (
+      SELECT user_id, ts, event_id,
+             cast(sum(cast(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) % 100000 AS BIGINT)
+               AS counter
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, counter,
+             counter - lag(counter) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS delta
+      FROM serie
+    )
+    SELECT user_id,
+           count(*)::BIGINT                           AS n_samples,
+           cast(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_resets,
+           cast(sum(CASE WHEN delta IS NULL THEN 0
+                         WHEN delta >= 0 THEN delta
+                         ELSE counter END) AS BIGINT) AS increase_units
+    FROM d GROUP BY user_id
+    """,
+)
+def events_counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``increase()`` semantics with counter-reset
+    correction: a monotone per-user counter (synthesized here as the
+    running value sum in integer centi-units, wrapped at 100k to plant
+    deterministic resets) is differenced sample-to-sample; a negative
+    delta means the counter restarted, and the post-reset VALUE — not
+    the negative delta — is the true increase since the reset (the
+    exact rule promql's extrapolation is built on).  All integer
+    arithmetic: running sum, modulo, deltas, correction — bit-exact in
+    both engines, no float anywhere.  Scale: user-keyed windows (one
+    shuffle), then a per-user rollup; the counter synthesis stands in
+    for the cumulative series a scrape target exports."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    o = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    serie = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).over(
+                o.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            % 100000
+        )
+        .cast("long")
+        .alias("counter"),
+    )
+    d = serie.select(
+        "user_id",
+        "counter",
+        (F.col("counter") - F.lag("counter").over(o)).alias("delta"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        F.sum(
+            F.when(F.col("delta").isNull(), 0)
+            .when(F.col("delta") >= 0, F.col("delta"))
+            .otherwise(F.col("counter"))
+        )
+        .cast("long")
+        .alias("increase_units"),
+    )

@@ -574,3 +574,90 @@ def file_skipping_stats(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "source_multiline_logs",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, event_type, value,
+             (event_type = 'error') AS has_trace
+      FROM events
+    )
+    SELECT event_id,
+           'evt eid=' || event_id || ' type=' || event_type
+             || ' v=' || printf('%.4f', value)
+             || CASE WHEN has_trace
+                     THEN chr(10) || '    at frame_a(eid=' || event_id || ')'
+                          || chr(10) || '    at frame_b(eid=' || event_id || ')'
+                     ELSE '' END AS record,
+           (1 + CASE WHEN has_trace THEN 2 ELSE 0 END)::BIGINT AS n_lines
+    FROM starts
+    """,
+)
+def source_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log-record assembly — the landing-zone problem every
+    ingest pipeline hits (stack traces: one logical record, many
+    physical lines; the naive line reader shreds them into garbage
+    events).  The fixture synthesizes an Apache-style stream where
+    error events carry two indented continuation lines; the reader
+    then reassembles records WITHOUT any cross-row Python: a line is a
+    record START iff it doesn't begin with whitespace, a running count
+    of starts (ordered prefix-sum window over the file's line order)
+    gives every line its record id, and a grouped sorted-concat
+    rebuilds each record.  The oracle synthesizes the records
+    directly from the parquet truth, so a hash match proves
+    shred → reassemble is lossless including line order.  Scale: the
+    ONE global ordered window runs per log FILE (the natural unit —
+    partition by input_file_name at a real landing zone), then
+    everything is record-keyed."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_formats/mlog_{suffix}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = table(spark, sf_dir, "events")
+        head = F.concat(
+            F.lit("evt eid="),
+            F.col("event_id").cast("string"),
+            F.lit(" type="),
+            F.col("event_type"),
+            F.lit(" v="),
+            F.format_string("%.4f", "value"),
+        )
+        frame = lambda name: F.concat(
+            F.lit(f"    at {name}(eid="), F.col("event_id").cast("string"), F.lit(")")
+        )
+        lines = F.when(
+            F.col("event_type") == "error",
+            F.array(head, frame("frame_a"), frame("frame_b")),
+        ).otherwise(F.array(head))
+        (
+            ev.orderBy("event_id")
+            .select(F.explode(lines).alias("value"))
+            .coalesce(1)  # one "log file": line order is the contract
+            .write.mode("overwrite")
+            .text(path)
+        )
+    from pyspark.sql.window import Window
+
+    raw = spark.read.text(path).select(
+        "value", F.monotonically_increasing_id().alias("line_no")
+    )
+    is_start = (~F.col("value").startswith(" ")).cast("int")
+    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    tagged = raw.select(
+        "value",
+        "line_no",
+        F.sum(is_start).over(w).alias("rec_id"),
+    )
+    rec = tagged.groupBy("rec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(line_no, value))), s -> s.value), chr(10))"
+        ).alias("record"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return rec.select(
+        F.regexp_extract("record", "eid=(\\d+)", 1).cast("long").alias("event_id"),
+        "record",
+        "n_lines",
+    )

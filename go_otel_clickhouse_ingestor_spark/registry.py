@@ -107,7 +107,8 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_balanced_classes", "events_slo_burn_rate",
     "events_apdex_score", "events_sli_availability",
     "events_histogram_otel_buckets", "events_exemplar_per_bucket",
-    "events_peak_detection", "fn_printf",
+    "events_peak_detection", "fn_printf", "events_counter_rate_resets",
+    "source_multiline_logs",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
