@@ -855,3 +855,41 @@ def dedup_paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("cleaned_text"),
     )
+
+
+@query("dedup_near_e2e")  # rows-only: LSH candidate recall is engine-specific
+def dedup_near_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole near-dup pipeline as ONE composition — the shape a
+    production corpus actually runs: MinHash-LSH candidates (banded,
+    never all-pairs) → exact-Jaccard verification (already fused into
+    dedup_minhash_lsh's output contract) → connected components over
+    the verified pairs → per-doc cluster assignment with the smallest
+    doc_id as keeper.  Output: every document with its cluster keeper,
+    cluster size, and survivor flag.
+
+    Rows-only by design (LSH candidate generation is seed/engine-
+    specific), but the pytest gate is stronger than a hash: it
+    recomputes the EXACT pipeline (corpus-wide n-gram Jaccard ≥ 0.3 +
+    components in DuckDB) and asserts the LSH-fed composition lands
+    the identical survivor set on the fixture corpus — i.e. measured
+    end-to-end recall 1.0 on real (planted) near-dups, not just
+    per-stage gates.  Scale: every stage is the documented linear
+    path — banded LSH, pair-bounded verify, O(edges)-per-round CC."""
+    from .graph import connected_components
+    from pyspark.sql.window import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    comp = connected_components(nodes, edges)
+    size = F.count(F.lit(1)).over(Window.partitionBy("label"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("keeper_doc_id"),
+        size.cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )

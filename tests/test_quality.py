@@ -717,3 +717,61 @@ def test_corpus_to_webdataset_export_chain(spark, sf_dir, tmp_path):
     assert (
         joined.filter(F.expr("b.payload <> d.payload")).count() == 0
     ), "payload bytes must survive the export chain"
+
+
+def test_near_dup_e2e_matches_exact_pipeline(spark, sf_dir):
+    """dedup_near_e2e (LSH → verify → CC) must produce the SAME
+    clusters and survivors as the exact corpus-wide pipeline (full
+    n-gram Jaccard + components, computed independently in DuckDB) —
+    end-to-end recall 1.0 on the fixture's planted near-dups."""
+    import duckdb
+
+    got = {
+        r.doc_id: (r.keeper_doc_id, r.cluster_size)
+        for r in load_all()["dedup_near_e2e"].fn(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want_rows = con.execute("""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS grams
+      FROM tok
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(grams) AS s FROM sh),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.s + sb.s - n_common) >= 0.3
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    cc AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION ALL
+      SELECT cc.node, e.d AS label
+      FROM cc JOIN edges e ON e.s = cc.label
+      WHERE e.d < cc.label
+    ),
+    final AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+    SELECT node, label, count(*) OVER (PARTITION BY label) AS csize
+    FROM final
+    """).fetchall()
+    want = {n: (l, c) for n, l, c in want_rows}
+    assert got == want
