@@ -878,6 +878,8 @@ def dedup_near_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end recall 1.0 on real (planted) near-dups, not just
     per-stage gates.  Scale: every stage is the documented linear
     path — banded LSH, pair-bounded verify, O(edges)-per-round CC."""
+    from pyspark.sql.window import Window
+
     from .graph import connected_components
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
