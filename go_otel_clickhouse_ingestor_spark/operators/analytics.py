@@ -2593,3 +2593,48 @@ def events_counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("increase_units"),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(cast(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(cast(e.ts AS DATE), '%Y-%m-%d') AS day,
+           cast(sum(CASE WHEN cast(e.ts AS DATE) = f.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT)  AS new_user_events,
+           cast(sum(CASE WHEN cast(e.ts AS DATE) > f.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT)  AS returning_events,
+           count(DISTINCT CASE WHEN cast(e.ts AS DATE) = f.first_day
+                               THEN e.user_id END)      AS new_users,
+           count(DISTINCT CASE WHEN cast(e.ts AS DATE) > f.first_day
+                               THEN e.user_id END)      AS returning_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — the growth dashboard's first
+    panel: an event is 'new' when it falls on its user's first active
+    day.  First-seen days are one user-keyed aggregate joined back
+    (broadcastable: one row per user); the daily split is conditional
+    counts + conditional distincts, no windows.  (win_cumulative_
+    distinct charts the cumulative curve; this is the daily-grain
+    decomposition.)"""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    day = F.col("ts").cast("date")
+    j = ev.join(first, "user_id")
+    is_new = day == F.col("first_day")
+    return j.groupBy(F.date_format(day, "yyyy-MM-dd").alias("day")).agg(
+        F.sum(is_new.cast("int")).cast("long").alias("new_user_events"),
+        F.sum((~is_new).cast("int")).cast("long").alias("returning_events"),
+        F.countDistinct(F.when(is_new, F.col("user_id"))).alias("new_users"),
+        F.countDistinct(F.when(~is_new, F.col("user_id"))).alias(
+            "returning_users"
+        ),
+    )

@@ -1302,3 +1302,72 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+@query(
+    "text_vocab_growth_heaps",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t <> '')) AS t
+      FROM documents
+    ),
+    bucketed AS (SELECT doc_id // 50 AS bucket, t FROM tok),
+    first_seen AS (
+      SELECT t, min(bucket) AS first_bucket FROM bucketed GROUP BY t
+    ),
+    per_bucket AS (
+      SELECT bucket, count(*) AS n_tokens FROM bucketed GROUP BY bucket
+    ),
+    vocab_per_bucket AS (
+      SELECT first_bucket AS bucket, count(*) AS n_new_types
+      FROM first_seen GROUP BY first_bucket
+    )
+    SELECT p.bucket,
+           cast(sum(p.n_tokens) OVER w AS BIGINT)                 AS tokens_cum,
+           cast(sum(coalesce(v.n_new_types, 0)) OVER w AS BIGINT) AS vocab_cum,
+           round(ln(sum(coalesce(v.n_new_types, 0)) OVER w)
+                 / ln(sum(p.n_tokens) OVER w), 6)                 AS heaps_beta
+    FROM per_bucket p LEFT JOIN vocab_per_bucket v USING (bucket)
+    WINDOW w AS (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct word
+    types vs cumulative tokens at 50-doc checkpoints, plus the running
+    Heaps exponent ln V / ln N (healthy natural-language corpora sit
+    near β ≈ 0.5; duplicated or templated corpora flatten early — a
+    corpus-level health check that complements per-doc dedup).  The
+    cumulative-distinct problem is solved with the FIRST-SEEN trick
+    (min bucket per type — one agg, no distinct-per-prefix rescans),
+    so the plan is two partial aggs + a 10-row windowed rollup;
+    checkpoint grain keeps the ordered window bounded regardless of
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
+    tok = d.select(
+        (F.col("doc_id") / 50).cast("long").alias("bucket"),
+        F.explode(toks).alias("t"),
+    )
+    per_bucket = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    j = per_bucket.join(vocab, "bucket", "left").select(
+        "bucket",
+        F.sum("n_tokens").over(w).alias("tc"),
+        F.sum(F.coalesce("n_new_types", F.lit(0))).over(w).alias("vc"),
+    )
+    return j.select(
+        "bucket",
+        F.col("tc").cast("long").alias("tokens_cum"),
+        F.col("vc").cast("long").alias("vocab_cum"),
+        F.round(F.log("vc") / F.log("tc"), 6).alias("heaps_beta"),
+    )
