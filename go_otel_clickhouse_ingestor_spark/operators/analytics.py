@@ -2638,3 +2638,60 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_users"
         ),
     )
+
+
+@query(
+    "events_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, x,
+             sum(x) OVER o AS cum
+      FROM daily WINDOW o AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    p AS (
+      SELECT day, x, cum,
+             max(cum) OVER o AS peak
+      FROM c WINDOW o AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(cum / 100.0, 2)           AS cumulative,
+           round(peak / 100.0, 2)          AS running_peak,
+           round((peak - cum) / 100.0, 2)  AS drawdown,
+           (peak - cum) = max(peak - cum) OVER () AS is_max_drawdown
+    FROM p
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily series: running peak
+    minus current cumulative, with the worst day flagged — the
+    peak-to-trough risk metric (finance) and the 'how far behind the
+    best day are we' ops metric.  Values are integer CENTI-units end
+    to end (round(value·100) summed as BIGINT), so the stacked windows
+    (cumsum → running max → global max) are exact integer arithmetic —
+    the same prefix-rewrite family as CUSUM, and the same day-grain
+    calendar bound on the ordered windows."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    o = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select("day", F.sum("x").over(o).alias("cum"))
+    p = c.select("day", "cum", F.max("cum").over(o).alias("peak"))
+    dd = F.col("peak") - F.col("cum")
+    g = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return p.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cum") / 100.0, 2).alias("cumulative"),
+        F.round(F.col("peak") / 100.0, 2).alias("running_peak"),
+        F.round(dd / 100.0, 2).alias("drawdown"),
+        (dd == F.max(dd).over(g)).alias("is_max_drawdown"),
+    )

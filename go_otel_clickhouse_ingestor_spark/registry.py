@@ -109,7 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_histogram_otel_buckets", "events_exemplar_per_bucket",
     "events_peak_detection", "fn_printf", "events_counter_rate_resets",
     "source_multiline_logs", "events_new_vs_returning",
-    "text_vocab_growth_heaps",
+    "text_vocab_growth_heaps", "events_max_drawdown",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
