@@ -38,39 +38,18 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 5: the 18
-#: oracle-backed queries that have never had a driver row (cumulative
-#: union of CORRECTNESS_r1–r4 = 130 green; these 18 are the remainder —
-#: all pass the local differential in tools/check_oracle.py), followed
-#: by round-5 additions.  Rows-only queries (no DuckDB oracle) are kept
-#: OUT of this list: they would burn window slots as ``no_oracle``.
-#: Rotate per round until every oracle-backed query has a driver-green
-#: row in some CORRECTNESS_r*.json.
+#: queries with the least driver-anchored evidence.  Round 7 rotation:
+#: the cumulative driver-green union of CORRECTNESS_r1–r6 is 180 names —
+#: ALL of them are deleted from this list so the 50-slot window samples
+#: only the 84 oracle-backed queries that have never had a driver row
+#: (every one passes the local differential in tools/check_oracle.py).
+#: The first 50 fill the round-7 window; the remaining 34 plus any
+#: net-new round-7 queries lead round 8.  Rows-only queries (no DuckDB
+#: oracle) are kept OUT of this list: they would burn window slots as
+#: ``no_oracle``.  ``tools/verify_round.py`` fails loudly if any name at
+#: the head of this list is already green in a CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: list[str] = [
-    # never driver-sampled after r4 (local-oracle-green, need driver rows)
-    "agg_heavy_hitters_topk", "agg_percentile_exact", "corpus_build_e2e",
-    "events_resample_interpolate", "fn_variant", "graph_pagerank",
-    "join_asof_tolerance", "join_shuffle_hash_hint", "pack_sequences_bins",
-    "pipeline_curriculum_phases", "set_except_all", "set_intersect_all",
-    "source_cdc_feed_translate", "stat_crosstab", "sub_lateral",
-    "text_trigram_lm_score", "tpch_q21", "udtf_word_expand",
-    # round-5 additions (appended as they are implemented)
-    "udf_group_normalize_arrow",
-    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
-    "fn_url", "fn_array_setops", "fn_regexp",
-    "sub_quantified", "stat_corr_matrix",
-    "win_pct_change", "events_anomaly_zscore",
-    "pipeline_mix_weights", "text_html_strip", "text_oov_rate",
-    "dedup_exact_keep_best", "graph_degree_stats",
-    "emb_norm_stats", "emb_label_centroids",
-    "agg_skewness_kurtosis", "events_pareto_users",
-    "dedup_fuzzy_edit_distance",
-    # round-5b additions (the 51st+ names overflow the 50-slot window
-    # and lead the round-6 rotation instead)
-    "agg_string_agg_ordered", "agg_bit_aggregates",
-    "join_interval_overlap", "stat_chi2_independence",
-    "stat_welch_ttest", "events_ewma", "text_readability",
-    "stat_entropy_gini", "win_cumulative_distinct", "emb_quantize_int8",
+    # round-7 window: 50 oracle-backed queries with no driver row yet
     "agg_geometric_harmonic",
     "events_streaks", "orders_rfm_segments", "stat_ks_binned",
     "win_moving_median", "fn_try_safe",
@@ -82,19 +61,18 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_cohort_ltv", "events_churn_weekly", "events_top_movers",
     "dedup_cross_source", "events_user_overlap", "sample_quantile_bucketize",
     "fn_time_bucket", "agg_weighted_stats", "events_heatmap_dow_hour",
-    # round-5d additions
     "orders_backlog_daily", "graph_triangle_count", "graph_bfs_reachability",
     "agg_bitmap_distinct", "stat_benford", "stat_mannwhitney_binned",
     "events_interarrival_stats", "text_collocations_pmi",
-    # round-5e additions
     "decontaminate_exact_substring", "events_stickiness_dau_mau",
     "agg_summap_props", "fn_mask_redact", "emb_pairwise_distance_hist",
     "multimodal_audio_frames",
-    # round-5f additions
     "source_xml_roundtrip", "source_binaryfile_ingest", "fn_str_to_map",
     "events_rate_limit_burst", "sub_in_multicol", "join_mark_existence",
-    # round-5g additions
-    "dedup_paragraph_corpus", "text_dup_line_fraction",
+    "dedup_paragraph_corpus",
+    # staged for round 8 (the 34 remaining never-driver-sampled names;
+    # net-new round-7 queries are appended after these)
+    "text_dup_line_fraction",
     "events_changepoint_cusum", "fn_datetime_tz", "cdc_schema_drift",
     "emb_dim_variance", "join_dynamic_partition_pruning",
     "join_bloom_prefilter", "events_forecast_holt",
