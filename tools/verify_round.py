@@ -1,0 +1,163 @@
+"""One-command round gate: everything that must be green before the
+driver's verdict runs, with a nonzero exit on ANY red.
+
+The round-6 failure mode this tool exists to prevent: an unrotated
+``_DRIVER_PRIORITY`` burned the driver's whole 50-slot CORRECTNESS
+window on names already proven green in earlier rounds, yielding zero
+new evidence.  Checks, in order of cheapness:
+
+1. **rotation gate** — fail if any name in the head (first 50) of
+   ``_DRIVER_PRIORITY`` is already green in a committed
+   CORRECTNESS_r*.json, or if a never-green oracle-backed query exists
+   that is missing from the list entirely.
+2. **artifact gate** — warn (not fail) when BENCH_r*/CORRECTNESS_r*
+   artifacts sit uncommitted in the working tree.
+3. **pytest** — the full suite (skippable with --fast).
+4. **full differential** — every oracle-backed query, Spark vs DuckDB
+   at sf0.01 (skippable with --fast; single-query runs go through
+   tools/check_oracle.py directly).
+5. **plan audit** — regenerate PLANS.md at sf0.001 and fail if any
+   query's plan has a row-at-a-time Python node (py column R>0).
+
+Usage:  python tools/verify_round.py [--fast]
+        --fast = gates 1-2 only (the pre-commit loop); full mode is
+        the pre-verdict gate.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50  # driver CORRECTNESS slots per round
+
+
+def driver_green() -> set[str]:
+    """Names proven green in any committed CORRECTNESS_r*.json."""
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            for name, r in json.load(fh).items():
+                if r.get("hash_match") or (
+                    r.get("err") is None
+                    and r.get("rows_match")
+                    and r.get("schema_match")
+                ):
+                    green.add(name)
+    return green
+
+
+def check_rotation() -> list[str]:
+    from go_otel_clickhouse_ingestor_spark.registry import _DRIVER_PRIORITY, load_all
+
+    errs: list[str] = []
+    green = driver_green()
+    reg = load_all()
+    head = _DRIVER_PRIORITY[:WINDOW]
+    stale = [n for n in head if n in green]
+    if stale:
+        errs.append(
+            f"ROTATION: {len(stale)} of the first {WINDOW} _DRIVER_PRIORITY "
+            f"names are already driver-green and would waste window slots: "
+            f"{stale[:10]}{'...' if len(stale) > 10 else ''} "
+            f"(go_otel_clickhouse_ingestor_spark/registry.py)"
+        )
+    unknown = [n for n in _DRIVER_PRIORITY if n not in reg]
+    if unknown:
+        errs.append(f"ROTATION: priority names not in the registry: {unknown}")
+    rows_only = [n for n in head if n in reg and reg[n].oracle is None]
+    if rows_only:
+        errs.append(
+            f"ROTATION: rows-only queries in the window (burn slots as "
+            f"no_oracle): {rows_only}"
+        )
+    missing = [
+        n
+        for n, q in reg.items()
+        if q.oracle is not None and n not in green and n not in _DRIVER_PRIORITY
+    ]
+    if missing:
+        errs.append(
+            f"ROTATION: oracle-backed queries with no driver evidence that "
+            f"are MISSING from _DRIVER_PRIORITY (driver will never sample "
+            f"them early): {missing}"
+        )
+    return errs
+
+
+def check_artifacts() -> list[str]:
+    out = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+    ).stdout
+    loose = [
+        line.split()[-1]
+        for line in out.splitlines()
+        if any(tag in line for tag in ("BENCH_r", "CORRECTNESS_r", "BENCH_SUMMARY"))
+    ]
+    if loose:
+        print(f"WARN: round artifacts uncommitted: {loose} — commit them.")
+    return []  # warning only
+
+
+def run_pytest() -> list[str]:
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=REPO
+    )
+    return [] if r.returncode == 0 else [f"PYTEST: exit {r.returncode}"]
+
+
+def run_differential(sf_dir: str = "/root/testdata/sf0.01") -> list[str]:
+    r = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", sf_dir],
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    return [] if r.returncode == 0 else [f"DIFFERENTIAL: exit {r.returncode}"]
+
+
+def run_plan_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    plans = os.path.join(REPO, "PLANS.md")
+    with open(plans, "w") as fh:
+        r = subprocess.run(
+            [sys.executable, "tools/plan_report.py", sf_dir],
+            cwd=REPO,
+            stdout=fh,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+    if r.returncode != 0:
+        return [f"PLAN AUDIT: plan_report.py exit {r.returncode}"]
+    errs = []
+    with open(plans) as fh:
+        for line in fh:
+            # py column format: A<n>/R<n> — any row-at-a-time node is red
+            if "| R" in line.replace("A", "").replace(" ", "") and "/R0" not in line:
+                cols = [c.strip() for c in line.split("|")]
+                if len(cols) > 6 and cols[6].startswith("A") and "/R0" not in cols[6]:
+                    errs.append(f"PLAN AUDIT: row-at-a-time Python node: {cols[1]}")
+    return errs
+
+
+def main() -> None:
+    fast = "--fast" in sys.argv
+    errs = check_rotation()
+    check_artifacts()
+    if not fast:
+        errs += run_pytest()
+        errs += run_differential()
+        errs += run_plan_audit()
+    if errs:
+        print("\n== verify_round: RED ==")
+        for e in errs:
+            print(" -", e)
+        sys.exit(1)
+    print(f"== verify_round: GREEN ({'fast' if fast else 'full'}) ==")
+
+
+if __name__ == "__main__":
+    main()
