@@ -249,12 +249,43 @@ def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
     """PQ-ADC must (a) recall a reasonable share of the true top-10
     despite 64x code compression, and (b) report TRUE cosines for what
     it returns (the rerank is exact, so every returned pair's cos_sim
-    must equal the brute-force value)."""
-    exact = REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    must equal the brute-force value).  The exact baseline is computed
+    here over PQ's OWN fixed md5-ranked query set (``pq_query_set``),
+    with the same round-then-rank tie rule as the operators."""
+    from pyspark.sql.window import Window
+
+    from go_otel_clickhouse_ingestor_spark.operators.similarity import (
+        cosine,
+        embedding_dim,
+        pq_query_set,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(e)
+    q = pq_query_set(e)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qemb"), F.col("embedding"), dim), 5).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .collect()
+    )
     exact_pairs = {(r.query_id, r.vec_id) for r in exact}
     exact_cos = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
 
     got = REGISTRY["sim_ann_pq"].fn(spark, sf_dir).collect()
+    assert len({r.query_id for r in got}) == len({r.query_id for r in exact})
     got_pairs = {(r.query_id, r.vec_id) for r in got}
     recall = len(got_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.4, f"PQ recall {recall:.2f} below floor"
