@@ -2112,7 +2112,8 @@ def _poisson_case(u: str) -> str:
       FROM draws GROUP BY event_type, b
     ),
     sorted AS (
-      SELECT event_type, list_sort(list(m)) AS ms FROM means GROUP BY event_type
+      SELECT event_type, list_sort(list(m)) AS ms FROM means
+      WHERE m IS NOT NULL GROUP BY event_type
     )
     SELECT event_type,
            round(list_avg(ms), 6) AS boot_mean,
@@ -2135,7 +2136,11 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval is the (2nd, 31st) order statistics of the replicate
     means (~94% coverage at B=32); production raises B, the plan shape
     is unchanged.  Weighted sums go through DECIMAL so replicate means
-    are bit-stable."""
+    are bit-stable.  A replicate whose weights all drew 0 has a NULL
+    mean; NULL replicates are DROPPED on both sides BEFORE the sort
+    (r6 ADVICE: Spark's array_sort puts NULLs last, DuckDB's list_sort
+    puts them first — an undefined contract that could flip ci_lo/ci_hi
+    the day a tiny group hits an all-zero draw)."""
     ev = table(spark, sf_dir, "events")
     draws = ev.select(
         "event_type",
@@ -2155,7 +2160,8 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     return (
-        means.groupBy("event_type")
+        means.filter(F.col("m").isNotNull())
+        .groupBy("event_type")
         .agg(F.expr("array_sort(collect_list(m))").alias("ms"))
         .select(
             "event_type",

@@ -413,11 +413,23 @@ def compact_lake_partitions(
 
     Scale design: the partition census is manifest/LIST metadata (no
     data IO); each rewrite reads one partition directory (partition-
-    pruned scan) and writes it back with ``coalesce(k)`` — no shuffle,
-    no global job over the table.  Returns
+    pruned scan) into a SIBLING STAGING directory with ``coalesce(k)``
+    — no shuffle, no global job over the table, and crucially never a
+    write over the path being read (the r6 ADVICE item: the old
+    dynamic-partition self-overwrite could lose a partition if the
+    driver died mid-commit).  Only after every staged rewrite has
+    fully committed are partitions swapped in, one directory rename
+    pair each.  Failure semantics, honestly: a crash during staging
+    loses nothing (the table is untouched); a crash inside one swap's
+    two-rename window leaves that partition's old files intact at
+    ``<partition>._old`` next to the staged replacement — recoverable
+    by finishing or reversing the rename, and every other partition is
+    either fully old or fully new.  Returns
     {partition_value: (files_before, files_after)} for the rewritten
-    partitions.  Run it off-peak per partition; readers see either the
-    old or the new file set, never a mix."""
+    partitions.  Run it off-peak; readers of a partition see either
+    the old or the new file set, never a mix."""
+    import shutil
+
     census = list_partition_files(path, partition_col)
     victims = {
         v: files
@@ -426,20 +438,24 @@ def compact_lake_partitions(
     }
     if not victims:
         return {}
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for value in victims:
-            (
-                spark.read.parquet(path)
-                .filter(F.col(partition_col) == value)
-                .coalesce(max_files_per_partition)
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    staging = f"{path.rstrip('/')}__compact_staging"
+    for value in victims:
+        (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col) == value)
+            .drop(partition_col)  # lives in the directory name, as partitionBy wrote it
+            .coalesce(max_files_per_partition)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, f"{partition_col}={value}"))
+        )
+    for value in victims:
+        dst = os.path.join(path, f"{partition_col}={value}")
+        src = os.path.join(staging, f"{partition_col}={value}")
+        old = f"{dst}._old"
+        os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old)
+    shutil.rmtree(staging, ignore_errors=True)
     after = list_partition_files(path, partition_col)
     return {v: (len(victims[v]), len(after[v])) for v in victims}
 
@@ -525,32 +541,52 @@ def write_zordered(
     columns' rank buckets gives each file a small rectangle in
     (A, B) space, so a selective filter on EITHER column skips most
     files.  This is what Delta's OPTIMIZE ZORDER BY and Iceberg's
-    sort-order z-order do; here it is ~15 lines of open Spark API:
+    sort-order z-order do; here it is ~20 lines of open Spark API:
 
-    - rank-bucket each column to 8 bits with ``ntile(256)`` (rank,
-      not value, so skew can't collapse buckets),
+    - rank-bucket each column to 8 bits against SAMPLED quantile
+      boundaries (``approxQuantile``: one sketch pass, driver state =
+      255 doubles per column; rank-based, so skew can't collapse
+      buckets) applied via a broadcast ``Bucketizer`` — the r6 ADVICE
+      fix for the old ``ntile`` windows, which funneled the whole
+      table through ONE task per column,
     - interleave the bits with integer shifts (codegen expressions),
     - ``repartitionByRange`` on the Morton code (contiguous code
       ranges per file = disjoint rectangles), sort within, write.
 
-    Scale: one range shuffle (sampled boundaries), no UDFs; the
-    ntile windows are per-column single-key sorts the range shuffle
-    subsumes at lake scale (write-amortized, read-repaid)."""
-    from pyspark.sql.window import Window
+    Scale: one quantile-sketch pass + one range shuffle (sampled
+    boundaries), no UDFs, no single-task stage anywhere."""
+    from pyspark.ml.feature import Bucketizer
 
-    a_bucket = F.ntile(1 << ZORDER_BITS).over(Window.orderBy(col_a)) - 1
-    b_bucket = F.ntile(1 << ZORDER_BITS).over(Window.orderBy(col_b)) - 1
+    nb = 1 << ZORDER_BITS
+    tmp = df.withColumn("_za", F.col(col_a).cast("double")).withColumn(
+        "_zb", F.col(col_b).cast("double")
+    )
+    qa, qb = tmp.stat.approxQuantile(
+        ["_za", "_zb"], [i / nb for i in range(1, nb)], 1.0 / (4 * nb)
+    )
+    buck = Bucketizer(
+        splitsArray=[
+            [float("-inf"), *sorted(set(qa)), float("inf")],
+            [float("-inf"), *sorted(set(qb)), float("inf")],
+        ],
+        inputCols=["_za", "_zb"],
+        outputCols=["_qa", "_qb"],
+        handleInvalid="keep",
+    )
     bits = " | ".join(
         f"(((a_q >> {i}) & 1) << {2 * i + 1}) | (((b_q >> {i}) & 1) << {2 * i})"
         for i in range(ZORDER_BITS)
     )
     (
-        df.withColumn("a_q", a_bucket)
-        .withColumn("b_q", b_bucket)
+        buck.transform(tmp)
+        # 'keep' parks NULL/NaN one bucket past the top — clamp back
+        # into the 8-bit range so the interleave stays 16-bit
+        .withColumn("a_q", F.least(F.col("_qa").cast("int"), F.lit(nb - 1)))
+        .withColumn("b_q", F.least(F.col("_qb").cast("int"), F.lit(nb - 1)))
         .withColumn("zorder", F.expr(bits).cast("long"))
         .repartitionByRange(files, "zorder")
         .sortWithinPartitions("zorder")
-        .drop("a_q", "b_q", "zorder")
+        .drop("_za", "_zb", "_qa", "_qb", "a_q", "b_q", "zorder")
         .write.mode("overwrite")
         .parquet(path)
     )
