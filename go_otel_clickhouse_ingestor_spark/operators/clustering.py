@@ -175,9 +175,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the assignment doubles as the vector table's write-time
     partitioning, making this join co-located and shuffle-free on
     re-runs."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_pairs(spark, e)
+
+
+def semantic_pairs(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The SemDeDup pipeline over an arbitrary (vec_id, embedding)
+    DataFrame — split out of :func:`dedup_semantic` so the planted-
+    near-dup recall gate (tests/test_quality.py) can run the identical
+    blocking + verify machinery on an augmented corpus."""
     from .dedup import materialized
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = embedding_dim(e)
     n = e.count()  # parquet metadata count — no scan
     # 2 Lloyd's iterations: blocking only needs coherent neighborhoods,

@@ -294,6 +294,47 @@ def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
             assert abs(r.cos_sim - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
 
 
+def test_semantic_dedup_planted_near_dup_recall(spark, sf_dir):
+    """SemDeDup recall gate (mirrors the LSH planted-neighbor test):
+    plant a strong near-duplicate (cosine ≈ 0.97) for every 50th
+    vector and require the blocking+verify pipeline to recover most of
+    them.  SemDeDup recall is bounded by the clustering — a planted
+    pair split across two cells is unseen by design — so the floor is
+    a measured 0.75, not 1.0 (the LSH screen's contract); what this
+    gate catches is a blocking regression that silently drops
+    co-located near-dups."""
+    import numpy as np
+
+    from go_otel_clickhouse_ingestor_spark.operators.clustering import (
+        _SEM_THRESHOLD,
+        semantic_pairs,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = base.filter(F.col("vec_id") % 50 == 0).collect()
+    rng = np.random.RandomState(11)
+    planted = []
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noisy = v + rng.normal(0.0, 0.05 * np.abs(v).mean(), size=v.shape)
+        planted.append((int(r.vec_id) + 1_000_000, [float(x) for x in noisy]))
+    aug = base.unionAll(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    got = semantic_pairs(spark, aug).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    hit = sum(1 for r in rows if (r.vec_id, r.vec_id + 1_000_000) in pairs)
+    recall = hit / len(rows)
+    assert recall >= 0.75, (
+        f"planted near-dup recall {recall:.2f} ({hit}/{len(rows)}) below the "
+        "measured SemDeDup floor — blocking is splitting near-identical pairs"
+    )
+    # precision stays 1.0 by construction: every emitted pair is at/above
+    # the exact-cosine threshold
+    assert all(r.cos_sim >= _SEM_THRESHOLD for r in got)
+
+
 def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     """Lloyd's invariants: inertia never increases across iterations,
     every vector lands in exactly one of K cells, and a rerun is
@@ -793,12 +834,16 @@ def test_near_dup_e2e_matches_exact_pipeline(spark, sf_dir):
     ),
     edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
+    -- true fixpoint: full reachability via UNION-distinct recursion
+    -- (terminates on cycles), then min over everything reachable.
+    -- The old decreasing-path recursion (WHERE e.d < cc.label) missed
+    -- minima only reachable through a larger intermediate node — an
+    -- under-merge masked by clique-shaped fixtures (r6 ADVICE).
     cc AS (
       SELECT doc_id AS node, doc_id AS label FROM documents
-      UNION ALL
+      UNION
       SELECT cc.node, e.d AS label
       FROM cc JOIN edges e ON e.s = cc.label
-      WHERE e.d < cc.label
     ),
     final AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
     SELECT node, label, count(*) OVER (PARTITION BY label) AS csize

@@ -458,6 +458,69 @@ def test_jdbc_sink_table_routing():
     )
 
 
+def test_jdbc_sink_live_roundtrip_embedded_derby(spark, tmp_path):
+    """A11 LIVE: the exact ``jdbc_foreach_batch`` path executes a real
+    JDBC write — streaming CDC messages micro-batched into an embedded
+    Derby database (the JDBC engine Spark ships in its own jars; no
+    ClickHouse exists in the harness, clickhouse.go:19-132) — and a
+    real JDBC read gets the rows back byte-identical to the batch
+    translation, timestamps serialized at second precision (A10).
+    This upgrades A11 from shape-only unit tests to a harness-runnable
+    write+read against a live JDBC endpoint: URL dispatch, driver
+    loading, table routing (A12 qualified name -> Derby SCHEMA.TABLE),
+    batchsize property, and append-table creation all execute for
+    real."""
+    from go_otel_clickhouse_ingestor_spark.operators.cdc import (
+        parse_envelope,
+        translate_envelope,
+    )
+    from go_otel_clickhouse_ingestor_spark.sources.fixtures import (
+        CDC_MESSAGES,
+        cdc_messages_df,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import translate_stream
+    from go_otel_clickhouse_ingestor_spark.streaming.sinks import (
+        JdbcSinkConfig,
+        clickhouse_shape,
+        jdbc_foreach_batch,
+    )
+
+    db = str(tmp_path / "derbydb")
+    cfg = JdbcSinkConfig(
+        url=f"jdbc:derby:{db};create=true",
+        table="users_cur",  # unqualified -> appdb.users_cur (A12)
+        batchsize=100,
+        options={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+
+    rows = [{"msg_id": m, "key": k, "value": v} for m, k, v in CDC_MESSAGES]
+    path = _write_jsonl(spark, tmp_path, rows, "cdc_jdbc")
+    stream = spark.readStream.schema("msg_id long, key string, value string").json(path)
+    q = (
+        translate_stream(stream)
+        .writeStream.foreachBatch(jdbc_foreach_batch(cfg))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.jdbc(
+        cfg.url, cfg.qualified_table(), properties=cfg.properties()
+    )
+    want_df = clickhouse_shape(
+        translate_envelope(parse_envelope(cdc_messages_df(spark)))
+    )
+    assert sorted(back.columns) == sorted(want_df.columns)
+    cols = sorted(back.columns)
+    got = sorted(tuple(r) for r in back.select(*cols).collect())
+    want = sorted(tuple(r) for r in want_df.select(*cols).collect())
+    assert got == want and len(got) > 0
+    # A10 on the wire: the _ts column landed as a second-precision string
+    ts = [r for r in back.select("_ts").collect() if r._ts is not None]
+    assert ts and all(len(r._ts) == 19 and r._ts[4] == "-" for r in ts)
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-user totals must carry state across
     micro-batches (two files, one per trigger) and converge to the
