@@ -83,7 +83,10 @@ HEADLINE = [
     "graph_triangle_count",
     "orders_backlog_daily",
     "text_collocations_pmi",
-    "decontaminate_exact_substring",
+    # the automaton form is the many-probe scale path (0.63x at 10x
+    # probes where the locate-join form measured 22x — SCALING.md);
+    # the locate form stays registered for the oracle differential
+    "decontaminate_aho_corasick",
     "agg_bitmap_distinct",
     "emb_pairwise_distance_hist",
     # round-5g flagships
@@ -96,6 +99,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Optional set override (comma-separated names): lets A/B experiments
+    # time EXACTLY a prior round's set in the same session/conf — the
+    # instrument for the r4→r6 "uniform regression" diagnosis.
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [n.strip() for n in override.split(",") if n.strip()] if override else HEADLINE
+    load_start = os.getloadavg()[0]  # before the JVM spins up 32 threads
     spark = get_spark("bench")
     reg = load_all()
     # warm the JVM + parquet footers with a trivial action, and the
@@ -110,7 +119,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         q = reg.get(name)
         if q is None:
             continue
@@ -138,6 +147,10 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # shared-box context: the r4->r6 "regression" turned out to be
+        # host noise (SCALING.md round-7 diagnosis); record the pre-run
+        # load so cross-round comparisons can be sanity-checked
+        "load1_start": round(load_start, 2),
     }
     # Full detail (incl. medians) goes to a file; the stdout summary line
     # stays compact and is printed LAST, after spark.stop(), so no JVM
