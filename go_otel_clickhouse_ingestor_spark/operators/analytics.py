@@ -2701,3 +2701,111 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dd / 100.0, 2).alias("drawdown"),
         (dd == F.max(dd).over(g)).alias("is_max_drawdown"),
     )
+
+
+#: DFT frequency count for the power-spectrum scan (k = 1.._DFT_K).
+_DFT_K = 8
+#: Both engines' cos/sin differ by ≤1 ULP (Java Math vs libm); the
+#: per-term quantization makes the products bit-identical BEFORE any
+#: sum — the same round-before-combine rule as the cosine binning in
+#: emb_pairwise_distance_hist.
+_DFT_TRIG_ROUND = 6
+_TWO_PI = 6.283185307179586  # literal, not pi()/F.pi — same double both engines
+
+
+@query(
+    "stat_dft_power",
+    oracle=f"""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT x,
+             row_number() OVER (ORDER BY day) - 1 AS t,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    terms AS (
+      SELECT k.k, idx.n,
+             cast(idx.x * round(cos({_TWO_PI} * k.k * idx.t / idx.n),
+                                {_DFT_TRIG_ROUND}) AS DECIMAL(28,10)) AS c_term,
+             cast(idx.x * round(sin({_TWO_PI} * k.k * idx.t / idx.n),
+                                {_DFT_TRIG_ROUND}) AS DECIMAL(28,10)) AS s_term
+      FROM idx, (SELECT unnest(range(1, {_DFT_K + 1})) AS k) k
+    ),
+    spec AS (
+      SELECT k, any_value(n) AS n,
+             cast(sum(c_term) AS DOUBLE) AS sc,
+             cast(sum(s_term) AS DOUBLE) AS ss
+      FROM terms GROUP BY k
+    )
+    SELECT k::BIGINT AS k,
+           round((sc * sc + ss * ss) / (n * n * 10000.0), 4) AS power,
+           row_number() OVER (ORDER BY round((sc * sc + ss * ss)
+                                             / (n * n * 10000.0), 4) DESC,
+                              k ASC) AS power_rank
+    FROM spec
+    """,
+)
+def stat_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier power spectrum of the daily total-value series
+    at frequencies k=1..8 — the periodicity detector (a weekly cycle
+    shows as a spike at k ≈ N/7) that complements ``stat_autocorr_lag``
+    (time-domain) and feeds seasonal forecasting.  Numeric portability
+    stack: daily sums ride the integer centi-unit trick
+    (events_max_drawdown), cos/sin are quantized at round(6) BEFORE the
+    product (Java Math vs libm differ by ≤1 ULP — round-before-combine),
+    and the per-term products are summed as DECIMAL so partial-sum
+    order can't drift; power is normalized by N² and reported in
+    whole-unit² terms.  Scale: the daily series is calendar-bounded, so
+    the unpartitioned index window and the K×N term fan-out are both
+    bounded by days×8 — corpus size only affects the day-grain partial
+    agg that feeds it."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    o = Window.orderBy("day")
+    g = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "x",
+        (F.row_number().over(o) - 1).alias("t"),
+        F.count(F.lit(1)).over(g).alias("n"),
+    )
+    theta = F.lit(_TWO_PI) * F.col("k") * F.col("t") / F.col("n")
+    terms = idx.join(
+        F.broadcast(
+            spark.range(1, _DFT_K + 1).select(F.col("id").alias("k"))
+        )
+    ).select(
+        "k",
+        "n",
+        (F.col("x") * F.round(F.cos(theta), _DFT_TRIG_ROUND))
+        .cast("decimal(28,10)")
+        .alias("c_term"),
+        (F.col("x") * F.round(F.sin(theta), _DFT_TRIG_ROUND))
+        .cast("decimal(28,10)")
+        .alias("s_term"),
+    )
+    spec = terms.groupBy("k").agg(
+        F.any_value(F.col("n")).alias("n"),
+        F.sum("c_term").cast("double").alias("sc"),
+        F.sum("s_term").cast("double").alias("ss"),
+    )
+    power = F.round(
+        (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+        / (F.col("n") * F.col("n") * F.lit(10000.0)),
+        4,
+    )
+    return spec.select(
+        F.col("k").cast("long").alias("k"),
+        power.alias("power"),
+        F.row_number()
+        .over(Window.orderBy(power.desc(), F.col("k").asc()))
+        .cast("long")
+        .alias("power_rank"),
+    )

@@ -483,3 +483,104 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.unionAll(frontier)
     return out
+
+
+#: Synchronous label-propagation rounds.  Fixed (not convergence-
+#: driven) so the SQL oracle is an exact unroll and Catalyst sees one
+#: declarative plan — the same contract as ``graph_pagerank``.
+_LPA_ITERS = 3
+
+_LPA_EDGES_SQL = """
+    half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half)
+"""
+
+
+def _lpa_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur}_cnt AS (
+      SELECT e.src, l.label, count(*) AS c
+      FROM edges e JOIN {prev} l ON e.dst = l.node
+      GROUP BY e.src, l.label
+    ),
+    {cur} AS (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM {cur}_cnt
+      ) t WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_LPA_EDGES_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lpa_iter_sql("l0", "l1")},
+    {_lpa_iter_sql("l1", "l2")},
+    {_lpa_iter_sql("l2", "l3")}
+    SELECT node, label,
+           count(*) OVER (PARTITION BY label) AS csize
+    FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the customer↔supplier trade graph —
+    the cheap community pass run before partitioning a graph for
+    iterative work (communities predict co-location; CC gives
+    reachability, LPA gives densely-knit groups INSIDE a component).
+
+    Deterministic by construction, unlike textbook async LPA: every
+    node simultaneously adopts the most frequent label among its
+    neighbors' previous-round labels, ties broken by smallest label —
+    no RNG, no visit order, so the SQL oracle unrolls the identical
+    {_LPA_ITERS} rounds and the driver hash must match exactly.
+
+    Scale shape per round: one edges⋈labels shuffle on dst, one
+    (src, label) count agg, one per-src window top-1 — all keyed on
+    node ids, state is O(|nodes|), the 100 TB recipe is the bucketed
+    edge list co-partitioning every round's probe (same argument as
+    ``graph_pagerank``; at 3 fixed rounds no checkpointing is
+    needed)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from .dedup import materialized
+
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = materialized(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(_LPA_ITERS):
+        labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels.select(
+        "node",
+        "label",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("csize"),
+    )

@@ -2555,3 +2555,59 @@ def sql_pivot_dynamic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
     )
+
+
+@query(
+    "sub_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+      SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders)) AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe))            AS not_in_with_null,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe
+                               WHERE k IS NOT NULL))            AS not_in_null_free,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM probe p
+                         WHERE p.k = c.c_custkey))              AS not_exists
+    """,
+)
+def sub_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS three-valued-logic trap, pinned as a
+    query: a probe list whose minimum key is NULLed out (nullif) makes
+    ``NOT IN`` return ZERO rows — x <> NULL is UNKNOWN, so no row ever
+    satisfies the conjunction — while the null-filtered NOT IN and the
+    NOT EXISTS rewrite count the customers with no orders plus the
+    nulled-out key's customer.  All three counts in one row, so the
+    driver hash pins the divergence itself, engine against engine.
+
+    Plan note: Spark executes null-aware NOT IN as a null-aware anti
+    join, which REQUIRES a broadcast of the subquery side (it cannot
+    shuffle); the null-free variants lower to ordinary (broadcastable,
+    shuffleable) anti joins — at 100 TB, proving the probe column NOT
+    NULL (or filtering nulls explicitly) is the difference between a
+    plan that scales and one that must fit the probe in memory.  That
+    cliff is why this query exists next to ``sub_not_exists``."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders)) AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM probe))         AS not_in_with_null,
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM probe
+                                   WHERE k IS NOT NULL))         AS not_in_null_free,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM probe p
+                             WHERE p.k = c.c_custkey))           AS not_exists
+        """
+    )

@@ -860,3 +860,80 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("variance").desc(), F.col("pos"))
     return v.withColumn("var_rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "emb_label_outliers",
+    oracle="""
+    WITH pos AS (
+      SELECT label, vec_id,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             embedding
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             cast(round(sum(cast(embedding[pos] AS DECIMAL(14,6)))
+                        / count(*), 5) AS DOUBLE) AS c
+      FROM pos GROUP BY label, pos
+    ),
+    d AS (
+      SELECT p.label, p.vec_id,
+             round(cast(sum(cast((p.embedding[p.pos] - c.c)
+                                 * (p.embedding[p.pos] - c.c)
+                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS d2
+      FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+      GROUP BY p.label, p.vec_id
+    )
+    SELECT label, rnk, vec_id, d2 FROM (
+      SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2 DESC, vec_id ASC) AS rnk
+      FROM d) t
+    WHERE rnk <= 5
+    """,
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 outlier vectors per label — each label's vectors ranked by
+    squared distance to the label centroid.  This is the per-class
+    mislabel/contamination sweep a labeled embedding corpus runs before
+    training (a vector far from its own class centroid is either
+    mislabeled, corrupted, or genuinely hard — all worth surfacing),
+    and the exact-SQL face of the centroid machinery ``sim_ann_ivf`` /
+    ``dedup_semantic`` use internally.
+
+    Numeric portability: centroids are DECIMAL sums / count rounded to
+    5 (same recipe as ``emb_label_centroids``); per-dimension squared
+    deviations sum through DECIMAL so fold order can't drift; ranking
+    runs on the rounded distance with a vec_id tie-break.  Scale: one
+    posexplode + (label, pos) agg for centroids (labels×dim rows —
+    broadcastable), one broadcast join back + (label, vec_id) agg for
+    distances (linear), one per-label window for top-5.  No pair joins
+    anywhere — N vectors cost N·dim rows once."""
+    e = table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = pos.groupBy("label", "pos").agg(
+        F.expr(
+            "cast(round(sum(cast(v as decimal(14,6))) / count(*), 5) as double)"
+        ).alias("c")
+    )
+    d = (
+        pos.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(
+                F.expr(
+                    "cast(sum(cast((v - c) * (v - c) as decimal(28,12))) as double)"
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("label", "rnk", "vec_id", "d2")
+    )

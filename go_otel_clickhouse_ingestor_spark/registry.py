@@ -88,6 +88,9 @@ _DRIVER_PRIORITY: list[str] = [
     "events_peak_detection", "fn_printf", "events_counter_rate_resets",
     "source_multiline_logs", "events_new_vs_returning",
     "text_vocab_growth_heaps", "events_max_drawdown",
+    # round-7 additions
+    "graph_label_propagation", "stat_dft_power", "emb_label_outliers",
+    "sub_not_in_null_semantics",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
