@@ -897,3 +897,89 @@ def dedup_near_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.cast("long").alias("cluster_size"),
         (F.col("node") == F.col("label")).alias("is_survivor"),
     )
+
+
+@query(
+    "dedup_repeated_passages",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4]
+                     for i in range(1, greatest(len(toks) - 3, 1))]) AS gram
+      FROM tok
+    ),
+    rep AS (
+      SELECT gram,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*)               AS n_occ
+      FROM sh GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT gram, n_docs, n_occ, rn FROM (
+      SELECT gram, n_docs, n_occ,
+             row_number() OVER (ORDER BY n_docs DESC, n_occ DESC,
+                                gram ASC) AS rn
+      FROM rep) t
+    WHERE rn <= 50
+    """,
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally repeated passages: 5-token word sequences occurring in
+    two or more DISTINCT documents, ranked by spread — the corpus-wide
+    repeated-substring census behind Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which removes
+    verbatim passages (boilerplate, licenses, navigation chrome) that
+    pairwise document dedup never sees because the hosting documents
+    aren't similar ENOUGH overall.  The suffix-array construction in
+    the paper is a single-machine algorithm; the relational form —
+    shingle, group by gram, count distinct docs — is its shuffle-native
+    equivalent at fixed n, and at 100 TB the gram hash partitions
+    perfectly (the same explode + keyed-agg shape as text_tfidf).
+    Spark side builds shingles with codegen HOFs (transform over
+    sequence — no Python), counts ride one gram-keyed shuffle with
+    map-side partial aggregation, and only grams seen in ≥2 docs
+    survive to the (bounded) top-50 ranking."""
+    from pyspark.sql.window import Window
+
+    from .text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    rep = (
+        sh.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = Window.orderBy(
+        F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram").asc()
+    )
+    return (
+        rep.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 50)
+        .select("gram", "n_docs", "n_occ", "rn")
+    )

@@ -636,3 +636,173 @@ def decontaminate_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.mapInPandas(
         _aho_scan_iter(probes), "doc_id long, n_probe_hits long"
     )
+
+
+#: Temperature for source-rebalancing (mT5/XLM-R convention α≈0.7:
+#: upsample the tail without letting the head starve it out).
+_TEMP_ALPHA = 0.7
+
+
+@query(
+    "pipeline_temperature_sampling",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_chars)::DOUBLE AS tot_chars, sum(n_docs) AS tot_docs
+      FROM per_source
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             round(n_chars / tot_chars, 6) AS p_raw,
+             cast(round(pow(n_chars / tot_chars, {_TEMP_ALPHA}), 6)
+                  AS DECIMAL(18,6)) AS w_temp,
+             tot_docs
+      FROM per_source CROSS JOIN tot
+    ),
+    z AS (SELECT sum(w_temp) AS z FROM w)
+    SELECT source, n_docs, n_chars, p_raw,
+           cast(w_temp AS DOUBLE) AS w_temp,
+           round(cast(w_temp AS DOUBLE) / cast(z AS DOUBLE), 6) AS share_temp,
+           round(cast(w_temp AS DOUBLE) / cast(z AS DOUBLE) / p_raw, 4)
+             AS boost,
+           cast(floor(cast(w_temp AS DOUBLE) / cast(z AS DOUBLE) * tot_docs)
+                AS BIGINT) AS planned_docs
+    FROM w CROSS JOIN z
+    """,
+)
+def pipeline_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/XLM-R rebalance):
+    each source's raw char share p is flattened to p^α (α=0.7) and
+    renormalized, so low-resource sources are upsampled and dominant
+    ones damped — the standard alternative to the hand-set weight
+    table in ``pipeline_mix_weights``.  Emits the per-source planning
+    row (raw share, tempered weight, tempered share, boost factor,
+    planned docs).  Portability: p^α goes through round(6) BEFORE the
+    renormalizing sum (pow is libm, ±1 ULP across engines) and the sum
+    itself rides DECIMAL so the normalizer is fold-order-proof.
+    Scale: one source-keyed agg; everything after is a handful of
+    source rows on a broadcast."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per.agg(
+        F.sum("n_chars").cast("double").alias("tot_chars"),
+        F.sum("n_docs").alias("tot_docs"),
+    )
+    w = per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_chars") / F.col("tot_chars"), 6).alias("p_raw"),
+        F.round(F.pow(F.col("n_chars") / F.col("tot_chars"), _TEMP_ALPHA), 6)
+        .cast("decimal(18,6)")
+        .alias("w_temp"),
+        "tot_docs",
+    )
+    z = w.agg(F.sum("w_temp").alias("z"))
+    share = F.col("w_temp").cast("double") / F.col("z").cast("double")
+    return w.join(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "p_raw",
+        F.col("w_temp").cast("double").alias("w_temp"),
+        F.round(share, 6).alias("share_temp"),
+        F.round(share / F.col("p_raw"), 4).alias("boost"),
+        F.floor(share * F.col("tot_docs")).cast("long").alias("planned_docs"),
+    )
+
+
+@query(
+    "pipeline_quality_classifier_lr",
+    oracle="""
+    WITH feat AS (
+      SELECT source,
+             round(ln(1 + n_chars), 6) AS f_len,
+             round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ('the','and','of','to','in')))
+                   / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                              t -> t <> '')), 1), 6) AS f_stop,
+             round(length(regexp_replace(lower(text), '\\s+', '', 'g'))
+                   / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                              t -> t <> '')), 1), 6) AS f_wlen,
+             round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> regexp_matches(t, '[0-9]')))
+                   / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                              t -> t <> '')), 1), 6) AS f_digit
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             round(-2.0 + 0.55 * f_len + 2.0 * f_stop
+                   - 0.15 * f_wlen - 1.2 * f_digit, 6) AS z
+      FROM feat
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           round(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END)
+                 / cast(count(*) AS DOUBLE), 6) AS keep_rate,
+           round(cast(sum(cast(round(1.0 / (1.0 + exp(-z)), 6)
+                               AS DECIMAL(14,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_score
+    FROM scored GROUP BY source
+    """,
+)
+def pipeline_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight logistic scorer
+    over cheap text features (log length, stopword rate, mean word
+    length, digit-token rate) — the relational skeleton of the
+    fasttext/CCNet-style quality classifier every production corpus
+    runs after heuristic filters (the weights here are frozen
+    literals; production swaps in trained ones, the plan is
+    identical).  Keep/drop uses the ROUNDED logit against 0 (not the
+    sigmoid against 0.5) so the decision never sits on a libm
+    boundary; the sigmoid is round(6)-quantized per doc and summed
+    through DECIMAL for the per-source mean.  Features are built from
+    the same tokenization contract as text_tokenize_stats (lower,
+    split \\s+, drop empties) — pure codegen HOFs, one source-keyed
+    agg, no Python."""
+    from .text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nt = F.greatest(F.size(toks), F.lit(1))
+    stop = F.array(*[F.lit(t) for t in ("the", "and", "of", "to", "in")])
+    f_len = F.round(F.log(F.lit(1) + F.col("n_chars")), 6)
+    f_stop = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / nt, 6
+    )
+    f_wlen = F.round(
+        F.length(F.regexp_replace(F.lower(F.col("text")), "\\s+", "")) / nt, 6
+    )
+    f_digit = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[0-9]"))) / nt, 6
+    )
+    z = F.round(
+        F.lit(-2.0)
+        + F.lit(0.55) * f_len
+        + F.lit(2.0) * f_stop
+        - F.lit(0.15) * f_wlen
+        - F.lit(1.2) * f_digit,
+        6,
+    )
+    scored = d.select("source", z.alias("z"))
+    keep = F.when(F.col("z") >= 0, 1).otherwise(0)
+    score6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_keep"),
+        F.round(F.sum(keep) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "keep_rate"
+        ),
+        F.round(
+            F.sum(score6.cast("decimal(14,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+    )

@@ -90,7 +90,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_vocab_growth_heaps", "events_max_drawdown",
     # round-7 additions
     "graph_label_propagation", "stat_dft_power", "emb_label_outliers",
-    "sub_not_in_null_semantics",
+    "sub_not_in_null_semantics", "dedup_repeated_passages",
+    "pipeline_temperature_sampling", "pipeline_quality_classifier_lr",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
