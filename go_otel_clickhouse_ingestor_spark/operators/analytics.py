@@ -2809,3 +2809,271 @@ def stat_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("power_rank"),
     )
+
+
+@query(
+    "stat_spearman_trend",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             -- doubled average ranks (2*avg = 2*min_rank + ties - 1)
+             -- stay exact integers, and Spearman is invariant under
+             -- the linear scaling
+             2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+               + count(*) OVER (PARTITION BY event_type, value) - 1 AS rv,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY ts)
+               + count(*) OVER (PARTITION BY event_type, ts) - 1    AS rt
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)                                   AS n,
+             sum(cast(rv AS HUGEINT))                   AS sx,
+             sum(cast(rt AS HUGEINT))                   AS sy,
+             sum(cast(rv AS HUGEINT) * rv)              AS sxx,
+             sum(cast(rt AS HUGEINT) * rt)              AS syy,
+             sum(cast(rv AS HUGEINT) * rt)              AS sxy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(cast(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM m
+    """,
+)
+def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of ``value`` against event time per
+    event_type — the nonparametric monotone-trend detector ("is this
+    metric drifting?") that complements ``stat_welch_ttest``
+    (two-sample) and ``stat_autocorr_lag`` (serial).  Tie handling is
+    textbook average ranks, carried as DOUBLED ranks
+    (2*min_rank + tie_count - 1) so they stay exact integers; all five
+    moment sums then run in exact integer arithmetic (DECIMAL on the
+    Spark side, HUGEINT in DuckDB), and the only float op is the final
+    Pearson-on-ranks division, rounded at 6.  Plan: two rank windows
+    sharing the event_type partition (one shuffle), then a partial+final
+    agg on the same key — no second shuffle.  Scale: ranks are per
+    event_type; a skewed type concentrates its sort in one task, the
+    standard window-skew tradeoff (salting does not apply to global
+    ranks)."""
+    ev = table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type").orderBy("ts")
+    r = ev.select(
+        "event_type",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(Window.partitionBy("event_type", "value"))
+            - 1
+        ).cast("decimal(20,0)").alias("rv"),
+        (
+            2 * F.rank().over(wt)
+            + F.count(F.lit(1)).over(Window.partitionBy("event_type", "ts"))
+            - 1
+        ).cast("decimal(20,0)").alias("rt"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rv").cast("decimal(38,0)").alias("sx"),
+        F.sum("rt").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rv") * F.col("rv")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("rt") * F.col("rt")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("rv") * F.col("rt")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
+    )
+
+
+@query(
+    "stat_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE)   AS s1,
+             cast(sum(cast(value AS DECIMAL(24,10))
+                      * cast(value AS DECIMAL(24,10))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS nt,
+             sum(s1) AS st, sum(s1 * s1 / n) AS sb, sum(s2) AS sq
+      FROM g
+    )
+    SELECT cast(k AS BIGINT)                        AS k_groups,
+           cast(nt AS BIGINT)                       AS n_total,
+           cast(k - 1 AS BIGINT)                    AS df_between,
+           cast(nt - k AS BIGINT)                   AS df_within,
+           round((sb - st * st / nt) / (k - 1), 6)  AS ms_between,
+           round((sq - sb) / (nt - k), 6)           AS ms_within,
+           round(((sb - st * st / nt) / (k - 1))
+                 / ((sq - sb) / (nt - k)), 6)       AS f_stat
+    FROM t
+    """,
+)
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for ``value`` across event_type
+    groups — the k-sample generalization of ``stat_welch_ttest``
+    (equal-variance form): SSB = Σ s1ᵢ²/nᵢ − (Σs1)²/N from per-group
+    moment sums, SSW = Σs2 − Σ s1ᵢ²/nᵢ.  Per-group Σx and Σx² ride
+    DECIMAL so partial-sum order can't drift; the handful of float ops
+    after run over k rows and are rounded at 6.  Plan: one partial+final
+    agg on event_type, then a k-row total agg — the events table is
+    scanned exactly once, and every post-agg stage is broadcast-sized."""
+    ev = table(spark, sf_dir, "events")
+    dv = "cast(value as decimal(24,10))"
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"cast(sum({dv}) as double)").alias("s1"),
+        F.expr(f"cast(sum({dv} * {dv}) as double)").alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s1").alias("st"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sb"),
+        F.sum("s2").alias("sq"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    msb = (F.col("sb") - F.col("st") * F.col("st") / nt) / (k - 1)
+    msw = (F.col("sq") - F.col("sb")) / (nt - k)
+    return t.select(
+        k.cast("long").alias("k_groups"),
+        nt.cast("long").alias("n_total"),
+        (k - 1).cast("long").alias("df_between"),
+        (nt - k).cast("long").alias("df_within"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
+#: PSI bin count — the industry-standard 10-bucket form.
+_PSI_BINS = 10
+
+
+@query(
+    "stat_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(value) AS mn, max(value) AS mx,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN 2 * epoch_us(e.ts) < b.t0 + b.t1
+                  THEN 'expected' ELSE 'actual' END AS period,
+             least(cast(floor((e.value - b.mn)
+                              / ((b.mx - b.mn) / {_PSI_BINS}.0)) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM events e CROSS JOIN b
+    ),
+    spine AS (
+      SELECT p.period, r.range AS bin
+      FROM range({_PSI_BINS}) r
+      CROSS JOIN (SELECT 'expected' AS period UNION ALL SELECT 'actual') p
+    ),
+    cnt AS (
+      SELECT s.period, s.bin, count(binned.bin) AS n
+      FROM spine s LEFT JOIN binned
+        ON binned.period = s.period AND binned.bin = s.bin
+      GROUP BY s.period, s.bin
+    ),
+    prop AS (
+      SELECT bin,
+             max(CASE WHEN period = 'expected' THEN n END) AS ne,
+             max(CASE WHEN period = 'actual' THEN n END)   AS na
+      FROM cnt GROUP BY bin
+    ),
+    terms AS (
+      SELECT bin,
+             (ne + 0.5) / (sum(ne) OVER () + {_PSI_BINS / 2.0}) AS p,
+             (na + 0.5) / (sum(na) OVER () + {_PSI_BINS / 2.0}) AS q
+      FROM prop
+    )
+    SELECT bin,
+           round(p, 6) AS p_expected,
+           round(q, 6) AS p_actual,
+           round((p - q) * ln(p / q), 6) AS psi_term,
+           round(sum(round((p - q) * ln(p / q), 6)) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+)
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the ``value`` distribution between
+    the first and second half of the time range — the model-monitoring
+    drift metric (PSI < 0.1 stable, > 0.25 shifted).  Ten fixed-width
+    bins over the global [min, max] keep the binning SQL-exact (both
+    engines do the same IEEE subtract/divide/floor); a +0.5 Laplace
+    count on a materialized bin spine makes empty bins well-defined
+    instead of ±inf.  The half-split is the pure integer comparison
+    2·t < t0 + t1 on epoch-micros, immune to timestamp-arithmetic
+    dialect drift.  Plan: one min/max agg broadcast back over the scan,
+    one (period, bin) partial+final agg, then 20-row arithmetic — two
+    passes over events total.  Scale: output is fixed at 10 rows; the
+    only data-sized stages are the two scans."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    binned = ev.join(F.broadcast(b)).select(
+        F.when(
+            2 * F.unix_micros("ts") < F.col("t0") + F.col("t1"), "expected"
+        )
+        .otherwise("actual")
+        .alias("period"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / float(_PSI_BINS))
+            ).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    spine = (
+        spark.range(_PSI_BINS)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("expected",), ("actual",)], "period string"
+            )
+        )
+    )
+    cnt = (
+        F.broadcast(spine)
+        .join(binned.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("c")),
+              ["period", "bin"], "left")
+        .select("period", "bin", F.coalesce("c", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    prop = (
+        cnt.groupBy("bin")
+        .agg(
+            F.max(F.when(F.col("period") == "expected", F.col("n"))).alias("ne"),
+            F.max(F.when(F.col("period") == "actual", F.col("n"))).alias("na"),
+        )
+        .select(
+            "bin",
+            ((F.col("ne") + 0.5) / (F.sum("ne").over(w) + _PSI_BINS / 2.0)).alias("p"),
+            ((F.col("na") + 0.5) / (F.sum("na").over(w) + _PSI_BINS / 2.0)).alias("q"),
+        )
+    )
+    term = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6)
+    return prop.select(
+        "bin",
+        F.round("p", 6).alias("p_expected"),
+        F.round("q", 6).alias("p_actual"),
+        term.alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
+    )
