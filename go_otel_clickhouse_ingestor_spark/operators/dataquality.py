@@ -154,3 +154,124 @@ def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: Deterministic drift rules for the simulated "tomorrow" snapshot of
+#: orders — modular-arithmetic selections so both engines derive the
+#: identical snapshot without any shared state.
+_DIFF_UPDATED_MOD = 97   # keys with o_orderkey % 97 == 0 get repriced
+_DIFF_DELETED_MOD = 101  # keys with o_orderkey % 101 == 0 disappear
+_DIFF_INSERTED_MOD = 103 # keys % 103 == 0 spawn a new -key row
+
+
+@query(
+    "dq_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                           cast(round(o_totalprice * 100) AS BIGINT),
+                           epoch_us(o_orderdate), o_orderpriority)) AS rh
+      FROM orders
+    ),
+    b_base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                           cast(round((CASE WHEN o_orderkey % {_DIFF_UPDATED_MOD} = 0
+                                            THEN o_totalprice + 1
+                                            ELSE o_totalprice END) * 100) AS BIGINT),
+                           epoch_us(o_orderdate), o_orderpriority)) AS rh
+      FROM orders WHERE o_orderkey % {_DIFF_DELETED_MOD} <> 0
+    ),
+    b_ins AS (
+      SELECT -o_orderkey AS k, o_orderpriority AS pri,
+             md5(concat_ws('|', -o_orderkey, o_custkey, o_orderstatus,
+                           cast(round(o_totalprice * 100) AS BIGINT),
+                           epoch_us(o_orderdate), o_orderpriority)) AS rh
+      FROM orders WHERE o_orderkey % {_DIFF_INSERTED_MOD} = 0
+    ),
+    b AS (SELECT * FROM b_base UNION ALL SELECT * FROM b_ins),
+    d AS (
+      SELECT coalesce(a.pri, b.pri) AS pri,
+             CASE WHEN a.k IS NULL            THEN 'inserted'
+                  WHEN b.k IS NULL            THEN 'deleted'
+                  WHEN a.rh <> b.rh           THEN 'changed'
+                  ELSE 'unchanged' END        AS state
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT pri                                              AS o_orderpriority,
+           cast(sum(CASE WHEN state = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           cast(sum(CASE WHEN state = 'changed'   THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           cast(sum(CASE WHEN state = 'deleted'   THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           cast(sum(CASE WHEN state = 'inserted'  THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+    FROM d GROUP BY pri
+    """,
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions by key with a
+    row-content hash — the write-audit-publish companion every
+    migration and every incremental-sync pipeline runs ("what changed
+    between yesterday's copy and today's?").  Snapshot B is derived
+    from A by three deterministic modular rules (reprice, delete,
+    insert) so the expected diff is exactly computable on both
+    engines.  The mechanics are the production shape: canonical row
+    serialization (ints / centi-units / epoch-micros — the
+    agg_table_checksum rule) → md5 → FULL OUTER join on the key →
+    4-way state classification → per-group counts.  Plan: one shuffle
+    on the key for each side into a single sort-merge/hash join, then
+    a tiny agg; at 100 TB the join is the floor cost of any key-level
+    reconciliation, and AQE picks the join strategy per side size."""
+    o = table(spark, sf_dir, "orders")
+
+    def rowhash(key_col, price_expr):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                key_col.cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round(price_expr * 100).cast("long").cast("string"),
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        rowhash(F.col("o_orderkey"), F.col("o_totalprice")).alias("rh"),
+    )
+    repriced = F.when(
+        F.col("o_orderkey") % _DIFF_UPDATED_MOD == 0, F.col("o_totalprice") + 1
+    ).otherwise(F.col("o_totalprice"))
+    b_base = o.filter(F.col("o_orderkey") % _DIFF_DELETED_MOD != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        rowhash(F.col("o_orderkey"), repriced).alias("rh"),
+    )
+    b_ins = o.filter(F.col("o_orderkey") % _DIFF_INSERTED_MOD == 0).select(
+        (-F.col("o_orderkey")).alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        rowhash(-F.col("o_orderkey"), F.col("o_totalprice")).alias("rh"),
+    )
+    b = b_base.unionAll(b_ins)
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    state = (
+        F.when(F.col("a.k").isNull(), "inserted")
+        .when(F.col("b.k").isNull(), "deleted")
+        .when(F.col("a.rh") != F.col("b.rh"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.pri"), F.col("b.pri")).alias("o_orderpriority"),
+            state.alias("state"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("state") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
+            F.sum(F.when(F.col("state") == "changed", 1).otherwise(0)).alias("n_changed"),
+            F.sum(F.when(F.col("state") == "deleted", 1).otherwise(0)).alias("n_deleted"),
+            F.sum(F.when(F.col("state") == "inserted", 1).otherwise(0)).alias("n_inserted"),
+        )
+    )

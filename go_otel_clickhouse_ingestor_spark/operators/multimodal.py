@@ -425,3 +425,90 @@ def read_webdataset_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     return files.select("content").mapInPandas(
         unpack, "doc_id long, payload binary, meta string"
     )
+
+
+#: Output schema of the byte-entropy scan (mapInArrow stage).
+_ENTROPY_SCHEMA = (
+    "doc_id long, n_bytes long, n_distinct long, byte_entropy double"
+)
+
+
+def _entropy_batches(batches):
+    """Arrow-native per-batch byte statistics: no pandas conversion,
+    no per-row Python in the numeric kernel — ``np.bincount`` over the
+    raw payload bytes, vectorized log2 over the nonzero counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        ids = batch.column("doc_id")
+        payloads = batch.column("payload")
+        n_bytes, n_distinct, entropy = [], [], []
+        for buf in payloads:
+            a = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            c = np.bincount(a, minlength=256)
+            nz = c[c > 0].astype(np.float64)
+            p = nz / a.size
+            n_bytes.append(a.size)
+            n_distinct.append(int(nz.size))
+            entropy.append(float(-(p * np.log2(p)).sum()))
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(n_bytes, type=pa.int64()),
+                pa.array(n_distinct, type=pa.int64()),
+                pa.array(entropy, type=pa.float64()),
+            ],
+            names=["doc_id", "n_bytes", "n_distinct", "byte_entropy"],
+        )
+
+
+@query(
+    "multimodal_byte_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, ord(u.ch) AS b, count(*) AS n
+      FROM documents, unnest(regexp_split_to_array(text, '')) AS u(ch)
+      WHERE octet_length(encode(text)) > 0
+      GROUP BY doc_id, ord(u.ch)
+    ),
+    t AS (
+      SELECT doc_id, sum(n) AS nt, count(*) AS nd FROM c GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           cast(max(t.nt) AS BIGINT) AS n_bytes,
+           cast(max(t.nd) AS BIGINT) AS n_distinct,
+           round(-sum((c.n / cast(t.nt AS DOUBLE))
+                      * log2(c.n / cast(t.nt AS DOUBLE))), 6) AS byte_entropy
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte-level Shannon entropy — the cheap
+    compressibility / corruption probe a multimodal ingest runs on
+    every opaque BLOB before spending decode time on it (truncated or
+    double-compressed media shows as an entropy outlier for its
+    media_type).  This is the engine's ``mapInArrow`` face: unlike the
+    ``mapInPandas`` decode stage above, the payload bytes stay in
+    Arrow buffers end-to-end — no pandas object boxing — and the
+    kernel is one ``np.bincount`` + vectorized log2 per row.  The
+    oracle walks the same distribution character-wise (the fixture
+    payload is the utf-8 encoding of ASCII text, so chars ≡ bytes —
+    asserted by the ``ord`` < 128 domain); both sides round(6) the
+    entropy sum, whose addend order differs between engines.  Plan:
+    scan → Arrow map (no shuffle, no agg) — embarrassingly parallel
+    and linear in corpus bytes, the ideal 100 TB shape."""
+    d = table(spark, sf_dir, "documents")
+    src = d.filter(F.octet_length(F.encode("text", "utf-8")) > 0).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = src.mapInArrow(_entropy_batches, _ENTROPY_SCHEMA)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    )

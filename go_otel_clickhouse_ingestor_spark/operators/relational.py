@@ -2611,3 +2611,76 @@ def sub_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHERE p.k = c.c_custkey))           AS not_exists
         """
     )
+
+
+#: Canonical row serialization for the cross-engine checksum: integer
+#: and string columns verbatim, timestamps as epoch-micros, money in
+#: exact centi-units — every term renders identically in Spark and
+#: DuckDB (float→string formatting never enters the hash).
+_CHECKSUM_COLS_SPARK = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+    "cast(round(l_quantity) as bigint)",
+    "cast(round(l_extendedprice * 100) as bigint)",
+    "cast(round(l_discount * 100) as bigint)",
+    "cast(round(l_tax * 100) as bigint)",
+    "unix_micros(cast(l_shipdate as timestamp))",
+)
+_CHECKSUM_COLS_DUCK = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+    "cast(round(l_quantity) AS BIGINT)",
+    "cast(round(l_extendedprice * 100) AS BIGINT)",
+    "cast(round(l_discount * 100) AS BIGINT)",
+    "cast(round(l_tax * 100) AS BIGINT)",
+    "epoch_us(l_shipdate)",
+)
+
+
+@query(
+    "agg_table_checksum",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(concat_ws('|',
+                 {', '.join(_CHECKSUM_COLS_DUCK)})), 1, 15))::BIGINT AS rh
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)                                  AS n_rows,
+           bit_xor(rh)                               AS xor_hash,
+           cast(cast(sum(cast(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR)                              AS sum_hash
+    FROM h GROUP BY l_returnflag
+    """,
+)
+def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint — the dataset-integrity
+    primitive a 100 TB migration runs on both sides of a copy (the
+    engine-native answer to ClickHouse's ``CHECKSUM TABLE`` /
+    ``cityHash64`` reconciliation idiom).  Each row serializes to a
+    canonical string (ints verbatim, money as exact centi-units,
+    timestamps as epoch-micros — float formatting never enters), hashes
+    through md5 (bit-stable across engines, fn_hash_portable's rule),
+    and folds into TWO commutative digests: bit_xor (order-free, but
+    blind to duplicated-pair insertion) and a DECIMAL sum (catches what
+    xor cancels).  Plan: one scan, map-side partial agg on
+    l_returnflag — no sort, no window, nothing data-sized after the
+    scan; at any scale the cost is the scan itself, which is the floor
+    for any checksum."""
+    li = table(spark, sf_dir, "lineitem")
+    rh = F.expr(
+        "cast(conv(substring(md5(concat_ws('|', "
+        + ", ".join(_CHECKSUM_COLS_SPARK)
+        + ")), 1, 15), 16, 10) as bigint)"
+    )
+    return li.select(F.col("l_returnflag"), rh.alias("rh")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("rh").alias("xor_hash"),
+        F.sum(F.col("rh").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_hash"),
+    )

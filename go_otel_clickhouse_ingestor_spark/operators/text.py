@@ -16,6 +16,8 @@ language guess) hash-match across engines.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1370,4 +1372,62 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tc").cast("long").alias("tokens_cum"),
         F.col("vc").cast("long").alias("vocab_cum"),
         F.round(F.log("vc") / F.log("tc"), 6).alias("heaps_beta"),
+    )
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+    WITH aug AS (
+      SELECT lang,
+             text || 'e' || chr(769)                  AS raw,
+             nfc_normalize(text || 'e' || chr(769))   AS nfc,
+             nfc_normalize(text) = text               AS raw_is_nfc
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                                          AS n_docs,
+           cast(sum(CASE WHEN length(raw) > length(nfc)
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_composed,
+           cast(sum(length(raw) - length(nfc)) AS BIGINT)    AS sum_len_delta,
+           cast(sum(CASE WHEN raw_is_nfc THEN 1 ELSE 0 END) AS BIGINT) AS raw_already_nfc
+    FROM aug GROUP BY lang
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus — the canonicalization
+    step every multilingual training pipeline runs before dedup (the
+    same logical text can arrive precomposed U+00E9 or decomposed
+    e+U+0301 and must hash identically).  Spark has no NFC builtin, so
+    this is the designated Arrow-batched slow path: a vectorized
+    pandas UDF over ``unicodedata.normalize`` (utf8proc and Python both
+    implement UAX #15, so the oracle's ``nfc_normalize`` agrees
+    exactly).  The fixtures are ASCII (already NFC), so the query
+    appends a decomposed ``e`` + COMBINING ACUTE (U+0301) to every doc
+    to force real composition work — each doc shrinks by exactly one
+    code point under NFC, giving the differential a non-trivial
+    signal.  Plan: scan → Arrow batch UDF → partial+final agg on lang;
+    the UDF is length-preserving-ish string work, linear in corpus
+    bytes, no shuffle before the final tiny agg."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "lang",
+        F.concat(F.col("text"), F.lit("e\u0301")).alias("raw"),
+        (nfc(F.col("text")) == F.col("text")).alias("raw_is_nfc"),
+    ).withColumn("nfc", nfc(F.col("raw")))
+    return aug.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.length("raw") > F.length("nfc"), 1).otherwise(0)
+        ).alias("n_composed"),
+        F.sum(F.length("raw") - F.length("nfc")).cast("long").alias("sum_len_delta"),
+        F.sum(F.when(F.col("raw_is_nfc"), 1).otherwise(0)).alias("raw_already_nfc"),
     )

@@ -92,6 +92,9 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_label_propagation", "stat_dft_power", "emb_label_outliers",
     "sub_not_in_null_semantics", "dedup_repeated_passages",
     "pipeline_temperature_sampling", "pipeline_quality_classifier_lr",
+    "stat_spearman_trend", "stat_anova_f", "stat_psi_drift",
+    "text_unicode_normalize", "multimodal_byte_entropy",
+    "agg_table_checksum", "dq_snapshot_diff",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -496,3 +496,38 @@ def test_dim_variance_is_single_agg_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_dim_variance")
     assert "Generate" in plan  # posexplode stays JVM-side
     assert "HashAggregate" in plan
+
+
+def test_byte_entropy_is_arrow_map_only(spark, sf_dir):
+    """multimodal_byte_entropy: scan → mapInArrow, ZERO shuffles, and
+    the parquet scan is pruned to (doc_id, text) only."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    df = REGISTRY["multimodal_byte_entropy"].fn(spark, sf_dir)
+    a = audit(df)
+    assert a["shuffle_exchanges"] == 0
+    assert a["python_row_at_a_time"] == 0
+    assert any("doc_id" in s and "text" in s for s in a["read_schemas"])
+    plan = _plan(spark, sf_dir, "multimodal_byte_entropy")
+    assert "MapInArrow" in plan  # Arrow-native stage, not pandas
+
+
+def test_spearman_windows_share_one_shuffle(spark, sf_dir):
+    """stat_spearman_trend: both rank windows and the moment agg all
+    key on event_type — Catalyst reuses a single exchange."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["stat_spearman_trend"].fn(spark, sf_dir))
+    assert a["shuffle_exchanges"] == 1
+    assert a["python_row_at_a_time"] == 0
+
+
+def test_unicode_normalize_is_arrow_batched(spark, sf_dir):
+    """text_unicode_normalize: the NFC kernel is the designated slow
+    path and must run Arrow-batched, never row-at-a-time."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["text_unicode_normalize"].fn(spark, sf_dir))
+    assert a["python_arrow"] >= 1
+    assert a["python_row_at_a_time"] == 0
+    assert a["shuffle_exchanges"] == 1  # only the final lang agg
