@@ -584,3 +584,91 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("label"))
         .alias("csize"),
     )
+
+
+#: k-core peeling parameters: coreness threshold and the FIXED peel
+#: unroll (both engines run exactly this many rounds; the trade graph
+#: converges well inside it, and a fixed unroll keeps the oracle an
+#: exact twin instead of a fixpoint race).
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_round_sql(prev: str, i: int) -> str:
+    deg, surv = f"kd{i}", f"kp{i}"
+    return f"""
+    {deg} AS (
+      SELECT e.src AS node, count(*) AS deg
+      FROM edges e
+      JOIN {prev} a ON e.src = a.node
+      JOIN {prev} b ON e.dst = b.node
+      GROUP BY e.src
+    ),
+    {surv} AS (SELECT node FROM {deg} WHERE deg >= {_KCORE_K})"""
+
+
+@query(
+    "graph_k_core",
+    oracle=f"""
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    kp0 AS (SELECT DISTINCT src AS node FROM edges),
+    {', '.join(_kcore_round_sql(f"kp{i}", i + 1) for i in range(_KCORE_ROUNDS))}
+    SELECT d.node, cast(d.deg AS BIGINT) AS core_degree
+    FROM kd{_KCORE_ROUNDS} d
+    JOIN kp{_KCORE_ROUNDS} s ON d.node = s.node
+    """,
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={_KCORE_K}) of the customer↔supplier
+    trade graph by iterative peeling: drop every node whose degree
+    among SURVIVORS falls below k, recompute, repeat — the standard
+    dense-subgraph / spam-cluster extractor that completes the graph
+    family (WCC, PageRank, LPA, triangles, BFS).  One peel round is
+    degree-count ⋈ survivor-filter: two hash joins of edges against the
+    (shrinking) survivor set plus one partial+final count agg — all
+    keyed on node, so every round reuses the same shuffle key, and the
+    survivor side shrinks monotonically (AQE flips it to broadcast as
+    soon as it fits).  The unroll is FIXED at {_KCORE_ROUNDS} rounds on
+    both engines — converged output for this graph, and exactness by
+    construction rather than a convergence race; the Spark loop
+    materializes each survivor set (dedup.materialized) so the plan
+    stays R·O(|edges|), not exponential."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    from .dedup import materialized
+
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = materialized(
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    surv = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for i in range(_KCORE_ROUNDS):
+        a = surv.select(F.col("node").alias("a_node"))
+        b = surv.select(F.col("node").alias("b_node"))
+        deg = (
+            edges.join(a, edges.src == F.col("a_node"))
+            .join(b, edges.dst == F.col("b_node"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        deg = materialized(deg)
+        surv = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+    return (
+        deg.join(surv.select(F.col("node").alias("s_node")),
+                 deg.node == F.col("s_node"))
+        .select("node", F.col("deg").cast("long").alias("core_degree"))
+    )

@@ -937,3 +937,114 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("label", "rnk", "vec_id", "d2")
     )
+
+
+#: Matryoshka evaluation grid: nested prefix widths of the stored
+#: embedding (MRL-style), the fixed query-set size, and retrieval
+#: depth.  Q is FIXED (md5-ranked) — eval cost is Q·N·|dims| with
+#: constant Q regardless of corpus growth, same rule as _PQ_QUERIES.
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_QUERIES = 20
+_MRL_K = 10
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, emb AS qemb FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_MRL_QUERIES}
+    ),
+    dims AS (SELECT unnest([{', '.join(str(d) for d in _MRL_DIMS)}]) AS d),
+    scored AS (
+      SELECT dims.d, q.qid, e.vec_id,
+             round(list_dot_product(list_slice(qemb, 1, dims.d),
+                                    list_slice(emb, 1, dims.d))
+                   / (sqrt(list_dot_product(list_slice(qemb, 1, dims.d),
+                                            list_slice(qemb, 1, dims.d)))
+                      * sqrt(list_dot_product(list_slice(emb, 1, dims.d),
+                                              list_slice(emb, 1, dims.d)))),
+                   5) AS c
+      FROM q CROSS JOIN dims JOIN e ON e.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT d, qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY d, qid
+                                     ORDER BY c DESC, vec_id ASC) AS rn
+        FROM scored) t
+      WHERE rn <= {_MRL_K}
+    ),
+    fullk AS (SELECT qid, vec_id FROM topk WHERE d = {_MRL_DIMS[-1]}),
+    hits AS (
+      SELECT t.d, t.qid, count(fullk.vec_id) AS n_hit
+      FROM topk t LEFT JOIN fullk
+        ON t.qid = fullk.qid AND t.vec_id = fullk.vec_id
+      GROUP BY t.d, t.qid
+    )
+    SELECT d::BIGINT AS dim,
+           round(avg(n_hit / {_MRL_K}.0), 4) AS mean_recall,
+           count(*)::BIGINT AS n_queries
+    FROM hits GROUP BY d
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (nested-prefix) retrieval quality: top-10 recall of
+    truncated-width cosine search (dims 8/16/32/64) against the
+    full-width ranking — the measurement behind the "store 64, search
+    8, rerank 64" serving pattern modern MRL-trained embedding stacks
+    use to cut memory 8×.  Each prefix width gets its own UNROLLED
+    codegen kernel (the ``dot(…, dim)`` rule — no slice, just the
+    first d multiply-adds of the stored array), so adding widths adds
+    flat expression work, not new Python or array churn.  The query
+    set is the md5-ranked first Q=20 vectors (fixed-size, broadcast);
+    eval cost is Q·N·|dims| with constant Q — the bounded-eval shape,
+    not the production ANN path (that's ``sim_ann_*``).  The windowed
+    top-k partitions on (dim, qid): Q·|dims| = 80 bounded groups, the
+    same skew profile as ``sim_topk_cosine``'s eval harness.  Recall
+    at the full width is 1.0 by construction — kept as the oracle's
+    sanity row."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_MRL_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    )
+    parts = []
+    for d in _MRL_DIMS:
+        parts.append(
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                F.lit(d).cast("long").alias("d"),
+                "qid",
+                "vec_id",
+                F.round(cosine(F.col("qemb"), F.col("embedding"), d), 5).alias("c"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    w = Window.partitionBy("d", "qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("d", "qid", "vec_id")
+    )
+    fullk = topk.filter(F.col("d") == _MRL_DIMS[-1]).select(
+        F.col("qid").alias("fqid"), F.col("vec_id").alias("fvec")
+    )
+    hits = (
+        topk.join(
+            F.broadcast(fullk),
+            (F.col("qid") == F.col("fqid")) & (F.col("vec_id") == F.col("fvec")),
+            "left",
+        )
+        .groupBy("d", "qid")
+        .agg(F.count("fvec").alias("n_hit"))
+    )
+    return hits.groupBy("d").agg(
+        F.round(F.avg(F.col("n_hit") / float(_MRL_K)), 4).alias("mean_recall"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    ).select(F.col("d").alias("dim"), "mean_recall", "n_queries")

@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_spearman_trend", "stat_anova_f", "stat_psi_drift",
     "text_unicode_normalize", "multimodal_byte_entropy",
     "agg_table_checksum", "dq_snapshot_diff",
+    "emb_matryoshka_recall", "graph_k_core",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
