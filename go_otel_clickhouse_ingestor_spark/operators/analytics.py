@@ -3077,3 +3077,95 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         term.alias("psi_term"),
         F.round(F.sum(term).over(w), 6).alias("psi_total"),
     )
+
+
+#: Mutual-information value discretization: decile buckets over the
+#: global value range (fixed-width, SQL-exact on both engines).
+_MI_BINS = 10
+
+
+@query(
+    "stat_mutual_information",
+    oracle=f"""
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    cells AS (
+      SELECT e.event_type,
+             least(cast(floor((e.value - b.mn)
+                              / ((b.mx - b.mn) / {_MI_BINS}.0)) AS BIGINT),
+                   {_MI_BINS - 1}) AS vbin,
+             count(*) AS n
+      FROM events e CROSS JOIN b
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY event_type),
+    cm AS (SELECT vbin, sum(n) AS cn FROM cells GROUP BY vbin),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    terms AS (
+      SELECT c.n / cast(tot.t AS DOUBLE) AS pxy,
+             (rm.rn / cast(tot.t AS DOUBLE))
+               * (cm.cn / cast(tot.t AS DOUBLE)) AS pxpy,
+             rm.rn / cast(tot.t AS DOUBLE) AS px,
+             cm.cn / cast(tot.t AS DOUBLE) AS py
+      FROM cells c
+      JOIN rm ON c.event_type = rm.event_type
+      JOIN cm ON c.vbin = cm.vbin
+      CROSS JOIN tot
+    )
+    SELECT round(sum(pxy * log2(pxy / pxpy)), 6)          AS mi_bits,
+           round(-sum(pxy * log2(pxy)), 6)                AS h_joint,
+           round(sum(pxy * log2(pxy / pxpy))
+                 / (-sum(pxy * log2(pxy))), 6)            AS iqr_normalized
+    FROM terms
+    """,
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between event_type and the value
+    decile — the feature-relevance score a training pipeline uses to
+    rank columns/labels before spending model time on them, and the
+    log-scale complement of ``stat_chi2_independence`` over the same
+    contingency shape.  Value is discretized into {_MI_BINS} fixed-width
+    global-range bins (the stat_psi_drift rule: identical IEEE
+    subtract/divide/floor on both engines); margins and cells are exact
+    integers; the float tail is ≤ |types|×{_MI_BINS} log terms, rounded
+    at 6.  Also reports joint entropy and the entropy-normalized MI.
+    Plan: one min/max agg broadcast over the scan, one (type, bin)
+    partial+final agg, broadcast margin joins — two scans total,
+    nothing downstream is data-sized."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    cells = (
+        ev.join(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / float(_MI_BINS))
+                ).cast("long"),
+                F.lit(_MI_BINS - 1).cast("long"),
+            ).alias("vbin"),
+        )
+        .groupBy("event_type", "vbin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    rm = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    cm = cells.groupBy("vbin").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    t = F.col("t").cast("double")
+    terms = (
+        cells.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "vbin")
+        .join(F.broadcast(tot))
+        .select(
+            (F.col("n") / t).alias("pxy"),
+            ((F.col("rn") / t) * (F.col("cn") / t)).alias("pxpy"),
+        )
+    )
+    mi = F.sum(F.col("pxy") * F.log2(F.col("pxy") / F.col("pxpy")))
+    hj = -F.sum(F.col("pxy") * F.log2(F.col("pxy")))
+    return terms.agg(
+        F.round(mi, 6).alias("mi_bits"),
+        F.round(hj, 6).alias("h_joint"),
+        F.round(mi / hj, 6).alias("iqr_normalized"),
+    )

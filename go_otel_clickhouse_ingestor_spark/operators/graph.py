@@ -672,3 +672,96 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                  deg.node == F.col("s_node"))
         .select("node", F.col("deg").cast("long").alias("core_degree"))
     )
+
+
+#: Link-prediction report depth.
+_LP_TOPK = 20
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    deg AS (SELECT src, count(*) AS d FROM half GROUP BY src),
+    pairs AS (
+      SELECT a.src AS node_a, b.src AS node_b, count(*) AS n_common
+      FROM half a JOIN half b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT node_a, node_b, n_common,
+             round(n_common
+                   / cast(da.d + db.d - n_common AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN deg da ON node_a = da.src
+      JOIN deg db ON node_b = db.src
+    )
+    SELECT node_a, node_b, cast(n_common AS BIGINT) AS n_common,
+           jaccard, cast(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (ORDER BY jaccard DESC, node_a, node_b)
+                    AS rn
+          FROM scored) t
+    WHERE rn <= {_LP_TOPK}
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the customer side of
+    the trade graph: customers are similar when their supplier sets
+    overlap (|N(a)∩N(b)| / |N(a)∪N(b)|), top-{_LP_TOPK} pairs — the
+    classic collaborative-filtering / who-else-buys-like-you primitive,
+    and the set-similarity-join face of the graph family (triangles
+    count closed wedges; this scores OPEN wedges).  The pair generator
+    is the wedge self-join on the shared supplier — quadratic in the
+    hottest supplier's degree, the same blow-up every similarity join
+    has; the production mitigation at 100 TB is the one
+    dedup_minhash_lsh already implements (hash-band the neighbor sets
+    and join per band) or a degree cap on the wedge pivot, so this
+    exact form doubles as the oracle for those approximate paths.  The
+    final top-k is a TakeOrdered, never a full sort.  Plan: one
+    distinct edge scan feeds degrees AND both wedge sides; the wedge
+    join shuffles on dst once, the count agg reuses the (a,b) key."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    from .dedup import materialized
+
+    half = materialized(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = half.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    a = half.select(F.col("src").alias("node_a"), F.col("dst").alias("k"))
+    b = half.select(F.col("src").alias("node_b"), F.col("dst").alias("k"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        pairs.join(deg.select(F.col("src").alias("node_a"), F.col("d").alias("da")),
+                   "node_a")
+        .join(deg.select(F.col("src").alias("node_b"), F.col("d").alias("db")),
+              "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("node_a"), F.col("node_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _LP_TOPK)
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_unicode_normalize", "multimodal_byte_entropy",
     "agg_table_checksum", "dq_snapshot_diff",
     "emb_matryoshka_recall", "graph_k_core",
+    "stat_mutual_information", "graph_jaccard_link_prediction",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
