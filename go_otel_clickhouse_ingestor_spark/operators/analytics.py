@@ -3169,3 +3169,77 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hj, 6).alias("h_joint"),
         F.round(mi / hj, 6).alias("iqr_normalized"),
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, x, date_part('dow', day) AS dow,
+             round(avg(x) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   / 100.0, 4) AS trend
+      FROM daily
+    ),
+    se AS (
+      SELECT day, x, dow, trend,
+             round(avg(x / 100.0 - trend) OVER (PARTITION BY dow), 4)
+               AS seasonal
+      FROM tr
+    )
+    SELECT strftime(day, '%Y-%m-%d')              AS day,
+           round(x / 100.0, 2)                    AS observed,
+           trend, seasonal,
+           round(x / 100.0 - trend - seasonal, 4) AS residual
+    FROM se
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily total-value series
+    (classical STL-lite): trend = centered 7-day moving average,
+    weekly seasonal = per-day-of-week mean of the detrended series,
+    residual = remainder — the monitoring decomposition that turns
+    "traffic fell" into "below trend after removing the weekend dip",
+    complementing events_ewma (smoothing), events_forecast_holt
+    (forecast) and stat_dft_power (spectrum).  Daily sums ride the
+    integer centi-unit trick; trend and seasonal are rounded at 4
+    BEFORE the residual subtraction so every downstream value is
+    arithmetic on already-agreed numbers (round-before-combine).  The
+    edge days average their available window — identical ROWS-frame
+    semantics in both engines.  Plan: one day-grain partial agg over
+    the scan, then day-grain windows (calendar-bounded — the documented
+    global-window exception); corpus size only touches the first agg."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    wtr = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.round(F.avg("x").over(wtr) / 100.0, 4).alias("trend"),
+    )
+    wse = Window.partitionBy("dow")
+    se = tr.select(
+        "day",
+        "x",
+        "trend",
+        F.round(F.avg(F.col("x") / 100.0 - F.col("trend")).over(wse), 4).alias(
+            "seasonal"
+        ),
+    )
+    return se.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("x") / 100.0, 2).alias("observed"),
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("x") / 100.0 - F.col("trend") - F.col("seasonal"), 4
+        ).alias("residual"),
+    )

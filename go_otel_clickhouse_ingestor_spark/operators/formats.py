@@ -697,3 +697,79 @@ def source_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record",
         "n_lines",
     )
+
+
+def _footer_stats_batches(batches):
+    """Executor-side parquet footer reads: each row carries a (table,
+    path) pair; the worker opens ONLY the footer via pyarrow and emits
+    the file-level facts.  No data pages are touched — the whole audit
+    is metadata IO, which is what makes it viable over a million-file
+    lake."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        out = []
+        for t, path in zip(pdf["table_name"], pdf["path"]):
+            md = pq.ParquetFile(path).metadata
+            out.append(
+                {
+                    "table_name": t,
+                    "n_rows": md.num_rows,
+                    "n_cols": md.num_columns,
+                }
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+
+@query(
+    "source_parquet_footer_stats",
+    oracle="""
+    WITH counts AS (
+      SELECT 'region' AS t, count(*) AS n FROM region UNION ALL
+      SELECT 'nation', count(*) FROM nation UNION ALL
+      SELECT 'customer', count(*) FROM customer UNION ALL
+      SELECT 'supplier', count(*) FROM supplier UNION ALL
+      SELECT 'part', count(*) FROM part UNION ALL
+      SELECT 'orders', count(*) FROM orders UNION ALL
+      SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+      SELECT 'events', count(*) FROM events UNION ALL
+      SELECT 'documents', count(*) FROM documents UNION ALL
+      SELECT 'embeddings', count(*) FROM embeddings
+    ),
+    cols AS (
+      SELECT table_name, count(*) AS n_cols
+      FROM information_schema.columns
+      WHERE table_name IN ('region','nation','customer','supplier','part',
+                           'orders','lineitem','events','documents',
+                           'embeddings')
+      GROUP BY table_name
+    )
+    SELECT counts.t AS table_name,
+           cast(counts.n AS BIGINT)   AS n_rows,
+           cast(cols.n_cols AS BIGINT) AS n_cols
+    FROM counts JOIN cols ON counts.t = cols.table_name
+    """,
+)
+def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake manifest audit from parquet FOOTERS only: per table file,
+    the row and column counts as the footer declares them — verified
+    against what the engines actually see when they scan the data (the
+    oracle counts rows through the view and columns through the
+    catalog).  This is the metadata-only integrity sweep a 100 TB lake
+    runs nightly (row counts per partition vs the manifest, schema
+    width drift) — it costs footer IO, not data IO.  The file list is
+    a DataFrame and the footer reads happen in ``mapInPandas`` on
+    executors: over a real manifest of millions of files the listing
+    partitions and the reads parallelize; nothing is collected to the
+    driver."""
+    from ..tables import TABLES
+
+    paths = spark.createDataFrame(
+        [(t, f"{sf_dir}/{t}.parquet") for t in TABLES],
+        "table_name string, path string",
+    ).repartition(4)
+    return paths.mapInPandas(
+        _footer_stats_batches, "table_name string, n_rows long, n_cols long"
+    )

@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_table_checksum", "dq_snapshot_diff",
     "emb_matryoshka_recall", "graph_k_core",
     "stat_mutual_information", "graph_jaccard_link_prediction",
+    "events_seasonal_decompose", "source_parquet_footer_stats",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
