@@ -3243,3 +3243,74 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x") / 100.0 - F.col("trend") - F.col("seasonal"), 4
         ).alias("residual"),
     )
+
+
+@query(
+    "orders_skyline_pareto",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             cast(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             epoch_us(o_orderdate) AS date_us
+      FROM orders
+    ),
+    fl AS (
+      SELECT *,
+             max(date_us) OVER (PARTITION BY o_orderpriority
+                                ORDER BY price_c
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS best_cheaper,
+             max(date_us) OVER (PARTITION BY o_orderpriority, price_c)
+               AS best_same_price
+      FROM o2
+    )
+    SELECT o_orderpriority, o_orderkey,
+           round(price_c / 100.0, 2) AS o_totalprice,
+           date_us
+    FROM fl
+    WHERE coalesce(best_cheaper >= date_us, FALSE) = FALSE
+      AND best_same_price <= date_us
+    """,
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) per order priority: the orders no
+    other same-priority order dominates on (cheaper-or-equal price,
+    newer-or-equal date, one strict) — the multi-objective shortlist
+    operator (cheapest-AND-freshest) that no single ORDER BY can
+    express.  The naive form is a quadratic dominance self-join; in 2D
+    it collapses to one sorted window pass: a point survives iff no
+    strictly-cheaper point has date ≥ it (running max over a RANGE
+    frame excluding the current price) and no equal-price point has a
+    strictly newer date (per-price max) — O(n log n), the
+    think-in-Spark rewrite.  Price enters as exact centi-units and
+    date as epoch-micros so frame boundaries and comparisons are
+    integer-exact on both engines.  Plan: one shuffle on priority,
+    two frames over the same sort — no join at all; at 100 TB the
+    frontier is computed per partition key with zero pair expansion."""
+    o = table(spark, sf_dir, "orders")
+    o2 = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("price_c"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("date_us"),
+    )
+    w_cheaper = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("o_orderpriority", "price_c")
+    fl = o2.select(
+        "*",
+        F.max("date_us").over(w_cheaper).alias("best_cheaper"),
+        F.max("date_us").over(w_same).alias("best_same_price"),
+    )
+    return fl.filter(
+        (~F.coalesce(F.col("best_cheaper") >= F.col("date_us"), F.lit(False)))
+        & (F.col("best_same_price") <= F.col("date_us"))
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("price_c") / 100.0, 2).alias("o_totalprice"),
+        "date_us",
+    )

@@ -851,3 +851,54 @@ def test_near_dup_e2e_matches_exact_pipeline(spark, sf_dir):
     """).fetchall()
     want = {n: (l, c) for n, l, c in want_rows}
     assert got == want
+
+
+def test_k_core_is_a_fixpoint_and_internally_consistent(spark, sf_dir):
+    """The fixed 8-round unroll must have converged on the fixture
+    graph: (a) every surviving node's degree among survivors is >= k,
+    and (b) one MORE peel round removes nothing (true fixpoint), so
+    the fixed unroll equals the unbounded algorithm here."""
+    from go_otel_clickhouse_ingestor_spark.operators.graph import _KCORE_K
+
+    rows = REGISTRY["graph_k_core"].fn(spark, sf_dir).collect()
+    core = {r.node: r.core_degree for r in rows}
+    assert core, "fixture trade graph should have a non-empty 3-core"
+    assert all(d >= _KCORE_K for d in core.values())
+
+    # rebuild the edge set and peel once more in plain Python
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj: dict[str, set[str]] = {}
+    for r in half:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    surv = set(core)
+    again = {n for n in surv if len(adj[n] & surv) >= _KCORE_K}
+    assert again == surv, "one more peel round changed the core"
+    # and the reported degrees match the survivor-restricted degrees
+    assert all(core[n] == len(adj[n] & surv) for n in surv)
+
+
+def test_matryoshka_recall_reasonable_and_exact_at_full_width(spark, sf_dir):
+    """Recall must be exactly 1.0 at the full stored width (sanity by
+    construction) and should not collapse at the narrowest prefix —
+    random-ish fixtures still retain some neighborhood structure."""
+    rows = REGISTRY["emb_matryoshka_recall"].fn(spark, sf_dir).collect()
+    rec = {r.dim: r.mean_recall for r in rows}
+    from go_otel_clickhouse_ingestor_spark.operators.similarity import _MRL_DIMS
+
+    assert set(rec) == set(_MRL_DIMS)
+    assert rec[_MRL_DIMS[-1]] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+    assert rec[_MRL_DIMS[-2]] >= rec[_MRL_DIMS[0]] * 0.8, (
+        "wider prefixes should not be drastically worse than narrow ones"
+    )
