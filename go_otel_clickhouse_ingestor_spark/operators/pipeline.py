@@ -806,3 +806,59 @@ def pipeline_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("mean_score"),
     )
+
+
+#: Epochs materialized by the deterministic shuffle plan.
+_SHUFFLE_EPOCHS = (0, 1)
+_SHUFFLE_SEED = "graft-r7"
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest([{', '.join(str(e) for e in _SHUFFLE_EPOCHS)}])
+               AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5('{_SHUFFLE_SEED}:' || e.epoch || ':' || d.doc_id) AS h
+      FROM documents d CROSS JOIN e
+    )
+    SELECT epoch::BIGINT AS epoch,
+           row_number() OVER (PARTITION BY epoch ORDER BY h) AS position,
+           doc_id
+    FROM keyed
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-seeded global shuffle — the training
+    dataloader's ordering contract: every worker, resumption, and
+    re-run of epoch N sees the SAME permutation (md5(seed:epoch:id)
+    rank), and different epochs see independent ones, with no RNG
+    state to checkpoint.  This is how large-scale runs shuffle 100 TB:
+    a hash rank materialized with the data (or computed on the fly),
+    never a driver-held permutation array.  The per-epoch rank is a
+    global sort by hash — at scale that's a repartitionByRange on the
+    hash (sampled range bounds), i.e. Spark's standard distributed
+    sort; position is then the only global-window piece and exists so
+    the oracle can pin the full permutation, not just the order.
+    Epochs fan out via a tiny broadcast spine."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame(
+        [(e,) for e in _SHUFFLE_EPOCHS], "epoch long"
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(_SHUFFLE_SEED), F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch").orderBy("h")
+    return keyed.select(
+        "epoch",
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+    )

@@ -983,3 +983,39 @@ def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("composed"),
         F.format_string("%x", "user_id").alias("hex_user"),
     )
+
+
+#: Demo key for the AES round-trip (16 bytes = AES-128).  A real
+#: deployment injects this from a KMS; the query's point is the
+#: engine surface (encrypt/decrypt stay JVM-side, never a Python UDF),
+#: not key management.
+_AES_KEY = "0123456789abcdef"
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS text_roundtrip, octet_length(encode(text)) AS n_plain
+    FROM documents
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip: ``aes_encrypt`` →
+    ``aes_decrypt`` on the document text recovers the plaintext
+    exactly — the governance primitive for PII columns at rest
+    (encrypt on ingest, decrypt under an authorized session), next to
+    masking (fn_mask_redact) and hashing (fn_hash_portable) in the
+    privacy toolbox.  The oracle IS the identity: a hash match proves
+    the cipher round-trip is lossless byte-for-byte.  ECB mode keeps
+    the demo deterministic; the production note is GCM + per-column
+    data keys, same API shape.  Plan: both ciphers are JVM intrinsics
+    inside whole-stage codegen — no shuffle, no Python."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'),"
+            f" '{_AES_KEY}', 'ECB') as string)"
+        ).alias("text_roundtrip"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_plain"),
+    )

@@ -98,7 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_matryoshka_recall", "graph_k_core",
     "stat_mutual_information", "graph_jaccard_link_prediction",
     "events_seasonal_decompose", "source_parquet_footer_stats",
-    "orders_skyline_pareto",
+    "orders_skyline_pareto", "fn_aes_roundtrip", "pipeline_epoch_shuffle",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
