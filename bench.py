@@ -94,6 +94,14 @@ HEADLINE = [
     "text_bpe_tokenize",
     "join_dynamic_partition_pruning",
     "events_forecast_holt",
+    # round-7 flagships
+    "multimodal_byte_entropy",
+    "agg_table_checksum",
+    "dq_snapshot_diff",
+    "graph_k_core",
+    "emb_matryoshka_recall",
+    "orders_skyline_pareto",
+    "pipeline_epoch_shuffle",
 ]
 
 
