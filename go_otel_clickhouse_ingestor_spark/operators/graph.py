@@ -655,6 +655,15 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     surv = edges.select(F.col("src").alias("node")).distinct()
+    # Iterative state must TRUNCATE LINEAGE each round, not merely
+    # persist: every round consumes the previous survivor set twice
+    # (both join sides), so the un-truncated logical plan doubles per
+    # round — 2^R copies of the whole upstream by round R, and even
+    # rendering that plan string OOMs long before execution.
+    # localCheckpoint(eager) materializes the round AND cuts the plan
+    # back to a leaf — the standard iterative-algorithm pattern (on a
+    # multi-node cluster prefer reliable checkpoint() for
+    # lost-executor recovery; local mode has no such failure domain).
     deg = None
     for i in range(_KCORE_ROUNDS):
         a = surv.select(F.col("node").alias("a_node"))
@@ -664,8 +673,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(b, edges.dst == F.col("b_node"))
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        deg = materialized(deg)
+        ).localCheckpoint(eager=True)
         surv = deg.filter(F.col("deg") >= _KCORE_K).select("node")
     return (
         deg.join(surv.select(F.col("node").alias("s_node")),

@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table
@@ -511,4 +512,87 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "n_distinct",
         F.round("byte_entropy", 6).alias("byte_entropy"),
+    )
+
+
+#: Contrastive-pair construction: negatives per anchor and the mixing
+#: constant of the deterministic index stride (Knuth multiplicative
+#: hash — any odd constant works; fixed so both engines agree).
+_CONTRASTIVE_NEGS = 4
+_CONTRASTIVE_STRIDE = 2654435761
+
+
+@query(
+    "multimodal_contrastive_pairs",
+    oracle=f"""
+    WITH idx AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS ix,
+             count(*) OVER () AS n
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT d.doc_id, i.ix, i.n
+      FROM documents d JOIN idx i ON d.doc_id = i.vec_id
+    ),
+    negpick AS (
+      SELECT a.doc_id,
+             j.j,
+             (a.ix + 1 + (a.ix * {_CONTRASTIVE_STRIDE} + j.j * 40503)
+                          % (a.n - 1)) % a.n AS neg_ix
+      FROM anchors a
+      CROSS JOIN (SELECT unnest(range(1, {_CONTRASTIVE_NEGS + 1})) AS j) j
+    )
+    SELECT np.doc_id,
+           np.doc_id        AS pos_vec_id,
+           np.j::BIGINT     AS neg_slot,
+           i.vec_id         AS neg_vec_id
+    FROM negpick np JOIN idx i ON np.neg_ix = i.ix
+    """,
+)
+def multimodal_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction (CLIP/InfoNCE shape):
+    each document anchors its own embedding as the positive plus
+    {_CONTRASTIVE_NEGS} DETERMINISTIC negatives — a stride-hashed index
+    offset into the dense vector ranking, so every worker and every
+    re-run builds the identical pair table with no RNG state (the
+    pipeline_epoch_shuffle rule applied to negative sampling).  The
+    ``+1 + hash %% (n-1)`` form makes the offset nonzero, so a negative
+    can never alias the anchor.  Plan: one window builds the dense
+    index (rank-once, reuse per epoch in production), anchors and
+    negatives resolve by two joins on that index — at 100 TB the index
+    is the embedding table's own sorted identity, the stride fan-out is
+    a broadcast {_CONTRASTIVE_NEGS}-row spine, and both joins shuffle
+    on the integer index (AQE-skew-safe; no hot key exists by
+    construction)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    g = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = e.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("ix"),
+        F.count(F.lit(1)).over(g).alias("n"),
+    )
+    anchors = d.join(idx, d.doc_id == idx.vec_id).select("doc_id", "ix", "n")
+    spine = spark.range(1, _CONTRASTIVE_NEGS + 1).select(F.col("id").alias("j"))
+    negpick = anchors.crossJoin(F.broadcast(spine)).select(
+        "doc_id",
+        "j",
+        (
+            (
+                F.col("ix")
+                + 1
+                + (F.col("ix") * _CONTRASTIVE_STRIDE + F.col("j") * 40503)
+                % (F.col("n") - 1)
+            )
+            % F.col("n")
+        ).alias("neg_ix"),
+    )
+    resolve = idx.select(F.col("ix").alias("neg_ix"), F.col("vec_id").alias("neg_vec_id"))
+    return negpick.join(resolve, "neg_ix").select(
+        "doc_id",
+        F.col("doc_id").alias("pos_vec_id"),
+        F.col("j").cast("long").alias("neg_slot"),
+        "neg_vec_id",
     )
