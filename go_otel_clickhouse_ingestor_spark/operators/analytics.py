@@ -3314,3 +3314,116 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price_c") / 100.0, 2).alias("o_totalprice"),
         "date_us",
     )
+
+
+@query(
+    "events_hysteresis_alerts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    th AS (
+      SELECT event_type,
+             round(cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE)
+                   / count(*)
+                   + 0.5 * sqrt((cast(sum(cast(value AS DECIMAL(24,10))
+                                          * cast(value AS DECIMAL(24,10)))
+                                      AS DOUBLE)
+                                 - cast(sum(cast(value AS DECIMAL(24,10)))
+                                        AS DOUBLE)
+                                   * cast(sum(cast(value AS DECIMAL(24,10)))
+                                          AS DOUBLE) / count(*))
+                                / (count(*) - 1)), 4) AS hi,
+             round(cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE)
+                   / count(*)
+                   - 0.5 * sqrt((cast(sum(cast(value AS DECIMAL(24,10))
+                                          * cast(value AS DECIMAL(24,10)))
+                                      AS DOUBLE)
+                                 - cast(sum(cast(value AS DECIMAL(24,10)))
+                                        AS DOUBLE)
+                                   * cast(sum(cast(value AS DECIMAL(24,10)))
+                                          AS DOUBLE) / count(*))
+                                / (count(*) - 1)), 4) AS lo
+      FROM events GROUP BY event_type
+    ),
+    raw AS (
+      SELECT d.event_type, d.day, d.total_c, d.n,
+             CASE WHEN d.total_c > th.hi * d.n * 100.0 THEN 'alert'
+                  WHEN d.total_c < th.lo * d.n * 100.0 THEN 'clear' END
+               AS raw_state
+      FROM daily d JOIN th ON d.event_type = th.event_type
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           total_c, n,
+           coalesce(last_value(raw_state IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                    'clear') AS state
+    FROM raw
+    """,
+)
+def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold alerting with hysteresis: a type enters ALERT when
+    its daily mean crosses mean+0.5\u03c3 and only returns to CLEAR below
+    mean\u22120.5\u03c3 \u2014 the anti-flap state machine every SRE pager uses
+    (single-threshold alerts oscillate on boundary noise; compare
+    events_slo_burn_rate's windowed form).  The carried state is the
+    classic last-non-null window trick (``last(..., ignorenulls)``) \u2014
+    no UDF, no recursion, the gaps-and-islands family.  Numeric
+    portability: the daily mean is never divided \u2014 the threshold
+    comparison is multiplied out to exact integer centi-totals vs
+    hi\u00b7n\u00b7100 (a round(...,4) of the tie-PRONE exact-decimal quotient
+    sum/n flipped between the engines' rounding implementations; the
+    sqrt-laden thresholds round safely because exact .5 ties there are
+    measure-zero).  Plan: two partial+final aggs over one scan shape,
+    a broadcast threshold join, one type-keyed ordered window \u2014
+    day-grain bounded."""
+    ev = table(spark, sf_dir, "events")
+    dv = "cast(value as decimal(24,10))"
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("total_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.expr(f"cast(sum({dv}) as double)").alias("s1"),
+        F.expr(f"cast(sum({dv} * {dv}) as double)").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("gn")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("gn"))
+        / (F.col("gn") - 1)
+    )
+    th = g.select(
+        "event_type",
+        F.round(mean + 0.5 * sd, 4).alias("hi"),
+        F.round(mean - 0.5 * sd, 4).alias("lo"),
+    )
+    raw = daily.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "day",
+        "total_c",
+        "n",
+        F.when(F.col("total_c") > F.col("hi") * F.col("n") * 100.0, "alert")
+        .when(F.col("total_c") < F.col("lo") * F.col("n") * 100.0, "clear")
+        .alias("raw_state"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return raw.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total_c",
+        "n",
+        F.coalesce(
+            F.last("raw_state", ignorenulls=True).over(w), F.lit("clear")
+        ).alias("state"),
+    )

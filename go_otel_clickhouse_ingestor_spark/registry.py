@@ -99,7 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_mutual_information", "graph_jaccard_link_prediction",
     "events_seasonal_decompose", "source_parquet_footer_stats",
     "orders_skyline_pareto", "fn_aes_roundtrip", "pipeline_epoch_shuffle",
-    "multimodal_contrastive_pairs",
+    "multimodal_contrastive_pairs", "events_hysteresis_alerts",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
