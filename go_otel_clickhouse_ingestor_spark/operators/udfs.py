@@ -270,3 +270,73 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(score(F.col("value")), 6).alias("score")
     )
+
+
+@query(
+    "udtf_ngram_expand_poly",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents WHERE doc_id < 50
+    ),
+    idx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+      FROM toks WHERE len(ts) >= 3
+    )
+    SELECT doc_id, ts[i] AS g1, ts[i + 1] AS g2, ts[i + 2] AS g3
+    FROM idx
+    """,
+)
+def udtf_ngram_expand_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is not declared — it is COMPUTED at plan time from the
+    constant width argument (g1..gN columns for ``ngram_expand(text,
+    N)``), the table-function equivalent of a generic library operator
+    that adapts its shape per call site.  This is the capability the
+    static ``udtf_word_expand`` can't show: one registration serves
+    every width, and Catalyst sees the exact per-call schema (column
+    pruning and downstream resolution work as if it were hand-typed).
+    Arrow-batched like its sibling (ArrowEvalPythonUDTF, R=0
+    invariant).  Fenced to 50 docs: shingling at corpus scale belongs
+    in codegen (gram_hashes is the scale path); the UDTF exists for
+    fan-outs whose SHAPE itself is parameterized."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    class NgramExpand:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.types import (
+                StringType,
+                StructField,
+                StructType,
+            )
+            from pyspark.sql.udtf import AnalyzeResult
+
+            width = int(n.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"g{i + 1}", StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = (text or "").lower().split()
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ngram_expand_poly", udtf(NgramExpand))
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_poly_docs_in")
+    return spark.sql(
+        """
+        SELECT t.doc_id, g.*
+        FROM udtf_poly_docs_in t, LATERAL ngram_expand_poly(t.text, 3) g
+        """
+    )

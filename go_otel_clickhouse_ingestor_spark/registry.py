@@ -100,7 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_seasonal_decompose", "source_parquet_footer_stats",
     "orders_skyline_pareto", "fn_aes_roundtrip", "pipeline_epoch_shuffle",
     "multimodal_contrastive_pairs", "events_hysteresis_alerts",
-    "events_histogram_quantile",
+    "events_histogram_quantile", "udtf_ngram_expand_poly",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -60,15 +60,30 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
         assert "*(" in executed, f"{name}: no WholeStageCodegen stage"
 
 
+#: Oracle-checked queries whose kernel is a DESIGNATED Arrow slow path
+#: (no JVM builtin exists for the semantics).  Row-at-a-time is still
+#: banned everywhere — these may only appear as ArrowEvalPython, which
+#: test_unicode_normalize_is_arrow_batched pins.
+_ARROW_SLOW_PATH_ALLOWLIST = frozenset({
+    # Spark has no Unicode-normalization builtin (char() is mod-256);
+    # the NFC kernel is a vectorized pandas UDF by design.
+    "text_unicode_normalize",
+})
+
+
 def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
     """Everything oracle-checked must stay JVM-side (BatchEvalPython /
     ArrowEvalPython in a plan means a Python UDF snuck in) — except the
     ``udf_*``/``udtf_*`` families, which exist to test the Python
-    boundary itself."""
+    boundary itself, and the explicit Arrow slow-path allowlist.
+    BatchEvalPython (row-at-a-time) is banned with NO exceptions."""
     for name, q in REGISTRY.items():
         if q.oracle is None or name.startswith(("udf_", "udtf_")):
             continue
         plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+        if name in _ARROW_SLOW_PATH_ALLOWLIST:
+            continue
         assert "EvalPython" not in plan, f"{name} uses a Python UDF"
 
 
