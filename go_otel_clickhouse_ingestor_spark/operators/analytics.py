@@ -3561,3 +3561,75 @@ def events_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(100 * q_num) div q_den"))
         .alias("q_milli"),
     )
+
+
+@query(
+    "events_conversion_latency_curve",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT v.user_id,
+             cast(floor((epoch_us(p.p_ts) - epoch_us(v.v_ts))
+                        / 86400000000.0) AS BIGINT) AS days
+      FROM v JOIN p ON v.user_id = p.user_id
+    ),
+    hist AS (
+      SELECT days, count(*) AS n FROM lat GROUP BY days
+    )
+    SELECT days, cast(n AS BIGINT) AS n_users,
+           cast(sum(n) OVER (ORDER BY days) AS BIGINT) AS cum_users,
+           cast(sum(n) OVER () AS BIGINT)              AS total_converted
+    FROM hist
+    """,
+)
+def events_conversion_latency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert curve: for every user whose first purchase
+    follows their first view, the whole-day latency between the two,
+    as a histogram with the cumulative count — the "how long does
+    conversion take" CDF that turns events_funnel's WHO into WHEN
+    (growth teams read p50/p90 conversion lag off this curve).  Day
+    bucketing is an integer floor over exact epoch-micros deltas;
+    every emitted number is an exact integer count.  Plan: two
+    filtered min-aggs sharing the user_id shuffle key, one join, a
+    day-grain histogram — the downstream windows run over ≤ span-days
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 86400000000.0
+        )
+        .cast("long")
+        .alias("days")
+    )
+    hist = lat.groupBy("days").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "days",
+        F.col("n").cast("long").alias("n_users"),
+        F.sum("n").over(wc).cast("long").alias("cum_users"),
+        F.sum("n").over(wg).cast("long").alias("total_converted"),
+    )

@@ -1431,3 +1431,75 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("raw") - F.length("nfc")).cast("long").alias("sum_len_delta"),
         F.sum(F.when(F.col("raw_is_nfc"), 1).otherwise(0)).alias("raw_already_nfc"),
     )
+
+
+#: Code-detection thresholds (per-mille of characters / lines).
+_CODE_SYMBOL_MILLE = 30   # >= 3.0% code-ish symbol chars
+_CODE_INDENT_MILLE = 200  # >= 20% of lines start indented
+
+
+@query(
+    "text_code_detect",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text,
+                 '[{{}}()\\[\\];=<>_]', '', 'g'))              AS n_sym,
+             len(string_split(text, chr(10)))                  AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> x LIKE ' %' OR x LIKE chr(9) || '%'))    AS n_indent
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, lang,
+           cast(n_sym AS BIGINT)                         AS n_sym,
+           cast(n_lines AS BIGINT)                       AS n_lines,
+           cast(n_indent AS BIGINT)                      AS n_indent,
+           (1000 * n_sym >= {_CODE_SYMBOL_MILLE} * n_chars
+            OR 1000 * n_indent >= {_CODE_INDENT_MILLE} * n_lines)
+             AS looks_like_code
+    FROM feats
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection from cheap structural features — the
+    pretraining-corpus router that decides whether a document goes to
+    the code pipeline (different dedup, different quality gates) or
+    the text one: code-ish symbol density ({{}}()[];=<>_) and the
+    indented-line ratio, thresholded.  Both features and both
+    thresholds are EXACT INTEGER comparisons in per-mille space
+    (1000·count >= threshold·total — the multiply-out rule; no
+    division, no float anywhere).  Plan: pure codegen regexp/split
+    projections, no shuffle — map-linear in corpus bytes like every
+    text_* scorer."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", r"[{}()\[\];=<>_]", "")
+    )
+    lines = F.split(F.col("text"), "\n", -1)
+    n_lines = F.size(lines)
+    n_indent = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith(" ") | x.startswith("\t"),
+        )
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_sym.cast("long").alias("n_sym"),
+        n_lines.cast("long").alias("n_lines"),
+        n_indent.cast("long").alias("n_indent"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_sym",
+        "n_lines",
+        "n_indent",
+        (
+            (1000 * F.col("n_sym") >= _CODE_SYMBOL_MILLE * F.col("n_chars"))
+            | (1000 * F.col("n_indent") >= _CODE_INDENT_MILLE * F.col("n_lines"))
+        ).alias("looks_like_code"),
+    )

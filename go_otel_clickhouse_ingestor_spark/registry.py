@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_skyline_pareto", "fn_aes_roundtrip", "pipeline_epoch_shuffle",
     "multimodal_contrastive_pairs", "events_hysteresis_alerts",
     "events_histogram_quantile", "udtf_ngram_expand_poly",
+    "events_conversion_latency_curve", "text_code_detect",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
