@@ -3633,3 +3633,91 @@ def events_conversion_latency_curve(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n").over(wc).cast("long").alias("cum_users"),
         F.sum("n").over(wg).cast("long").alias("total_converted"),
     )
+
+
+@query(
+    "stat_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    moves AS (
+      SELECT day, x,
+             CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 1
+                  WHEN x < lag(x) OVER (ORDER BY day) THEN -1 END AS s
+      FROM daily
+    ),
+    signs AS (
+      SELECT s, lag(s) OVER (ORDER BY day) AS prev_s
+      FROM moves WHERE s IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)  AS n_up,
+             sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n_down,
+             1 + sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                          THEN 1 ELSE 0 END)         AS runs
+      FROM signs
+    )
+    SELECT cast(n AS BIGINT)      AS n_moves,
+           cast(n_up AS BIGINT)   AS n_up,
+           cast(n_down AS BIGINT) AS n_down,
+           cast(runs AS BIGINT)   AS runs,
+           round((runs - (2.0 * n_up * n_down / n + 1))
+                 / sqrt(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n)
+                        / (1.0 * n * n * (n - 1))), 6) AS z_stat
+    FROM agg
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily total-value series: are
+    up/down moves random, trending (too few runs), or mean-reverting
+    (too many)?  The sequence-randomness member of the stats family
+    (Spearman tests monotone trend; autocorr tests linear memory; this
+    tests SIGN memory).  Runs, ups and downs are exact integer counts
+    off two day-grain windows; the z statistic's expectation/variance
+    formula is sqrt-laden (round(…,6) safe — exact ties are
+    measure-zero, the portability ladder's rule 3 exemption).  Plan:
+    one day-grain partial agg over the scan, then calendar-bounded
+    windows and a single-row reduction."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    o = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(o), 1)
+        .when(F.col("x") < F.lag("x").over(o), -1)
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    signs = moves.select("s", F.lag("s").over(Window.orderBy("day")).alias("prev_s"))
+    agg = signs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_down"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n, nu, nd, r = (F.col("n"), F.col("n_up"), F.col("n_down"), F.col("runs"))
+    expect = 2.0 * nu * nd / n + 1
+    var = (
+        2.0 * nu * nd * (2.0 * nu * nd - n) / (1.0 * n * n * (n - 1))
+    )
+    return agg.select(
+        n.cast("long").alias("n_moves"),
+        nu.cast("long").alias("n_up"),
+        nd.cast("long").alias("n_down"),
+        r.cast("long").alias("runs"),
+        F.round((r - expect) / F.sqrt(var), 6).alias("z_stat"),
+    )
