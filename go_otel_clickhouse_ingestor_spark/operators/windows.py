@@ -593,3 +593,64 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(frame, F.ceil(F.size(frame) / 2).cast("int")), 6
         ).alias("med7"),
     )
+
+
+#: Session gap for the built-in session_window TVF face.
+_SW_GAP_MIN = 30
+
+
+@query(
+    "win_session_window_tvf",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts)
+                       > {_SW_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts))                    AS session_start_us,
+           max(epoch_us(ts))
+             + {_SW_GAP_MIN} * 60 * 1000000     AS session_end_us,
+           count(*)                             AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def win_session_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN ``session_window`` aggregation (Spark's session
+    TVF, usable in batch AND streaming) with a {_SW_GAP_MIN}-minute
+    gap — the engine-native face of what ``win_session_gaps`` builds
+    by hand with gaps-and-islands windows.  Worth both forms: the
+    manual form composes with arbitrary window logic; the TVF form is
+    ONE partial-aggregable operator (no ordered window pass at all —
+    Spark merges overlapping session fragments in the agg), carries
+    straight into Structured Streaming with watermark-based eviction,
+    and is what a migrating ClickHouse user should reach for first.
+    The oracle reproduces the session semantics via the classic
+    flag+cumsum rewrite; session_end follows Spark's definition
+    (last event + gap).  All outputs are exact integers
+    (epoch-micros, counts)."""
+    ev = table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), f"{_SW_GAP_MIN} minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
