@@ -3488,8 +3488,10 @@ def events_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (clamped to the highest finite bound when the quantile
     lands in +Inf) — exactly how every Prometheus/Grafana latency
     panel computes percentiles from the histogram series the
-    reference's /metrics endpoint exposes
-    (events_histogram_otel_buckets is the exposition; this is the
+    reference's /metrics endpoint exposes (InsertLatency,
+    internal/metrics/metrics.go:18-24 — a Prometheus histogram whose
+    dashboards run exactly this reconstruction;
+    events_histogram_otel_buckets is the exposition, this is the
     query side).  Numeric portability went through three designs:
     round(…,4) ties split between engine rounding implementations, and
     even explicit floor(x·1e4) straddled a 1-ulp FMA difference in the
