@@ -665,6 +665,12 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-node cluster prefer reliable checkpoint() for
     # lost-executor recovery; local mode has no such failure domain).
     deg = None
+    # Early exit preserves EXACTNESS: the survivor set only shrinks, so
+    # an unchanged count means an unchanged set, and every remaining
+    # unrolled round is the identity — the oracle's fixed R rounds and
+    # this loop produce the same final (deg, surv) pair.  The count is
+    # nearly free (deg is already checkpointed).
+    prev_n = -1
     for i in range(_KCORE_ROUNDS):
         a = surv.select(F.col("node").alias("a_node"))
         b = surv.select(F.col("node").alias("b_node"))
@@ -675,6 +681,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         ).localCheckpoint(eager=True)
         surv = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        n = surv.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         deg.join(surv.select(F.col("node").alias("s_node")),
                  deg.node == F.col("s_node"))
