@@ -3723,3 +3723,82 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("long").alias("runs"),
         F.round((r - expect) / F.sqrt(var), 6).alias("z_stat"),
     )
+
+
+@query(
+    "stat_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             sum(CASE WHEN (b.day > a.day AND b.x > a.x) THEN 1 ELSE 0 END)
+               AS c,
+             sum(CASE WHEN (b.day > a.day AND b.x < a.x) THEN 1 ELSE 0 END)
+               AS d,
+             sum(CASE WHEN (b.day > a.day AND b.x = a.x) THEN 1 ELSE 0 END)
+               AS ty
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.day > a.day
+      GROUP BY a.event_type
+    )
+    SELECT event_type,
+           cast(c AS BIGINT)  AS concordant,
+           cast(d AS BIGINT)  AS discordant,
+           cast(ty AS BIGINT) AS ties_value,
+           round((c - d) / (sqrt(cast(c + d + ty AS DOUBLE))
+                            * sqrt(cast(c + d AS DOUBLE))), 6) AS tau_b
+    FROM pairs
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between time and the daily total per event type —
+    the rank correlation that counts CONCORDANT vs DISCORDANT day
+    pairs (robust to outliers that still distort Spearman's rank
+    distances; together they bracket the monotone-trend question).
+    Day pairs are generated by a bounded self-join ON THE DAY-GRAIN
+    aggregate — |days|²/2 pairs per type regardless of corpus size, so
+    the quadratic lives entirely in calendar space (never row space —
+    the wedge-pivot lesson applied to statistics).  Time has no ties
+    by construction (days are distinct), so the tie correction reduces
+    to the value side; counts are exact integers and the sqrt-laden
+    τ-b rounds safely.  Plan: one day-grain partial agg over the scan,
+    a broadcast-sized self-join, one final agg."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x"))
+    a = daily.select(
+        "event_type", F.col("day").alias("a_day"), F.col("x").alias("a_x")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("b_day"), F.col("x").alias("b_x")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("b_day") > F.col("a_day"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("b_x") > F.col("a_x"), 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("b_x") < F.col("a_x"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("b_x") == F.col("a_x"), 1).otherwise(0)).alias("ty"),
+        )
+    )
+    c, d, ty = F.col("c"), F.col("d"), F.col("ty")
+    return pairs.select(
+        "event_type",
+        c.cast("long").alias("concordant"),
+        d.cast("long").alias("discordant"),
+        ty.cast("long").alias("ties_value"),
+        F.round(
+            (c - d)
+            / (
+                F.sqrt((c + d + ty).cast("double"))
+                * F.sqrt((c + d).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
