@@ -786,3 +786,96 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _LP_TOPK)
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    ed AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e
+      JOIN deg da ON e.src = da.node
+      JOIN deg db ON e.dst = db.node
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             sum(cast(dx AS HUGEINT))      AS sx,
+             sum(cast(dy AS HUGEINT))      AS sy,
+             sum(cast(dx AS HUGEINT) * dx) AS sxx,
+             sum(cast(dy AS HUGEINT) * dy) AS syy,
+             sum(cast(dx AS HUGEINT) * dy) AS sxy
+      FROM ed
+    )
+    SELECT cast(n AS BIGINT) AS n_directed_edges,
+           round((n * sxy - sx * sy)
+                 / (sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(cast(n * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph — the Pearson
+    correlation of endpoint degrees over directed edges (Newman's r):
+    do hub customers trade with hub suppliers (r>0) or with the
+    periphery (r<0)?  The one-number topology summary next to
+    degree_stats (marginals) and k-core (mesoscale).  All five moment
+    sums run in exact integer arithmetic over the edge list (DECIMAL /
+    HUGEINT — the stat_spearman_trend rule), so the only float op is
+    the final correlation, rounded at 6.  Plan: degree agg, two
+    broadcast-or-shuffle joins back onto edges, one moment agg — every
+    stage linear in |edges| and keyed on node."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    from .dedup import materialized
+
+    edges = materialized(
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src"
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst"
+        )
+        .select(
+            F.col("dx").cast("decimal(20,0)").alias("dx"),
+            F.col("dy").cast("decimal(20,0)").alias("dy"),
+        )
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        n.cast("long").alias("n_directed_edges"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("assortativity"),
+    )

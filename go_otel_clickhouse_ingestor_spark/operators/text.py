@@ -1503,3 +1503,92 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (1000 * F.col("n_indent") >= _CODE_INDENT_MILLE * F.col("n_lines"))
         ).alias("looks_like_code"),
     )
+
+
+#: Burstiness report depth (top terms by corpus frequency).
+_BURST_TOPK = 20
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT term, doc_id, count(*) AS c FROM toks GROUP BY term, doc_id
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT term,
+             count(*)                         AS df,
+             sum(c)                           AS cf,
+             sum(cast(c AS HUGEINT) * c)      AS sum_c2
+      FROM per_doc GROUP BY term
+    ),
+    top AS (
+      SELECT s.*, n.n_docs,
+             row_number() OVER (ORDER BY cf DESC, term ASC) AS rn
+      FROM stats s CROSS JOIN n
+    )
+    SELECT term,
+           cast(df AS BIGINT)  AS df,
+           cast(cf AS BIGINT)  AS cf,
+           cast(rn AS BIGINT)  AS rn,
+           cast((1000000 * (n_docs * sum_c2 - cast(cf AS HUGEINT) * cf))
+                // (cast(n_docs AS HUGEINT) * cf) AS BIGINT) AS vmr_micro
+    FROM top WHERE rn <= {_BURST_TOPK}
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness for the top-{_BURST_TOPK} corpus terms: the
+    variance-to-mean ratio (VMR) of per-document counts over ALL
+    documents — the corpus-linguistics dispersion statistic that
+    separates topical terms (bursty, VMR ≫ 1: absent mostly, heavy
+    where present) from function words (VMR ≈ 1, Poisson-like), which
+    is why df/cf ratios alone mis-rank stopwords for TF-IDF-style
+    weighting (text_tfidf_top_terms gets the complementary view).
+    VMR = (N·Σc² − cf²)/(N·cf) is emitted in exact integer micro-units
+    via integer floor-division — cf values hit power-of-ten shapes
+    where round() ties split engines (the portability ladder rule 3).
+    Plan: tokenize-explode → (term, doc) partial agg → term agg —
+    the standard two-shuffle term-statistics shape, linear in corpus
+    tokens; top-k is a TakeOrdered."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = d.count()
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c").cast("decimal(20,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("sum_c2"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    top = stats.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _BURST_TOPK
+    )
+    top = top.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.col("rn").cast("long").alias("rn"),
+        (F.lit(n_docs).cast("decimal(38,0)") * F.col("sum_c2")
+         - F.col("cf").cast("decimal(38,0)") * F.col("cf")).alias("num"),
+        (F.lit(n_docs).cast("decimal(38,0)") * F.col("cf")).alias("den"),
+    )
+    return top.select(
+        "term",
+        "df",
+        "cf",
+        "rn",
+        F.expr("cast((1000000 * num) div den as bigint)").alias("vmr_micro"),
+    )
