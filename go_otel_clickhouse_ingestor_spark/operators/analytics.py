@@ -3802,3 +3802,209 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+#: Markov stationary-distribution power iterations (fixed unroll, the
+#: graph_pagerank rule) and per-iteration quantization.
+_MK_ITERS = 4
+_MK_ROUND = 12
+
+
+def _mk_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT t.dst AS state,
+             round(sum({prev}.p * t.prob), {_MK_ROUND}) AS p
+      FROM t JOIN {prev} ON t.src = {prev}.state
+      GROUP BY t.dst
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    t AS (
+      SELECT src, dst,
+             round(n / cast(sum(n) OVER (PARTITION BY src) AS DOUBLE),
+                   {_MK_ROUND}) AS prob
+      FROM c
+    ),
+    states AS (SELECT DISTINCT src AS state FROM c),
+    k AS (SELECT count(*) AS k FROM states),
+    p0 AS (
+      SELECT state, round(1.0 / (SELECT k FROM k), {_MK_ROUND}) AS p
+      FROM states
+    ),
+    {', '.join(_mk_iter_sql(f'p{i}', f'p{i + 1}') for i in range(_MK_ITERS))}
+    SELECT state, round(p, 8) AS stationary_p
+    FROM p{_MK_ITERS}
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    ({_MK_ITERS} fixed power iterations from uniform) — where user
+    behavior settles in the long run, the eigenvector summary on top
+    of events_top_transitions' raw matrix (and the pagerank machinery
+    applied to behavioral states instead of graph nodes).  The
+    transition matrix is |types|² — broadcast-tiny forever — so every
+    iteration is a broadcast join + k-row agg; only the sequence
+    extraction (user-keyed lead window over the events) is data-sized,
+    and it shuffles once on user_id.  Transition probabilities and each
+    iteration's vector are quantized at {_MK_ROUND} decimals on both
+    engines (graph_pagerank's round-per-iteration rule) so partial-sum
+    order can't compound drift."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    c = c.persist()
+    t = c.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double"),
+            _MK_ROUND,
+        ).alias("prob"),
+    )
+    states = c.select(F.col("src").alias("state")).distinct()
+    k = states.count()
+    p = states.select(
+        "state", F.round(F.lit(1.0 / k), _MK_ROUND).alias("p")
+    )
+    for _ in range(_MK_ITERS):
+        p = (
+            t.join(p, t.src == p.state)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.round(F.sum(F.col("p") * F.col("prob")), _MK_ROUND).alias("p"))
+        )
+    return p.select("state", F.round("p", 8).alias("stationary_p"))
+
+
+#: Right-censoring horizon for the KM retention curve: users whose
+#: last event falls within this many days of the corpus end are
+#: censored (still active), not churned.
+_KM_CENSOR_DAYS = 7
+#: Per-factor quantization before the product (round-before-combine).
+_KM_ROUND = 12
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+    WITH bounds AS (SELECT max(cast(ts AS DATE)) AS max_day FROM events),
+    users AS (
+      SELECT user_id,
+             min(cast(ts AS DATE)) AS first_day,
+             max(cast(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT u.user_id,
+             date_diff('day', u.first_day, u.last_day) AS tenure,
+             u.last_day < b.max_day - INTERVAL {_KM_CENSOR_DAYS} DAY
+               AS churned
+      FROM users u CROSS JOIN bounds b
+    ),
+    churn_times AS (
+      SELECT tenure AS t, count(*) AS d FROM obs
+      WHERE churned GROUP BY tenure
+    ),
+    risk AS (
+      SELECT ct.t, ct.d,
+             (SELECT count(*) FROM obs o WHERE o.tenure >= ct.t) AS n
+      FROM churn_times ct
+    ),
+    factors AS (
+      SELECT t, d, n,
+             round(1.0 - d / cast(n AS DOUBLE), {_KM_ROUND}) AS f
+      FROM risk
+    )
+    SELECT t AS tenure_days,
+           cast(n AS BIGINT) AS n_at_risk,
+           cast(d AS BIGINT) AS n_churned,
+           round(CASE WHEN min(f) OVER w = 0 THEN 0.0
+                      ELSE exp(sum(ln(CASE WHEN f > 0 THEN f ELSE 1 END))
+                               OVER w) END, 6) AS survival
+    FROM factors
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve over user TENURE (days between
+    first and last event), with right-censoring: users still active in
+    the final {_KM_CENSOR_DAYS} days are censored, not churned — the
+    survival-analysis answer to "how long do users stay" that naive
+    churn rates get wrong by ignoring censoring (the cohort/retention
+    family's statistically-correct sibling).  S(t) = Π(1 − dᵢ/nᵢ) over
+    churn times; each factor is quantized at {_KM_ROUND} before the
+    product, and the product runs as exp(Σ ln f) on BOTH engines (no
+    product aggregate in Spark) with an explicit zero-factor branch
+    (DuckDB refuses ln(0)).  Risk sets come from a day-grain
+    tenure-histogram suffix sum, so the curve costs one user agg plus
+    calendar-bounded windows.  Plan: user-keyed agg over the scan,
+    then everything is ≤ span-days rows."""
+    ev = table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    b = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    obs = users.join(F.broadcast(b)).select(
+        F.datediff("last_day", "first_day").alias("tenure"),
+        (F.col("last_day") < F.date_sub("max_day", _KM_CENSOR_DAYS)).alias(
+            "churned"
+        ),
+    )
+    obs = obs.persist()
+    churn = obs.filter("churned").groupBy(F.col("tenure").alias("t")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tenure_hist = obs.groupBy(F.col("tenure").alias("ht")).agg(
+        F.count(F.lit(1)).alias("hn")
+    )
+    # suffix-sum the tenure histogram to get n_at_risk(t) = #{tenure >= t}
+    wsuf = Window.orderBy(F.col("ht").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tenure_hist.select(
+        "ht", F.sum("hn").over(wsuf).alias("n")
+    )
+    factors = churn.join(risk, churn.t == risk.ht).select(
+        "t",
+        "d",
+        "n",
+        F.round(1.0 - F.col("d") / F.col("n").cast("double"), _KM_ROUND).alias(
+            "f"
+        ),
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return factors.select(
+        F.col("t").cast("long").alias("tenure_days"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.round(
+            F.when(F.min("f").over(wc) == 0, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.log(F.when(F.col("f") > 0, F.col("f")).otherwise(1.0))
+                    ).over(wc)
+                )
+            ),
+            6,
+        ).alias("survival"),
+    )

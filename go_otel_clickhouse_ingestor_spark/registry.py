@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_conversion_latency_curve", "text_code_detect",
     "stat_runs_test", "win_session_window_tvf", "stat_kendall_tau",
     "graph_degree_assortativity", "text_term_burstiness",
+    "events_markov_stationary", "events_survival_km",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
