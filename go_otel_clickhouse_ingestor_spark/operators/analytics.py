@@ -4008,3 +4008,92 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+#: Synthetic activity-interval length for the coverage union (micros).
+_IVL_LEN_US = 5 * 60 * 1000000
+
+
+@query(
+    "events_interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_IVL_LEN_US} AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS isl
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, isl, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT)      AS n_islands,
+           cast(sum(me - ms) AS BIGINT)  AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user: give every event a 5-minute
+    activity interval, merge overlaps, and report the number of merged
+    islands and the TOTAL covered time — the measure-of-union operator
+    (machine uptime, billable time, sensor coverage) that summing raw
+    interval lengths overcounts wherever activity overlaps, and the
+    length-valued complement of ``join_interval_overlap`` (which finds
+    intersections, not their union).  The classic sweep: order
+    intervals by start, a new island begins where the start exceeds
+    the running max of PRIOR ends (strictly-preceding frame), islands
+    get ids by prefix sum, each island contributes max(end)−min(start).
+    All epoch-micros integers.  Plan: one shuffle on user_id, three
+    stacked windows over the same sort — no joins, no pair expansion;
+    per-user interval counts are bounded by that user's activity."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _IVL_LEN_US).alias("e"),
+    )
+    wprev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            (F.col("s") > F.max("e").over(wprev))
+            | F.max("e").over(wprev).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(wcum).alias("isl")
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+    )

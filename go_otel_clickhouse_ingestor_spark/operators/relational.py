@@ -2684,3 +2684,84 @@ def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sum_hash"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             cast(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             cast(round(l_quantity) AS BIGINT)            AS wt
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag, price_c, sum(wt) AS wt
+      FROM w GROUP BY l_returnflag, price_c
+    ),
+    c AS (
+      SELECT l_returnflag, price_c, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g
+    ),
+    hit AS (
+      SELECT l_returnflag, price_c, tot,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY price_c) AS rn
+      FROM c WHERE 2 * cum >= tot
+    )
+    SELECT l_returnflag,
+           round(price_c / 100.0, 2) AS weighted_median_price,
+           cast(tot AS BIGINT)       AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of the extended price per return flag —
+    the lower weighted median (first value whose cumulative weight
+    reaches half the total), the robust center the plain median
+    (agg_percentile_exact) and the weighted MEAN (agg_weighted_stats)
+    both miss when heavy rows skew the tail.  Entirely integer: prices
+    in exact centi-units, weights as integer quantities, and the
+    half-total test multiplied out (2·cum ≥ tot — no division
+    anywhere, the multiply-out rule).  Plan: pre-aggregate to (flag,
+    price) so the ordered window runs over DISTINCT price levels, not
+    raw rows — the windowed pass is value-domain-bounded while the
+    corpus-sized work stays in the partial agg."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("wt"),
+    )
+    g = w.groupBy("l_returnflag", "price_c").agg(F.sum("wt").alias("wt"))
+    wc = Window.partitionBy("l_returnflag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt_ = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_).alias("tot"),
+    )
+    hit = (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("price_c")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return hit.select(
+        "l_returnflag",
+        F.round(F.col("price_c") / 100.0, 2).alias("weighted_median_price"),
+        F.col("tot").cast("long").alias("total_weight"),
+    )

@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_runs_test", "win_session_window_tvf", "stat_kendall_tau",
     "graph_degree_assortativity", "text_term_burstiness",
     "events_markov_stationary", "events_survival_km",
+    "agg_weighted_median", "events_interval_union_coverage",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
