@@ -546,3 +546,34 @@ def test_unicode_normalize_is_arrow_batched(spark, sf_dir):
     assert a["python_arrow"] >= 1
     assert a["python_row_at_a_time"] == 0
     assert a["shuffle_exchanges"] == 1  # only the final lang agg
+
+
+def test_round7_new_ops_shuffle_budget(spark, sf_dir):
+    """The round-7 additions keep their documented shuffle budgets:
+    session TVF and interval union are ONE user-keyed exchange (three
+    stacked windows / one session agg over the same sort); the
+    checksum is one partial-agg exchange; weighted median pays two
+    (value-domain regroup + flag window)."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    budgets = {
+        "win_session_window_tvf": 1,
+        "events_interval_union_coverage": 1,
+        "agg_table_checksum": 1,
+        "agg_weighted_median": 2,
+    }
+    for name, budget in budgets.items():
+        a = audit(REGISTRY[name].fn(spark, sf_dir))
+        assert a["shuffle_exchanges"] <= budget, (name, a["shuffle_exchanges"])
+        assert a["python_row_at_a_time"] == 0, name
+
+
+def test_checksum_scan_reads_all_columns_once(spark, sf_dir):
+    """agg_table_checksum reads the full row exactly once — one scan,
+    no joins, no sort anywhere in the plan."""
+    from go_otel_clickhouse_ingestor_spark.plans import audit
+
+    a = audit(REGISTRY["agg_table_checksum"].fn(spark, sf_dir))
+    assert len(a["read_schemas"]) == 1
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcast_joins"] == 0
