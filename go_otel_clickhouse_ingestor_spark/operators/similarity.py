@@ -1048,3 +1048,97 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_hit") / float(_MRL_K)), 4).alias("mean_recall"),
         F.count(F.lit(1)).cast("long").alias("n_queries"),
     ).select(F.col("d").alias("dim"), "mean_recall", "n_queries")
+
+
+#: MMR re-rank parameters: query count, candidate shortlist depth,
+#: final k, and the relevance/diversity tradeoff.
+_MMR_QUERIES = 10
+_MMR_SHORTLIST = 30
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_select(pdf):
+    """Greedy maximal-marginal-relevance selection over one query's
+    shortlist (numpy; the group is _MMR_SHORTLIST rows — driver-bounded
+    math, executor-placed).  Deterministic: ties break on vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    emb = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.where(norms == 0, 1.0, norms)
+    rel = pdf["c"].to_numpy().astype(np.float64)
+    vec_ids = pdf["vec_id"].to_numpy()
+    qid = int(pdf["qid"].iloc[0])
+    sims = emb @ emb.T
+    n = len(vec_ids)
+    selected: list[int] = []
+    out = []
+    for rank in range(min(_MMR_K, n)):
+        best_i, best_score = -1, -np.inf
+        for i in range(n):
+            if i in selected:
+                continue
+            div = max(sims[i][j] for j in selected) if selected else 0.0
+            score = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+            if score > best_score - 1e-12:
+                better = score > best_score + 1e-12
+                tie = abs(score - best_score) <= 1e-12
+                if better or (tie and vec_ids[i] < vec_ids[best_i]):
+                    best_i, best_score = i, score
+        selected.append(best_i)
+        out.append(
+            {
+                "qid": qid,
+                "mmr_rank": rank + 1,
+                "vec_id": int(vec_ids[best_i]),
+                "relevance": round(float(rel[best_i]), 6),
+                "mmr_score": round(float(best_score), 6),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+@query("emb_mmr_rerank")  # rows-only: greedy iterative selection has no SQL twin
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: the retrieval stack's
+    diversity stage — plain cosine top-k returns near-duplicates of
+    one neighborhood; MMR greedily picks items maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked, so the final
+    k covers the query's neighborhood WITHOUT redundancy (the search
+    face of what dedup_semantic does corpus-wide).  Two-stage shape:
+    the exact windowed top-{_MMR_SHORTLIST} shortlist per query runs
+    relational (the sim_topk_cosine machinery — corpus-sized work
+    stays JVM), then the greedy O(k·n) selection runs per-query in one
+    Arrow-grouped kernel over {_MMR_SHORTLIST} rows — bounded math,
+    never corpus-sized.  Rows-only by design (iterative greedy has no
+    SQL twin); the pytest gate asserts the diversity contract: the
+    MMR set's mean pairwise similarity never exceeds the plain
+    top-{_MMR_K}'s, and rank 1 is the relevance top-1."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = embedding_dim(e)
+    q = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_MMR_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            F.round(cosine(F.col("qemb"), F.col("embedding"), d), 6).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id"))
+    short = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MMR_SHORTLIST
+    )
+    return short.groupBy("qid").applyInPandas(
+        lambda pdf: _mmr_select(pdf),
+        "qid long, mmr_rank long, vec_id long, relevance double, mmr_score double",
+    )

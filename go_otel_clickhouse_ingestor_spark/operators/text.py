@@ -1592,3 +1592,92 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.expr("cast((1000000 * num) div den as bigint)").alias("vmr_micro"),
     )
+
+
+#: Vocabulary-size checkpoints for the coverage curve.
+_VOCAB_CHECKPOINTS = (100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rk,
+             sum(n) OVER () AS total
+      FROM tf
+    ),
+    cum AS (
+      SELECT rk, total,
+             sum(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum_n
+      FROM ranked
+    ),
+    cp AS (SELECT cast(unnest([{', '.join(str(c) for c in _VOCAB_CHECKPOINTS)}])
+                  AS BIGINT) AS vocab_size)
+    SELECT cp.vocab_size,
+           cast(max(CASE WHEN cum.rk <= cp.vocab_size
+                         THEN cum.cum_n END) AS BIGINT) AS covered_tokens,
+           cast(max(cum.total) AS BIGINT)               AS total_tokens,
+           cast((1000 * max(CASE WHEN cum.rk <= cp.vocab_size
+                                 THEN cum.cum_n END))
+                // max(cum.total) AS BIGINT)            AS coverage_mille
+    FROM cp CROSS JOIN cum
+    GROUP BY cp.vocab_size
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-N most frequent terms cover, at N = 100 / 1k / 10k — THE
+    design curve for tokenizer vocabulary sizing (where the curve
+    flattens is where a bigger vocab stops paying for its embedding
+    rows; text_vocab_growth_heaps measures the dual — how vocab grows
+    with corpus).  Coverage is emitted in exact integer per-mille via
+    floor division (the multiply-out rule; token totals hit clean
+    power shapes).  Plan: token explode → term partial agg →
+    frequency-ranked cumulative sum over the DISTINCT-term domain
+    (vocab-bounded, not corpus-bounded) → a 3-row checkpoint spine
+    probes the curve."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    wg = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tf.select(
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(wg).alias("total"),
+    )
+    wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "rk", "total", F.sum("n").over(wc).alias("cum_n")
+    )
+    cp = spark.createDataFrame(
+        [(c,) for c in _VOCAB_CHECKPOINTS], "vocab_size long"
+    )
+    j = F.broadcast(cp).crossJoin(cum)
+    agg = j.groupBy("vocab_size").agg(
+        F.max(
+            F.when(F.col("rk") <= F.col("vocab_size"), F.col("cum_n"))
+        ).alias("covered"),
+        F.max("total").alias("total"),
+    )
+    return agg.select(
+        "vocab_size",
+        F.col("covered").cast("long").alias("covered_tokens"),
+        F.col("total").cast("long").alias("total_tokens"),
+        F.expr("cast((1000 * covered) div total as bigint)").alias(
+            "coverage_mille"
+        ),
+    )

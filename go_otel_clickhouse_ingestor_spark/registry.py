@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_degree_assortativity", "text_term_burstiness",
     "events_markov_stationary", "events_survival_km",
     "agg_weighted_median", "events_interval_union_coverage",
+    "text_vocab_coverage_curve",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
