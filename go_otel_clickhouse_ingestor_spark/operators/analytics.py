@@ -4097,3 +4097,75 @@ def events_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
     )
+
+
+@query(
+    "events_poisson_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)                        AS n_days,
+             sum(cast(c AS HUGEINT))         AS s1,
+             sum(cast(c AS HUGEINT) * c)     AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           cast(n_days AS BIGINT) AS n_days,
+           cast(s1 AS BIGINT)     AS n_events,
+           cast((1000000 * (n_days * s2 - s1 * s1))
+                // (cast(n_days AS HUGEINT) * s1) AS BIGINT) AS vmr_micro,
+           round((cast(n_days * s2 - s1 * s1 AS DOUBLE)
+                  / (cast(n_days AS DOUBLE) * s1) - 1.0)
+                 * sqrt((n_days - 1) / 2.0), 6) AS dispersion_z
+    FROM m
+    """,
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion test on daily arrival counts per event type:
+    the variance-to-mean ratio of counts (VMR = 1 under a Poisson
+    process; > 1 over-dispersed/bursty, < 1 regular) plus the
+    normalized z ≈ (VMR−1)·√((n−1)/2) — the arrival-process member of
+    the stats family (text_term_burstiness applies the same statistic
+    to term occurrences; this applies it to the CLOCK, which is what
+    capacity planning actually consumes).  VMR rides exact integer
+    micro-units via floor division; the z carries the sqrt and rounds
+    safely.  Plan: one (type, day) partial agg over the scan, then
+    per-type moment math on calendar-bounded rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("c").cast("decimal(20,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c").cast("decimal(20,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n_days"), F.col("s1"), F.col("s2")
+    num = n.cast("decimal(38,0)") * s2 - s1 * s1
+    den = n.cast("decimal(38,0)") * s1
+    vmr_f = num.cast("double") / den.cast("double")
+    staged = m.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        s1.cast("long").alias("n_events"),
+        num.alias("num"),
+        den.alias("den"),
+        vmr_f.alias("vmr_f"),
+    )
+    return staged.select(
+        "event_type",
+        "n_days",
+        "n_events",
+        F.expr("cast((1000000 * num) div den as bigint)").alias("vmr_micro"),
+        F.round(
+            (F.col("vmr_f") - 1.0)
+            * F.sqrt((F.col("n_days") - 1) / 2.0),
+            6,
+        ).alias("dispersion_z"),
+    )

@@ -1681,3 +1681,100 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_mille"
         ),
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    sc AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    corp AS (SELECT term, sum(c) AS cc FROM sc GROUP BY term),
+    vocab AS (SELECT count(*) AS v, sum(cc) AS nn FROM corp),
+    srcn AS (SELECT source, sum(c) AS ns FROM sc GROUP BY source),
+    spine AS (
+      SELECT s.source, t.term, t.cc, s2.ns, v.v, v.nn,
+             coalesce(sc.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM sc) s
+      CROSS JOIN corp t
+      CROSS JOIN vocab v
+      JOIN srcn s2 ON s.source = s2.source
+      LEFT JOIN sc ON sc.source = s.source AND sc.term = t.term
+    ),
+    probs AS (
+      SELECT source,
+             (c + 0.5)  / (ns + v / 2.0) AS p,
+             (cc + 0.5) / (nn + v / 2.0) AS q
+      FROM spine
+    ),
+    js AS (
+      SELECT source,
+             round(sum(0.5 * p * log2(p / ((p + q) / 2))
+                       + 0.5 * q * log2(q / ((p + q) / 2))), 6) AS js_bits
+      FROM probs GROUP BY source
+    )
+    SELECT source, js_bits,
+           cast(row_number() OVER (ORDER BY js_bits DESC, source)
+                AS BIGINT) AS divergence_rank
+    FROM js
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between each source's term
+    distribution and the corpus-wide one — the distribution-shift
+    score mixture design runs before reweighting sources
+    (pipeline_mix_weights decides proportions; THIS says which sources
+    are actually off-distribution, symmetric and bounded unlike raw
+    KL).  Add-half smoothing on a materialized vocab×source spine
+    keeps every probability positive (JS of absent terms stays
+    finite); the log-laden sum rounds safely at 6.  Plan: token
+    explode → (source, term) partial agg, then every downstream stage
+    lives in vocab×|sources| space — corpus size only touches the
+    first agg; the spine join keys on term with the 20-row source
+    side broadcast."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    sc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.persist()
+    corp = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    vocab = corp.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cc").alias("nn")
+    )
+    srcn = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    sources = sc.select("source").distinct()
+    spine = (
+        corp.crossJoin(F.broadcast(sources))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(srcn), "source")
+        .join(sc, ["source", "term"], "left")
+        .select(
+            "source",
+            "cc",
+            "ns",
+            "v",
+            "nn",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    p = (F.col("c") + 0.5) / (F.col("ns") + F.col("v") / 2.0)
+    q = (F.col("cc") + 0.5) / (F.col("nn") + F.col("v") / 2.0)
+    m = (p + q) / 2
+    js = spine.groupBy("source").agg(
+        F.round(
+            F.sum(0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)), 6
+        ).alias("js_bits")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("js_bits").desc(), F.col("source"))
+    return js.select(
+        "source",
+        "js_bits",
+        F.row_number().over(w).cast("long").alias("divergence_rank"),
+    )
