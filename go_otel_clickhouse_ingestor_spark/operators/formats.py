@@ -773,3 +773,48 @@ def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.mapInPandas(
         _footer_stats_batches, "table_name string, n_rows long, n_cols long"
     )
+
+
+def expire_lake_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    ttl_days: int,
+    now_day: str,
+) -> dict[str, int]:
+    """TTL partition expiry — the data-lifecycle half of lake
+    maintenance next to :func:`compact_lake_partitions` (reference
+    parity: ClickHouse tables declare ``TTL ts + INTERVAL n DAY`` and
+    drop whole parts; a parquet lake schedules the same sweep itself).
+
+    Day-partitioned layouts make retention a METADATA operation: a
+    partition is expired by dropping its directory, never by scanning
+    or rewriting rows — O(|expired partitions|) renames regardless of
+    table size, the only retention shape that survives 100 TB.
+    ``now_day`` is an explicit ``yyyy-MM-dd`` string (no wall-clock
+    read — deterministic, testable, and replayable like every other
+    boundary in this repo).
+
+    Failure semantics match the compactor: each expired partition is
+    renamed to ``<partition>._expired`` first (an atomic rename, after
+    which readers no longer list it) and deleted second; a crash
+    between the two leaves a recoverable tombstone directory, and
+    every other partition is untouched.  Returns
+    {partition_value: n_files_dropped}."""
+    import datetime
+    import shutil
+
+    cutoff = (
+        datetime.date.fromisoformat(now_day)
+        - datetime.timedelta(days=ttl_days)
+    ).isoformat()
+    census = list_partition_files(path, partition_col)
+    expired = {v: files for v, files in census.items() if v < cutoff}
+    dropped: dict[str, int] = {}
+    for value, files in expired.items():
+        d = os.path.join(path, f"{partition_col}={value}")
+        tomb = f"{d}._expired"
+        os.rename(d, tomb)
+        shutil.rmtree(tomb)
+        dropped[value] = len(files)
+    return dropped

@@ -971,3 +971,70 @@ def test_mmr_rerank_diversity_contract(spark, sf_dir):
         assert gains[-1] > -0.01, (qid, gains[-1])
     assert improved >= len(by_q) // 2, "MMR rarely improved diversity"
     assert sum(gains) > 0, "no net diversity gain across queries"
+
+
+def test_ttl_expiry_drops_only_expired_partitions(spark, sf_dir, tmp_path):
+    """expire_lake_partitions: partitions older than the TTL cutoff
+    vanish, everything newer keeps its exact files, and the surviving
+    data round-trips identically — all without reading a single row."""
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.operators.formats import (
+        expire_lake_partitions,
+        list_partition_files,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table as t
+
+    path = str(tmp_path / "lake")
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        )
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    before = list_partition_files(path, "day")
+    days = sorted(before)
+    assert len(days) >= 10
+    # choose now/ttl so a non-trivial prefix of days expires
+    now_day = days[-1]
+    import datetime
+
+    ttl = (
+        datetime.date.fromisoformat(now_day)
+        - datetime.date.fromisoformat(days[len(days) // 2])
+    ).days
+    cutoff = (
+        datetime.date.fromisoformat(now_day) - datetime.timedelta(days=ttl)
+    ).isoformat()
+    keep = {d for d in days if d >= cutoff}
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("day") >= cutoff)
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    )
+    sizes_before = {
+        d: [(os.path.basename(p), os.path.getsize(p)) for p in before[d]]
+        for d in keep
+    }
+
+    dropped = expire_lake_partitions(spark, path, "day", ttl, now_day)
+    assert set(dropped) == set(days) - keep
+    assert all(n > 0 for n in dropped.values())
+
+    after = list_partition_files(path, "day")
+    assert set(after) == keep
+    for d in keep:
+        assert [
+            (os.path.basename(p), os.path.getsize(p)) for p in after[d]
+        ] == sizes_before[d], f"partition {d} was touched"
+    got = spark.read.parquet(path).agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).collect()
+    assert list(map(tuple, got)) == list(map(tuple, want))
+    # idempotence: a second sweep with the same clock drops nothing
+    assert expire_lake_partitions(spark, path, "day", ttl, now_day) == {}
