@@ -4169,3 +4169,138 @@ def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dispersion_z"),
     )
+
+
+@query(
+    "stat_association_measures",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x, date_part('dow', ts) AS y, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT x, sum(n) AS rn FROM cells GROUP BY x),
+    cm AS (SELECT y, sum(n) AS cn FROM cells GROUP BY y),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    chi AS (
+      SELECT sum((c.n - rm.rn * cm.cn / cast(tot.t AS DOUBLE))
+                 * (c.n - rm.rn * cm.cn / cast(tot.t AS DOUBLE))
+                 / (rm.rn * cm.cn / cast(tot.t AS DOUBLE))) AS chi2,
+             max(tot.t)                                     AS t,
+             (SELECT count(*) FROM rm)                      AS r,
+             (SELECT count(*) FROM cm)                      AS k
+      FROM cells c
+      JOIN rm ON c.x = rm.x JOIN cm ON c.y = cm.y CROSS JOIN tot
+    ),
+    ent AS (
+      SELECT -sum((rm.rn / cast(tot.t AS DOUBLE))
+                  * log2(rm.rn / cast(tot.t AS DOUBLE)))      AS hx,
+             (SELECT -sum((cn / cast(tot.t AS DOUBLE))
+                          * log2(cn / cast(tot.t AS DOUBLE)))
+              FROM cm CROSS JOIN tot)                         AS hy,
+             (SELECT sum((c.n / cast(tot.t AS DOUBLE))
+                         * log2((c.n * cast(tot.t AS DOUBLE))
+                                / (cast(rm.rn AS DOUBLE) * cm.cn)))
+              FROM cells c JOIN rm ON c.x = rm.x
+              JOIN cm ON c.y = cm.y CROSS JOIN tot)           AS mi
+      FROM rm CROSS JOIN tot
+    )
+    SELECT round(sqrt(chi.chi2 / (chi.t * least(chi.r - 1, chi.k - 1))), 6)
+             AS cramers_v,
+           round(sqrt(greatest(chi.chi2 / chi.t
+                               - (chi.r - 1.0) * (chi.k - 1.0) / (chi.t - 1),
+                               0)
+                      / least(chi.r - (chi.r - 1.0) * (chi.r - 1.0)
+                                      / (chi.t - 1) - 1,
+                              chi.k - (chi.k - 1.0) * (chi.k - 1.0)
+                                      / (chi.t - 1) - 1)), 6)
+             AS cramers_v_corrected,
+           round(ent.mi / ent.hx, 6) AS theils_u_x_given_y,
+           round(ent.mi / ent.hy, 6) AS theils_u_y_given_x
+    FROM chi CROSS JOIN ent
+    """,
+)
+def stat_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical-association ladder ClickHouse ships as named
+    functions — ``cramersV``, ``cramersVBiasCorrected`` (Bergsma's
+    correction) and ``theilsU`` both directions — over the event_type ×
+    day-of-week contingency table, so a migrating dashboard keeps its
+    effect-size panel (stat_chi2_independence gives the significance;
+    these give the STRENGTH, and Theil's U is the asymmetric one that
+    says which variable predicts which).  All four derive from the
+    same exact-integer cells/margins; the float tail is margin-sized
+    and sqrt/log-laden (round-6 safe).  Plan: ONE (type, dow) agg over
+    the scan feeds every statistic — margins, chi-square and the three
+    entropies are all broadcast-sized reductions of the cells."""
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            (F.dayofweek("ts") - 1).cast("double").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    rm = cells.groupBy("x").agg(F.sum("n").alias("rn"))
+    cm = cells.groupBy("y").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    r = rm.agg(F.count(F.lit(1)).alias("r"))
+    k = cm.agg(F.count(F.lit(1)).alias("k"))
+    t = F.col("t").cast("double")
+    e = F.col("rn") * F.col("cn") / t
+    chi = (
+        cells.join(F.broadcast(rm), "x")
+        .join(F.broadcast(cm), "y")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2"),
+            F.max("t").alias("t"),
+        )
+        .join(F.broadcast(r))
+        .join(F.broadcast(k))
+    )
+    hx = (
+        rm.join(F.broadcast(tot))
+        .agg((-F.sum((F.col("rn") / t) * F.log2(F.col("rn") / t))).alias("hx"))
+    )
+    hy = (
+        cm.join(F.broadcast(tot))
+        .agg((-F.sum((F.col("cn") / t) * F.log2(F.col("cn") / t))).alias("hy"))
+    )
+    mi = (
+        cells.join(F.broadcast(rm), "x")
+        .join(F.broadcast(cm), "y")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") / t)
+                * F.log2(
+                    (F.col("n") * t)
+                    / (F.col("rn").cast("double") * F.col("cn"))
+                )
+            ).alias("mi")
+        )
+    )
+    rr, kk, tt = (
+        F.col("r").cast("double"),
+        F.col("k").cast("double"),
+        F.col("t").cast("double"),
+    )
+    phi2 = F.col("chi2") / tt
+    phi2c = F.greatest(
+        phi2 - (rr - 1) * (kk - 1) / (tt - 1), F.lit(0.0)
+    )
+    rc = rr - (rr - 1) * (rr - 1) / (tt - 1)
+    kc = kk - (kk - 1) * (kk - 1) / (tt - 1)
+    return (
+        chi.join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .join(F.broadcast(mi))
+        .select(
+            F.round(F.sqrt(phi2 / F.least(rr - 1, kk - 1)), 6).alias("cramers_v"),
+            F.round(
+                F.sqrt(phi2c / F.least(rc - 1, kc - 1)), 6
+            ).alias("cramers_v_corrected"),
+            F.round(F.col("mi") / F.col("hx"), 6).alias("theils_u_x_given_y"),
+            F.round(F.col("mi") / F.col("hy"), 6).alias("theils_u_y_given_x"),
+        )
+    )
