@@ -4304,3 +4304,83 @@ def stat_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi") / F.col("hy"), 6).alias("theils_u_y_given_x"),
         )
     )
+
+
+@query(
+    "events_max_concurrency",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + {_IVL_LEN_US} AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 FROM iv
+    ),
+    swept AS (
+      SELECT event_type, t, delta,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS open
+      FROM pts
+    ),
+    peaks AS (
+      SELECT event_type, max(open) AS peak FROM swept GROUP BY event_type
+    )
+    SELECT s.event_type,
+           cast(p.peak AS BIGINT) AS max_concurrent,
+           cast(min(s.t) AS BIGINT) AS first_peak_us
+    FROM swept s JOIN peaks p
+      ON s.event_type = p.event_type AND s.open = p.peak
+    GROUP BY s.event_type, p.peak
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — ClickHouse's
+    ``maxIntersections`` / ``maxIntersectionsPosition`` pair: the
+    maximum number of simultaneously-open 5-minute activity intervals
+    and the earliest instant it is reached, the capacity-planning
+    number ("size for the peak, not the mean") that the interval-UNION
+    operator (events_interval_union_coverage) deliberately doesn't
+    see.  The classic sweep: every interval contributes a +1 at open
+    and a −1 at close, sorted with +1 BEFORE −1 at equal timestamps
+    (touching intervals count as concurrent, matching ClickHouse), and
+    the running sum's maximum is the answer.  Exact integers
+    everywhere.  Plan: one shuffle on event_type, one ordered window
+    over 2·n points, two tiny aggs — linear, no joins against
+    data-sized sides."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _IVL_LEN_US).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    swept = pts.select(
+        "event_type", "t", F.sum("delta").over(w).alias("open")
+    )
+    peaks = swept.groupBy("event_type").agg(F.max("open").alias("peak"))
+    return (
+        swept.join(
+            F.broadcast(peaks),
+            ["event_type"],
+        )
+        .filter(F.col("open") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("first_peak_us"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("max_concurrent"),
+            F.col("first_peak_us").cast("long").alias("first_peak_us"),
+        )
+    )

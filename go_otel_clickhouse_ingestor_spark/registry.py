@@ -108,7 +108,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_weighted_median", "events_interval_union_coverage",
     "text_vocab_coverage_curve",
     "events_poisson_dispersion", "text_js_divergence_sources",
-    "stat_association_measures",
+    "stat_association_measures", "events_max_concurrency",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
