@@ -4384,3 +4384,78 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_peak_us").cast("long").alias("first_peak_us"),
         )
     )
+
+
+#: LTTB output size (buckets incl. the pinned endpoints).
+_LTTB_N_OUT = 20
+
+
+def _lttb_select(pdf):
+    """Largest-Triangle-Three-Buckets over one ordered series (numpy;
+    the group is the day-grain series — calendar-bounded math)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("t").reset_index(drop=True)
+    t = pdf["t"].to_numpy(dtype=np.float64)
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    n = len(t)
+    n_out = min(_LTTB_N_OUT, n)
+    if n_out == n:
+        keep = list(range(n))
+    else:
+        keep = [0]
+        every = (n - 2) / (n_out - 2)
+        a = 0
+        for i in range(n_out - 2):
+            lo = int(np.floor(i * every) + 1)
+            hi = int(np.floor((i + 1) * every) + 1)
+            hi = min(hi, n - 1)
+            nlo = int(np.floor((i + 1) * every) + 1)
+            nhi = min(int(np.floor((i + 2) * every) + 1), n)
+            avg_t = t[nlo:nhi].mean() if nhi > nlo else t[-1]
+            avg_x = x[nlo:nhi].mean() if nhi > nlo else x[-1]
+            area = np.abs(
+                (t[a] - avg_t) * (x[lo:hi] - x[a])
+                - (t[a] - t[lo:hi]) * (avg_x - x[a])
+            )
+            a = lo + int(area.argmax())
+            keep.append(a)
+        keep.append(n - 1)
+    out = pdf.iloc[keep].copy()
+    out["rank"] = range(1, len(keep) + 1)
+    return out[["rank", "t", "x"]]
+
+
+@query("events_lttb_downsample")  # rows-only: greedy selection has no SQL twin
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the daily
+    total-value series to {_LTTB_N_OUT} points — ClickHouse's ``lttb``
+    / ``largestTriangleThreeBuckets`` function: the plot-fidelity
+    downsampler every monitoring UI runs before rendering a year of
+    points into a 400-pixel sparkline (uniform sampling flattens
+    spikes; LTTB keeps the visually-dominant extremes by maximizing
+    triangle area against the previous pick and the next bucket's
+    mean).  Greedy with a sequential dependency on the previous
+    selection — no SQL twin, so rows-only with a structural pytest
+    gate (pinned endpoints, one pick per bucket, ordered output).
+    Plan: corpus-sized work is only the day-grain partial agg; the
+    selection runs in one Arrow-grouped kernel over the
+    calendar-bounded series."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    series = daily.select(
+        F.lit(1).alias("g"),
+        F.datediff(F.col("day"), F.lit("2020-01-01")).cast("double").alias("t"),
+        F.col("x").cast("double").alias("x"),
+    )
+    out = series.groupBy("g").applyInPandas(
+        lambda pdf: _lttb_select(pdf), "rank long, t double, x double"
+    )
+    return out.select(
+        "rank",
+        F.col("t").cast("long").alias("day_index"),
+        (F.col("x") / 100.0).alias("total_value"),
+    )

@@ -1038,3 +1038,40 @@ def test_ttl_expiry_drops_only_expired_partitions(spark, sf_dir, tmp_path):
     assert list(map(tuple, got)) == list(map(tuple, want))
     # idempotence: a second sweep with the same clock drops nothing
     assert expire_lake_partitions(spark, path, "day", ttl, now_day) == {}
+
+
+def test_lttb_structural_contract(spark, sf_dir):
+    """LTTB downsample: exactly n_out ordered points, endpoints
+    pinned to the true series endpoints, strictly increasing day
+    index, and every kept point exists in the source series with its
+    exact value."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        _LTTB_N_OUT,
+    )
+
+    rows = sorted(
+        REGISTRY["events_lttb_downsample"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    # rebuild the source series directly
+    from go_otel_clickhouse_ingestor_spark.tables import table as t
+
+    ev = t(spark, sf_dir, "events")
+    src = {}
+    for r in (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr("cast(round(value*100) as bigint)")).alias("x"))
+        .selectExpr(
+            "cast(datediff(day, date'2020-01-01') as long) as t",
+            "x / 100.0 as v",
+        )
+        .collect()
+    ):
+        src[r.t] = float(r.v)
+    n = len(src)
+    assert len(rows) == min(_LTTB_N_OUT, n)
+    idxs = [r.day_index for r in rows]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+    assert idxs[0] == min(src) and idxs[-1] == max(src)
+    for r in rows:
+        assert abs(src[r.day_index] - r.total_value) < 1e-9
