@@ -4459,3 +4459,55 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("day_index"),
         (F.col("x") / 100.0).alias("total_value"),
     )
+
+
+#: Journey-path report depth.
+_PATHS_TOPK = 20
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    ),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, cast(n AS BIGINT) AS n,
+           cast(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn
+    FROM paths
+    ORDER BY rn LIMIT {_PATHS_TOPK}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: the most frequent ordered TRIPLES of
+    consecutive event types per user (the Sankey/flow diagram's data),
+    one step deeper than events_top_transitions' bigram matrix — the
+    difference between "click follows view" and "view > click >
+    purchase is the converting corridor".  Two lead windows over the
+    same user-keyed sort (one shuffle), a path string agg with
+    map-side combine (path cardinality ≤ |types|³ — tiny forever),
+    and a TakeOrdered top-{_PATHS_TOPK}.  Exact integer counts."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        paths.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= _PATHS_TOPK)
+        .select("path", F.col("n").cast("long").alias("n"), "rn")
+    )
