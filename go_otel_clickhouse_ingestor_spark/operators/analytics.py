@@ -4511,3 +4511,95 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PATHS_TOPK)
         .select("path", F.col("n").cast("long").alias("n"), "rn")
     )
+
+
+#: XYZ variability thresholds on the coefficient of variation.
+_XYZ_X_CV = 0.5   # CV < 0.5  -> X (steady)
+_XYZ_Y_CV = 1.0   # CV < 1.0  -> Y (variable); else Z (erratic)
+
+
+@query(
+    "orders_xyz_class",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT l.l_partkey AS part,
+             date_trunc('week', o.o_orderdate) AS wk,
+             cast(sum(cast(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT part,
+             count(*)                    AS n_weeks,
+             sum(cast(q AS HUGEINT))     AS s1,
+             sum(cast(q AS HUGEINT) * q) AS s2
+      FROM weekly GROUP BY part
+    ),
+    scored AS (
+      SELECT part, n_weeks, s1, s2,
+             -- multiply-out: CV >= t  <=>  n*(n*s2 - s1^2) >= t^2*(n-1)*s1^2
+             -- (population->sample var with the (n-1); thresholds as
+             -- exact integer ratios 1/2 and 1/1)
+             n_weeks * (n_weeks * s2 - s1 * s1)               AS var_num,
+             cast((n_weeks - 1) AS HUGEINT) * s1 * s1         AS mean_den
+      FROM m WHERE n_weeks >= 2 AND s1 > 0
+    )
+    SELECT CASE WHEN 4 * var_num < mean_den THEN 'X'
+                WHEN var_num < mean_den     THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           cast(count(*) AS BIGINT)        AS n_parts,
+           cast(sum(s1) AS BIGINT)         AS total_qty,
+           cast(min(part) AS BIGINT)       AS example_part
+    FROM scored GROUP BY 1
+    """,
+)
+def orders_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per part — the
+    coefficient-of-variation companion to ``orders_abc_class`` (ABC
+    ranks by VOLUME, XYZ by PREDICTABILITY; the ABC-XYZ matrix is the
+    standard inventory-policy grid): weekly demand per part, CV of the
+    weekly series, X < {_XYZ_X_CV} steady / Y < {_XYZ_Y_CV} variable /
+    Z erratic.  The class boundary never touches a float: CV ≥ t is
+    multiplied out to n·(n·Σq²−(Σq)²) ≥ t²·(n−1)·(Σq)² with the
+    thresholds as exact integer ratios (4·var_num vs mean_den for
+    t=1/2) — the portability ladder's rule for ratio comparisons.
+    Plan: one join + (part, week) partial agg carry all the
+    data-sized work; moments and classes are per-part arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    weekly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+        )
+        .agg(
+            F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias("q")
+        )
+    )
+    m = weekly.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum(F.col("q").cast("decimal(20,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("q").cast("decimal(20,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n_weeks"), F.col("s1"), F.col("s2")
+    scored = m.filter((n >= 2) & (s1 > 0)).select(
+        "part",
+        s1.alias("s1"),
+        (n.cast("decimal(38,0)") * (n.cast("decimal(38,0)") * s2 - s1 * s1)).alias(
+            "var_num"
+        ),
+        ((n - 1).cast("decimal(38,0)") * s1 * s1).alias("mean_den"),
+    )
+    cls = (
+        F.when(4 * F.col("var_num") < F.col("mean_den"), "X")
+        .when(F.col("var_num") < F.col("mean_den"), "Y")
+        .otherwise("Z")
+    )
+    return scored.groupBy(cls.alias("xyz_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("s1").cast("long").alias("total_qty"),
+        F.min("part").cast("long").alias("example_part"),
+    )
