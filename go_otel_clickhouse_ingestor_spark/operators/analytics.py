@@ -4603,3 +4603,129 @@ def orders_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s1").cast("long").alias("total_qty"),
         F.min("part").cast("long").alias("example_part"),
     )
+
+
+#: Bot-detection rule constants (all thresholds enter as exact
+#: integer ratios via multiply-out comparisons).
+_BOT_MAX_AVG_GAP_US = 3600 * 1000000   # mean interarrival < 1 hour
+_BOT_SHARE_NUM, _BOT_SHARE_DEN = 4, 5  # one type >= 80% of events
+_BOT_VMR_NUM, _BOT_VMR_DEN = 9, 100    # gap VMR < 0.09 (metronomic)
+_BOT_MIN_EVENTS = 20
+
+
+@query(
+    "events_bot_score",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             count(*)                          AS n_gaps,
+             sum(cast(gap AS HUGEINT))         AS s1,
+             sum(cast(gap AS HUGEINT) * gap)   AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    ),
+    types AS (
+      SELECT user_id, count(*) AS n, max(c) AS top_c
+      FROM (SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY 1, 2) tc
+      GROUP BY user_id
+    ),
+    tot AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    feat AS (
+      SELECT t.user_id, t.n_events, gaps.n_gaps, gaps.s1, gaps.s2,
+             ty.top_c,
+             CASE WHEN gaps.s1 < {_BOT_MAX_AVG_GAP_US}::HUGEINT * gaps.n_gaps
+                  THEN 1 ELSE 0 END AS f_rate,
+             CASE WHEN {_BOT_SHARE_DEN} * ty.top_c
+                       >= {_BOT_SHARE_NUM} * t.n_events
+                  THEN 1 ELSE 0 END AS f_monotype,
+             CASE WHEN gaps.n_gaps >= 2 AND
+                       {_BOT_VMR_DEN}::HUGEINT * gaps.n_gaps
+                         * (gaps.n_gaps * gaps.s2 - gaps.s1 * gaps.s1)
+                       < {_BOT_VMR_NUM}::HUGEINT * (gaps.n_gaps - 1)
+                         * gaps.s1 * gaps.s1
+                  THEN 1 ELSE 0 END AS f_metronome
+      FROM tot t
+      JOIN gaps ON t.user_id = gaps.user_id
+      JOIN types ty ON t.user_id = ty.user_id
+      WHERE t.n_events >= {_BOT_MIN_EVENTS}
+    )
+    SELECT user_id,
+           cast(n_events AS BIGINT)                    AS n_events,
+           cast(f_rate AS BIGINT)                      AS f_rate,
+           cast(f_monotype AS BIGINT)                  AS f_monotype,
+           cast(f_metronome AS BIGINT)                 AS f_metronome,
+           (f_rate + f_monotype + f_metronome >= 2)    AS is_bot
+    FROM feat
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot/automation detection per user — the behavioral
+    classifier abuse teams run before any ML: three features over a
+    user's event stream (sub-hour mean interarrival; one event type ≥
+    80% of traffic; metronomic timing, gap VMR < 0.09), two-of-three
+    flags a bot.  The per-series complement of events_anomaly_zscore
+    (which watches the aggregate clock).  EVERY threshold is an exact
+    integer multiply-out — rate (Σgap < cap·n), share (5·top ≥ 4·n)
+    and regularity (the XYZ-class moment comparison) — so no float
+    exists anywhere in the decision path.  Plan: one user-keyed lag
+    window plus two partial+final aggs sharing the user_id shuffle
+    key; per-user moment math after."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gaps = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(20,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(20,0)") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    types = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    tot = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ng, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    f_rate = F.when(
+        s1 < F.lit(_BOT_MAX_AVG_GAP_US).cast("decimal(38,0)") * ng, 1
+    ).otherwise(0)
+    f_mono = F.when(
+        _BOT_SHARE_DEN * F.col("top_c") >= _BOT_SHARE_NUM * F.col("n_events"), 1
+    ).otherwise(0)
+    f_metro = F.when(
+        (ng >= 2)
+        & (
+            F.lit(_BOT_VMR_DEN).cast("decimal(38,0)")
+            * ng
+            * (ng * s2 - s1 * s1)
+            < F.lit(_BOT_VMR_NUM).cast("decimal(38,0)") * (ng - 1) * s1 * s1
+        ),
+        1,
+    ).otherwise(0)
+    feat = (
+        tot.join(gaps, "user_id")
+        .join(types, "user_id")
+        .filter(F.col("n_events") >= _BOT_MIN_EVENTS)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            f_rate.cast("long").alias("f_rate"),
+            f_mono.cast("long").alias("f_monotype"),
+            f_metro.cast("long").alias("f_metronome"),
+        )
+    )
+    return feat.withColumn(
+        "is_bot",
+        (F.col("f_rate") + F.col("f_monotype") + F.col("f_metronome")) >= 2,
+    )

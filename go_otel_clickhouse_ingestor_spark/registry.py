@@ -109,7 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_vocab_coverage_curve",
     "events_poisson_dispersion", "text_js_divergence_sources",
     "stat_association_measures", "events_max_concurrency",
-    "events_top_paths", "orders_xyz_class",
+    "events_top_paths", "orders_xyz_class", "events_bot_score",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
