@@ -4729,3 +4729,101 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_bot",
         (F.col("f_rate") + F.col("f_monotype") + F.col("f_metronome")) >= 2,
     )
+
+
+#: Dead-air report depth (longest gaps per type).
+_DEADAIR_TOPK = 10
+_US_PER_HOUR = 3600 * 1000000
+
+
+@query(
+    "events_dead_air_gaps",
+    oracle=f"""
+    WITH obs AS (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) // {_US_PER_HOUR} AS h
+      FROM events
+    ),
+    span AS (SELECT min(h) AS mn, max(h) AS mx FROM obs),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT unnest(range((SELECT mn FROM span),
+                                      (SELECT mx FROM span) + 1)) AS h) g
+    ),
+    missing AS (
+      SELECT s.event_type, s.h
+      FROM spine s LEFT JOIN obs
+        ON obs.event_type = s.event_type AND obs.h = s.h
+      WHERE obs.h IS NULL
+    ),
+    isl AS (
+      SELECT event_type, h,
+             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS grp
+      FROM missing
+    ),
+    gaps AS (
+      SELECT event_type, min(h) AS start_h, count(*) AS gap_hours
+      FROM isl GROUP BY event_type, grp
+    )
+    SELECT event_type,
+           cast(start_h * {_US_PER_HOUR} AS BIGINT) AS gap_start_us,
+           cast(gap_hours AS BIGINT)                AS gap_hours,
+           cast(rn AS BIGINT)                       AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY gap_hours DESC, start_h)
+                    AS rn
+          FROM gaps) t
+    WHERE rn <= {_DEADAIR_TOPK}
+    """,
+)
+def events_dead_air_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-air detection: the longest runs of consecutive HOURS with
+    zero events per type — monitoring's "no data is also a signal"
+    alert (an outage shows as silence, which threshold alerts on
+    values can never fire on; the inverse of events_streaks' activity
+    islands).  Absence is materialized by anti-joining an hour spine
+    against observed hours, then the classic index-minus-row_number
+    island grouping; hour indexes are exact integer floor-divisions of
+    epoch-micros.  Plan: the observed-hours distinct is the only
+    data-sized stage (partial agg); the spine is |types|×span-hours —
+    calendar-bounded — and everything after lives there.  Top-10
+    longest per type keeps the report bounded."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / _US_PER_HOUR).cast("long").alias("h"),
+    ).distinct()
+    obs = obs.persist()
+    span = obs.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    types = obs.select("event_type").distinct()
+    spine = (
+        F.broadcast(types)
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+        )
+    )
+    missing = spine.join(obs, ["event_type", "h"], "left_anti")
+    wi = Window.partitionBy("event_type").orderBy("h")
+    isl = missing.select(
+        "event_type", "h", (F.col("h") - F.row_number().over(wi)).alias("grp")
+    )
+    gaps = isl.groupBy("event_type", "grp").agg(
+        F.min("h").alias("start_h"), F.count(F.lit(1)).alias("gap_hours")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gap_hours").desc(), F.col("start_h")
+    )
+    return (
+        gaps.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= _DEADAIR_TOPK)
+        .select(
+            "event_type",
+            (F.col("start_h") * _US_PER_HOUR).cast("long").alias("gap_start_us"),
+            F.col("gap_hours").cast("long").alias("gap_hours"),
+            "rn",
+        )
+    )
