@@ -4827,3 +4827,79 @@ def events_dead_air_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+#: Price-dispersion report depth.
+_DISPERSION_TOPK = 20
+
+
+@query(
+    "orders_price_dispersion",
+    oracle=f"""
+    WITH px AS (
+      SELECT l_partkey AS part,
+             cast(round(l_quantity) AS BIGINT)             AS qty,
+             cast(round(l_extendedprice * 100) AS BIGINT)  AS price_c
+      FROM lineitem
+    ),
+    g AS (
+      SELECT part, qty,
+             count(*)       AS n_sales,
+             min(price_c)   AS min_c,
+             max(price_c)   AS max_c
+      FROM px GROUP BY part, qty
+      HAVING count(*) >= 2
+    )
+    SELECT part, qty, cast(n_sales AS BIGINT) AS n_sales,
+           round(min_c / 100.0, 2) AS min_price,
+           round(max_c / 100.0, 2) AS max_price,
+           cast(max_c - min_c AS BIGINT) AS spread_c,
+           cast(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (ORDER BY max_c - min_c DESC,
+                                       part, qty) AS rn
+          FROM g) t
+    WHERE rn <= {_DISPERSION_TOPK}
+    """,
+)
+def orders_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-dispersion scan: for the same part at the same quantity,
+    the spread between the cheapest and dearest charged total — the
+    procurement-anomaly sweep ("who paid list price while everyone
+    else got the discount"), top-{_DISPERSION_TOPK} by spread.
+    Grouping on (part, quantity) keeps every compared number an exact
+    centi-unit integer — no unit-price RATIO ever exists, which is
+    what makes the whole query float-free (a ratio would re-import the
+    quotient-rounding tie problem).  Plan: one partial+final agg on
+    the composite key, then a TakeOrdered top-k — min/max combine
+    map-side, the group count is bounded by the part×qty domain."""
+    li = table(spark, sf_dir, "lineitem")
+    px = li.select(
+        F.col("l_partkey").alias("part"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+    )
+    g = (
+        px.groupBy("part", "qty")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.min("price_c").alias("min_c"),
+            F.max("price_c").alias("max_c"),
+        )
+        .filter(F.col("n_sales") >= 2)
+    )
+    w = Window.orderBy(
+        (F.col("max_c") - F.col("min_c")).desc(), F.col("part"), F.col("qty")
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _DISPERSION_TOPK)
+        .select(
+            "part",
+            "qty",
+            F.col("n_sales").cast("long").alias("n_sales"),
+            F.round(F.col("min_c") / 100.0, 2).alias("min_price"),
+            F.round(F.col("max_c") / 100.0, 2).alias("max_price"),
+            (F.col("max_c") - F.col("min_c")).cast("long").alias("spread_c"),
+            "rn",
+        )
+    )

@@ -110,7 +110,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_poisson_dispersion", "text_js_divergence_sources",
     "stat_association_measures", "events_max_concurrency",
     "events_top_paths", "orders_xyz_class", "events_bot_score",
-    "events_dead_air_gaps",
+    "events_dead_air_gaps", "orders_price_dispersion",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
