@@ -4903,3 +4903,81 @@ def orders_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query(
+    "events_correlated_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)                        AS n,
+             sum(cast(x AS HUGEINT))         AS s1,
+             sum(cast(x AS HUGEINT) * x)     AS s2
+      FROM daily GROUP BY event_type
+    ),
+    flagged AS (
+      SELECT d.day, d.event_type
+      FROM daily d JOIN m ON d.event_type = m.event_type
+      -- |x - mean| > 2*sigma, multiplied out to integers:
+      -- (n-1)*(n*x - s1)^2 > 4*n*(n*s2 - s1^2)
+      WHERE (m.n - 1) * (m.n * d.x - m.s1) * (m.n * d.x - m.s1)
+            > 4::HUGEINT * m.n * (m.n * m.s2 - m.s1 * m.s1)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           cast(count(*) AS BIGINT)  AS n_anomalous_types,
+           string_agg(event_type, ',' ORDER BY event_type) AS types
+    FROM flagged
+    GROUP BY day HAVING count(*) >= 2
+    """,
+)
+def events_correlated_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-anomaly days: dates where TWO OR MORE event types are
+    simultaneously beyond 2σ of their own daily-total distribution —
+    the incident-correlation signal (one series spiking is noise; five
+    spiking together is an outage or a launch), which the per-series
+    detector (events_anomaly_zscore) structurally cannot see.  The 2σ
+    test is fully multiplied out to integer moments —
+    (n−1)·(n·x−s1)² > 4·n·(n·s2−s1²) — so no σ, no mean and no float
+    exist anywhere; the day's type list rides a sorted string_agg.
+    Plan: one (type, day) partial agg over the scan, type-level
+    moments broadcast back over the day grain, a day-keyed count —
+    everything after the scan is calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(20,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    dev = n.cast("decimal(38,0)") * F.col("x") - s1
+    flagged = daily.join(F.broadcast(m), "event_type").filter(
+        (n - 1).cast("decimal(38,0)") * dev * dev
+        > F.lit(4).cast("decimal(38,0)")
+        * n
+        * (n.cast("decimal(38,0)") * s2 - s1 * s1)
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anomalous_types"),
+            F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias(
+                "types"
+            ),
+        )
+        .filter(F.col("n_anomalous_types") >= 2)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_anomalous_types",
+            "types",
+        )
+    )
