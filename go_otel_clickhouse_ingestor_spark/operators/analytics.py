@@ -4981,3 +4981,72 @@ def events_correlated_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "types",
         )
     )
+
+
+@query(
+    "orders_revenue_share_hierarchy",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(cast(round(o.o_totalprice * 100) AS HUGEINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           cast(rev_c AS BIGINT) AS revenue_c,
+           cast((1000000 * rev_c) // sum(rev_c) OVER (PARTITION BY region)
+                AS BIGINT) AS share_of_region_micro,
+           cast((1000000 * sum(rev_c) OVER (PARTITION BY region))
+                // sum(rev_c) OVER () AS BIGINT) AS region_share_micro
+    FROM rev
+    """,
+)
+def orders_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent reporting down the geography hierarchy — each
+    nation's share of its region's revenue and each region's share of
+    the total (the ``ratio_to_report`` idiom every BI rollup ships,
+    distinct from rollup/cube which give LEVELS, not shares).  Shares
+    are exact integer micro-units via floor division over exact
+    centi-revenue sums (the ratio itself never exists as a float —
+    the dispersion/XYZ rule).  Plan: the fact table shuffles once for
+    the (region, nation) agg with all three dimensions broadcast
+    (classic star shape); both share windows then run over ≤
+    |nations| rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as decimal(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("rev_c")
+        )
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy(F.lit(1))
+    staged = rev.select(
+        "region",
+        "nation",
+        "rev_c",
+        F.sum("rev_c").over(wreg).alias("reg_c"),
+        F.sum("rev_c").over(wall).alias("tot_c"),
+    )
+    return staged.select(
+        "region",
+        "nation",
+        F.col("rev_c").cast("long").alias("revenue_c"),
+        F.expr("cast((1000000 * rev_c) div reg_c as bigint)").alias(
+            "share_of_region_micro"
+        ),
+        F.expr("cast((1000000 * reg_c) div tot_c as bigint)").alias(
+            "region_share_micro"
+        ),
+    )

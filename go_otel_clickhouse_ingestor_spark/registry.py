@@ -111,7 +111,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_association_measures", "events_max_concurrency",
     "events_top_paths", "orders_xyz_class", "events_bot_score",
     "events_dead_air_gaps", "orders_price_dispersion",
-    "events_correlated_anomalies",
+    "events_correlated_anomalies", "orders_revenue_share_hierarchy",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
