@@ -275,3 +275,88 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("state") == "inserted", 1).otherwise(0)).alias("n_inserted"),
         )
     )
+
+
+#: Reconciliation delta buckets (abs centi-delta upper bounds; the
+#: last bucket is open-ended).
+_RECON_BUCKETS = (0, 100, 10000, 1000000)
+
+
+@query(
+    "dq_cross_table_reconciliation",
+    oracle="""
+    WITH calc AS (
+      SELECT l_orderkey,
+             cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - cast(l_discount AS DECIMAL(4,2)))
+                            * (1 + cast(l_tax AS DECIMAL(4,2)))) * 100
+                        ) AS BIGINT) AS calc_c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             cast(round(o.o_totalprice * 100) AS BIGINT) AS head_c,
+             calc.calc_c
+      FROM orders o LEFT JOIN calc ON o.o_orderkey = calc.l_orderkey
+    ),
+    bucketed AS (
+      SELECT CASE
+               WHEN calc_c IS NULL               THEN 'no_lineitems'
+               WHEN abs(head_c - calc_c) = 0     THEN 'exact'
+               WHEN abs(head_c - calc_c) <= 100  THEN 'within_1_unit'
+               WHEN abs(head_c - calc_c) <= 10000 THEN 'within_100'
+               WHEN abs(head_c - calc_c) <= 1000000 THEN 'within_10k'
+               ELSE 'beyond_10k' END AS bucket,
+             abs(coalesce(head_c - calc_c, 0)) AS adelta
+      FROM joined
+    )
+    SELECT bucket,
+           cast(count(*) AS BIGINT)     AS n_orders,
+           cast(max(adelta) AS BIGINT)  AS max_abs_delta_c
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table MEASURE reconciliation: does the order header's
+    total match the sum its lineitems imply (the TPC-H
+    ``Σ extprice·(1−disc)·(1+tax)`` invariant)?  The audit the
+    row-level expectations (dq_expectations_audit) and the key-level
+    diff (dq_snapshot_diff) both skip — header/detail drift is THE
+    classic silent corruption in denormalized warehouses, and on this
+    fixture the census honestly reports the invariant does NOT hold
+    (headers are generated independently) plus 27 header-only orders.
+    All deltas are exact centi-integers (the tpch money discipline:
+    DECIMAL before round), bucketed by magnitude so the report is
+    bounded and trend-able.  Plan: one lineitem partial agg on
+    orderkey, one left join to headers, a 6-row census."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    money = (
+        "cast(l_extendedprice as decimal(12,2))"
+        " * (1 - cast(l_discount as decimal(4,2)))"
+        " * (1 + cast(l_tax as decimal(4,2)))"
+    )
+    calc = li.groupBy("l_orderkey").agg(
+        F.expr(f"cast(round(sum({money}) * 100) as bigint)").alias("calc_c")
+    )
+    joined = o.select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("head_c"),
+    ).join(calc, o.o_orderkey == calc.l_orderkey, "left")
+    adelta = F.abs(F.coalesce(F.col("head_c") - F.col("calc_c"), F.lit(0)))
+    bucket = (
+        F.when(F.col("calc_c").isNull(), "no_lineitems")
+        .when(adelta == 0, "exact")
+        .when(adelta <= 100, "within_1_unit")
+        .when(adelta <= 10000, "within_100")
+        .when(adelta <= 1000000, "within_10k")
+        .otherwise("beyond_10k")
+    )
+    return (
+        joined.select(bucket.alias("bucket"), adelta.alias("adelta"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("adelta").cast("long").alias("max_abs_delta_c"),
+        )
+    )
