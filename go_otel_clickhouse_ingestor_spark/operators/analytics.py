@@ -5050,3 +5050,110 @@ def orders_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFram
             "region_share_micro"
         ),
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, x, date_part('dow', day) AS dow,
+             round(avg(x) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   / 100.0, 4) AS trend
+      FROM daily
+    ),
+    se AS (
+      SELECT day, x, trend,
+             round(avg(x / 100.0 - trend) OVER (PARTITION BY dow), 4)
+               AS seasonal
+      FROM tr
+    ),
+    res AS (
+      SELECT day,
+             cast(round((x / 100.0 - trend - seasonal) * 10000) AS BIGINT)
+               AS r_scaled
+      FROM se
+    ),
+    m AS (
+      SELECT count(*)                             AS n,
+             sum(cast(r_scaled AS HUGEINT))       AS s1,
+             sum(cast(r_scaled AS HUGEINT) * r_scaled) AS s2
+      FROM res
+    )
+    SELECT strftime(res.day, '%Y-%m-%d') AS day,
+           round(res.r_scaled / 10000.0, 4) AS residual,
+           (m.n - 1) * (m.n * res.r_scaled - m.s1)
+             * (m.n * res.r_scaled - m.s1)
+             > 9::HUGEINT * m.n * (m.n * m.s2 - m.s1 * m.s1) AS is_anomaly
+    FROM res CROSS JOIN m
+    WHERE (m.n - 1) * (m.n * res.r_scaled - m.s1)
+            * (m.n * res.r_scaled - m.s1)
+          > 9::HUGEINT * m.n * (m.n * m.s2 - m.s1 * m.s1)
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly days: flag where the RESIDUAL of
+    the trend+weekly decomposition (events_seasonal_decompose's exact
+    pipeline) sits beyond 3σ of the residual distribution — the
+    statistically honest alert (a raw-value detector fires every
+    weekend; deseasonalizing first is why STL exists).  Residuals are
+    already quantized at 1e-4, so scaling by 10⁴ makes them exact
+    integers and the 3σ test multiplies out to
+    (n−1)·(n·r−s1)² > 9·n·(n·s2−s1²) — no σ, no float in the
+    decision (the correlated-anomalies rule applied post-decompose).
+    Plan: the day-grain decompose windows feed one residual-moment
+    agg; everything after the first partial agg is calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    )
+    wtr = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.round(F.avg("x").over(wtr) / 100.0, 4).alias("trend"),
+    )
+    wse = Window.partitionBy("dow")
+    se = tr.select(
+        "day",
+        "x",
+        "trend",
+        F.round(F.avg(F.col("x") / 100.0 - F.col("trend")).over(wse), 4).alias(
+            "seasonal"
+        ),
+    )
+    res = se.select(
+        "day",
+        F.expr(
+            "cast(round((x / 100.0 - trend - seasonal) * 10000) as bigint)"
+        ).alias("r_scaled"),
+    )
+    m = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_scaled").cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.col("r_scaled").cast("decimal(20,0)") * F.col("r_scaled"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    dev = n.cast("decimal(38,0)") * F.col("r_scaled") - s1
+    cond = (n - 1).cast("decimal(38,0)") * dev * dev > F.lit(9).cast(
+        "decimal(38,0)"
+    ) * n * (n.cast("decimal(38,0)") * s2 - s1 * s1)
+    return (
+        res.crossJoin(F.broadcast(m))
+        .filter(cond)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("r_scaled") / 10000.0, 4).alias("residual"),
+            F.lit(True).alias("is_anomaly"),
+        )
+    )

@@ -112,7 +112,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_top_paths", "orders_xyz_class", "events_bot_score",
     "events_dead_air_gaps", "orders_price_dispersion",
     "events_correlated_anomalies", "orders_revenue_share_hierarchy",
-    "dq_cross_table_reconciliation",
+    "dq_cross_table_reconciliation", "events_seasonal_anomaly",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
