@@ -5157,3 +5157,64 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "events_gini_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS sx
+      FROM per_user
+    ),
+    agg AS (
+      SELECT max(n) AS n, max(sx) AS sx,
+             sum(cast(i AS HUGEINT) * x) AS six
+      FROM ranked
+    )
+    SELECT cast(n AS BIGINT)  AS n_users,
+           cast(sx AS BIGINT) AS n_events,
+           cast((1000000 * (2 * six - (n + 1) * cast(sx AS HUGEINT)))
+                // (cast(n AS HUGEINT) * sx) AS BIGINT) AS gini_micro
+    FROM agg
+    """,
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the one-number
+    inequality summary (0 = uniform, →1 = one user is all traffic)
+    that events_pareto_users' cumulative-share TABLE integrates into a
+    single trend-able metric.  The rank formula
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over ascending-sorted volumes is
+    emitted in exact integer micro-units via floor division — counts,
+    ranks and their products never leave integer space.  Plan: one
+    user agg over the scan, a global rank over the USER domain (the
+    only unpartitioned sort — user-bounded, not event-bounded), one
+    moment reduction."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    wr = Window.orderBy("x", "user_id")
+    wg = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(wr).cast("decimal(20,0)").alias("i"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+        F.sum("x").over(wg).alias("sx"),
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("decimal(38,0)").alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.expr(
+            "cast((1000000 * (2 * six - (n + 1) * cast(sx as decimal(38,0))))"
+            " div (cast(n as decimal(38,0)) * sx) as bigint)"
+        ).alias("gini_micro"),
+    )

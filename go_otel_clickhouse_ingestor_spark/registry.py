@@ -113,6 +113,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_dead_air_gaps", "orders_price_dispersion",
     "events_correlated_anomalies", "orders_revenue_share_hierarchy",
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
+    "events_gini_concentration",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
