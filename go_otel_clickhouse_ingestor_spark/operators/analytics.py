@@ -5218,3 +5218,97 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(n as decimal(38,0)) * sx) as bigint)"
         ).alias("gini_micro"),
     )
+
+
+@query(
+    "events_decile_migration",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    halves AS (
+      SELECT user_id,
+             CASE WHEN 2 * epoch_us(e.ts) < b.t0 + b.t1 THEN 1 ELSE 2 END
+               AS half,
+             count(*) AS x
+      FROM events e CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, half, x,
+             row_number() OVER (PARTITION BY half ORDER BY x, user_id) AS rk,
+             count(*) OVER (PARTITION BY half) AS n
+      FROM halves
+    ),
+    deciled AS (
+      SELECT user_id, half,
+             cast((10 * (rk - 1)) // n AS BIGINT) + 1 AS decile
+      FROM ranked
+    )
+    SELECT a.decile AS decile_h1,
+           coalesce(b.decile, 0) AS decile_h2,
+           cast(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, decile FROM deciled WHERE half = 1) a
+    LEFT JOIN (SELECT user_id, decile FROM deciled WHERE half = 2) b
+      ON a.user_id = b.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-decile migration matrix: each user's activity decile
+    in the first half of the time range vs the second (decile 0 =
+    vanished) — the cohort-movement grid growth teams read ("are our
+    top-decile users sliding?"), one structural level above
+    events_new_vs_returning's binary split.  Deciles are assigned by
+    the EXACT integer formula (10·(rank−1)) div n — never ntile's
+    engine-specific remainder spreading, and never a float quantile —
+    with (volume, user_id) rank ties deterministic.  The half split is
+    the integer epoch-micros comparison (stat_psi_drift's rule).
+    Plan: one (user, half) agg over the scan, two half-partitioned
+    rank windows over the user domain, a 10×11-bounded matrix agg."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    halves = (
+        ev.join(F.broadcast(b))
+        .select(
+            "user_id",
+            F.when(
+                2 * F.unix_micros("ts") < F.col("t0") + F.col("t1"), 1
+            )
+            .otherwise(2)
+            .alias("half"),
+        )
+        .groupBy("user_id", "half")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wr = Window.partitionBy("half").orderBy("x", "user_id")
+    wn = Window.partitionBy("half")
+    ranked = halves.select(
+        "user_id",
+        "half",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    deciled = ranked.select(
+        "user_id",
+        "half",
+        (F.expr("cast((10 * (rk - 1)) div n as bigint)") + 1).alias("decile"),
+    )
+    a = deciled.filter(F.col("half") == 1).select(
+        "user_id", F.col("decile").alias("decile_h1")
+    )
+    bb = deciled.filter(F.col("half") == 2).select(
+        "user_id", F.col("decile").alias("decile_h2")
+    )
+    return (
+        a.join(bb, "user_id", "left")
+        .select(
+            "decile_h1",
+            F.coalesce("decile_h2", F.lit(0).cast("long")).alias("decile_h2"),
+        )
+        .groupBy("decile_h1", "decile_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

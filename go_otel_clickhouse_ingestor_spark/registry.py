@@ -113,7 +113,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_dead_air_gaps", "orders_price_dispersion",
     "events_correlated_anomalies", "orders_revenue_share_hierarchy",
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
-    "events_gini_concentration",
+    "events_gini_concentration", "events_decile_migration",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
