@@ -1778,3 +1778,59 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "js_bits",
         F.row_number().over(w).cast("long").alias("divergence_rank"),
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_lang_pred_sql()}),
+    cells AS (
+      SELECT lang_label, lang_pred, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    truth AS (SELECT lang_label, sum(n) AS n_true FROM cells GROUP BY 1),
+    hyp AS (SELECT lang_pred, sum(n) AS n_pred FROM cells GROUP BY 1)
+    SELECT c.lang_label, c.lang_pred,
+           cast(c.n AS BIGINT) AS n,
+           cast((1000000 * c.n) // t.n_true AS BIGINT) AS recall_micro,
+           cast((1000000 * c.n) // h.n_pred AS BIGINT) AS precision_micro
+    FROM cells c
+    JOIN truth t ON c.lang_label = t.lang_label
+    JOIN hyp h   ON c.lang_pred = h.lang_pred
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: the confusion
+    matrix of the stopword-marker language identifier
+    (``text_lang_id``) against the corpus's ground-truth labels, with
+    per-cell recall (share of the TRUE class) and precision (share of
+    the PREDICTED class) — the eval loop every heuristic/model filter
+    in a training pipeline needs before its output is trusted, run
+    entirely inside the engine (no collect, no sklearn).  Diagonal
+    cells carry the per-class recall/precision; off-diagonal cells
+    name the confusion pairs.  Rates ride exact integer micro-units
+    via floor division (the share rule).  Plan: the lang_id scoring
+    scan (codegen marker counts) feeds one |langs|²-bounded cell agg;
+    margins join broadcast."""
+    pred = text_lang_id(spark, sf_dir).select("lang_label", "lang_pred")
+    cells = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = cells.persist()
+    truth = cells.groupBy("lang_label").agg(F.sum("n").alias("n_true"))
+    hyp = cells.groupBy("lang_pred").agg(F.sum("n").alias("n_pred"))
+    return (
+        cells.join(F.broadcast(truth), "lang_label")
+        .join(F.broadcast(hyp), "lang_pred")
+        .select(
+            "lang_label",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.expr("cast((1000000 * n) div n_true as bigint)").alias(
+                "recall_micro"
+            ),
+            F.expr("cast((1000000 * n) div n_pred as bigint)").alias(
+                "precision_micro"
+            ),
+        )
+    )

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_correlated_anomalies", "orders_revenue_share_hierarchy",
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
     "events_gini_concentration", "events_decile_migration",
+    "text_lang_confusion",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
