@@ -38,40 +38,24 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 7 rotation:
-#: the cumulative driver-green union of CORRECTNESS_r1–r6 is 180 names —
-#: ALL of them are deleted from this list so the 50-slot window samples
-#: only the 84 oracle-backed queries that have never had a driver row
-#: (every one passes the local differential in tools/check_oracle.py).
-#: The first 50 fill the round-7 window; the remaining 34 plus any
-#: net-new round-7 queries lead round 8.  Rows-only queries (no DuckDB
-#: oracle) are kept OUT of this list: they would burn window slots as
-#: ``no_oracle``.  ``tools/verify_round.py`` fails loudly if any name at
-#: the head of this list is already green in a CORRECTNESS_r*.json.
+#: queries with the least driver-anchored evidence.  Round 8 rotation:
+#: the cumulative driver-green union of CORRECTNESS_r1–r7 is 230 names —
+#: ALL of them are deleted from this list (the 50 round-7 window names
+#: were removed at the top of round 8) so the 50-slot window samples only
+#: the 100 oracle-backed queries that have never had a driver row (every
+#: one passes the local differential in tools/check_oracle.py).  The
+#: first 50 fill the round-8 window; the remaining 50 lead round 9.
+#: Rows-only queries (no DuckDB oracle) are kept OUT of this list until
+#: the oracle-backed backlog drains: they would burn window slots as
+#: ``no_oracle``.  Once rounds 8–9 clear the backlog, append the 11
+#: rows-only names (sim_ann_pq, dedup_near_e2e, dedup_semantic,
+#: cluster_kmeans_assign, emb_mmr_rerank, emb_pca_top_component,
+#: events_lttb_downsample, multimodal_resize, text_bpe_tokenize,
+#: text_compression_ratio, agg_hll_sketch_union) so the driver records
+#: them running clean.  ``tools/verify_round.py`` fails loudly if any
+#: name at the head of this list is already green in a CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: list[str] = [
-    # round-7 window: 50 oracle-backed queries with no driver row yet
-    "agg_geometric_harmonic",
-    "events_streaks", "orders_rfm_segments", "stat_ks_binned",
-    "win_moving_median", "fn_try_safe",
-    "fn_higher_order", "join_asof_nearest", "agg_median_mad",
-    "dedup_ngram_containment", "text_zipf_fit", "stat_autocorr_lag",
-    "events_window_funnel", "cdc_pointintime_join", "source_text_logparse",
-    "events_sequence_match", "text_char_trigram_entropy", "agg_grouping_id",
-    "events_attribution_last_touch", "orders_market_basket",
-    "orders_cohort_ltv", "events_churn_weekly", "events_top_movers",
-    "dedup_cross_source", "events_user_overlap", "sample_quantile_bucketize",
-    "fn_time_bucket", "agg_weighted_stats", "events_heatmap_dow_hour",
-    "orders_backlog_daily", "graph_triangle_count", "graph_bfs_reachability",
-    "agg_bitmap_distinct", "stat_benford", "stat_mannwhitney_binned",
-    "events_interarrival_stats", "text_collocations_pmi",
-    "decontaminate_exact_substring", "events_stickiness_dau_mau",
-    "agg_summap_props", "fn_mask_redact", "emb_pairwise_distance_hist",
-    "multimodal_audio_frames",
-    "source_xml_roundtrip", "source_binaryfile_ingest", "fn_str_to_map",
-    "events_rate_limit_burst", "sub_in_multicol", "join_mark_existence",
-    "dedup_paragraph_corpus",
-    # staged for round 8 (the 34 remaining never-driver-sampled names;
-    # net-new round-7 queries are appended after these)
+    # round-8 window: the next 50 oracle-backed queries with no driver row
     "text_dup_line_fraction",
     "events_changepoint_cusum", "fn_datetime_tz", "cdc_schema_drift",
     "emb_dim_variance", "join_dynamic_partition_pruning",
@@ -88,7 +72,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_peak_detection", "fn_printf", "events_counter_rate_resets",
     "source_multiline_logs", "events_new_vs_returning",
     "text_vocab_growth_heaps", "events_max_drawdown",
-    # round-7 additions
     "graph_label_propagation", "stat_dft_power", "emb_label_outliers",
     "sub_not_in_null_semantics", "dedup_repeated_passages",
     "pipeline_temperature_sampling", "pipeline_quality_classifier_lr",
@@ -96,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_unicode_normalize", "multimodal_byte_entropy",
     "agg_table_checksum", "dq_snapshot_diff",
     "emb_matryoshka_recall", "graph_k_core",
+    # staged for round 9 (the remaining 39 never-driver-sampled names)
     "stat_mutual_information", "graph_jaccard_link_prediction",
     "events_seasonal_decompose", "source_parquet_footer_stats",
     "orders_skyline_pareto", "fn_aes_roundtrip", "pipeline_epoch_shuffle",
