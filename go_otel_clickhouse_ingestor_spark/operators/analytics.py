@@ -5190,25 +5190,37 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over ascending-sorted volumes is
     emitted in exact integer micro-units via floor division — counts,
     ranks and their products never leave integer space.  Plan: one
-    user agg over the scan, a global rank over the USER domain (the
-    only unpartitioned sort — user-bounded, not event-bounded), one
-    moment reduction."""
+    user agg over the scan, then NO per-user rank at all — within a
+    tie group of equal volume x the rank sum is closed-form
+    (Σ i = c·off + c·(c+1)/2 for c users ranked off+1..off+c), so
+    Σ i·xᵢ reduces to a distinct-x aggregation: group users by x
+    (|distinct x| ≤ max per-user count, tiny vs the user domain),
+    prefix-count over that tiny frame, one moment reduction.  This
+    replaced the r7 unpartitioned rank window over all users — the
+    rank order's user_id tie-break provably cancels out of the Gini
+    sum, so the funnel was never needed."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    wr = Window.orderBy("x", "user_id")
-    wg = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_user.select(
+    per_x = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    px = per_x.select(
         "x",
-        F.row_number().over(wr).cast("decimal(20,0)").alias("i"),
-        F.count(F.lit(1)).over(wg).alias("n"),
-        F.sum("x").over(wg).alias("sx"),
+        "c",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
     )
-    agg = ranked.agg(
-        F.max("n").alias("n"),
-        F.max("sx").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).cast("decimal(38,0)").alias("six"),
+    agg = px.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(20,0)")
+            * (
+                F.col("c").cast("decimal(20,0)") * F.col("off")
+                + (
+                    F.col("c").cast("decimal(20,0)")
+                    * (F.col("c") + F.lit(1))
+                ) / 2
+            )
+        ).cast("decimal(38,0)").alias("six"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n_users"),
@@ -5264,8 +5276,14 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific remainder spreading, and never a float quantile —
     with (volume, user_id) rank ties deterministic.  The half split is
     the integer epoch-micros comparison (stat_psi_drift's rule).
-    Plan: one (user, half) agg over the scan, two half-partitioned
-    rank windows over the user domain, a 10×11-bounded matrix agg."""
+    Plan: one (user, half) agg over the scan, per-half rank via the
+    two-phase distributed rank (``distrank.two_phase_row_number`` —
+    quantile buckets on x, local rank + broadcast prefix offsets; no
+    task ever carries a whole half, unlike the r7 two-fat-partition
+    window this replaces), per-half totals as a broadcast 2-row join,
+    a 10×11-bounded matrix agg."""
+    from .distrank import two_phase_row_number
+
     ev = table(spark, sf_dir, "events")
     b = ev.agg(
         F.min(F.unix_micros("ts")).alias("t0"),
@@ -5284,14 +5302,10 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "half")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    wr = Window.partitionBy("half").orderBy("x", "user_id")
-    wn = Window.partitionBy("half")
-    ranked = halves.select(
-        "user_id",
-        "half",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    totals = halves.groupBy("half").agg(F.count(F.lit(1)).alias("n"))
+    ranked = two_phase_row_number(
+        halves, ["half"], ["x", "user_id"], "rk"
+    ).join(F.broadcast(totals), "half")
     deciled = ranked.select(
         "user_id",
         "half",

@@ -836,12 +836,15 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank), and different epochs see independent ones, with no RNG
     state to checkpoint.  This is how large-scale runs shuffle 100 TB:
     a hash rank materialized with the data (or computed on the fly),
-    never a driver-held permutation array.  The per-epoch rank is a
-    global sort by hash — at scale that's a repartitionByRange on the
-    hash (sampled range bounds), i.e. Spark's standard distributed
-    sort; position is then the only global-window piece and exists so
-    the oracle can pin the full permutation, not just the order.
-    Epochs fan out via a tiny broadcast spine."""
+    never a driver-held permutation array.  The per-epoch position is
+    a two-phase distributed rank (``distrank.two_phase_row_number``):
+    the md5 sort key is already uniform, so its leading 16 bits ARE
+    the range bucketing — rows rank locally within (epoch, bucket)
+    windows of ~N/B rows and add a broadcast per-bucket prefix offset.
+    No task ever carries a whole epoch (the r7 single-reducer window
+    this replaces).  Epochs fan out via a tiny broadcast spine."""
+    from .distrank import two_phase_row_number
+
     d = table(spark, sf_dir, "documents").select("doc_id")
     epochs = spark.createDataFrame(
         [(e,) for e in _SHUFFLE_EPOCHS], "epoch long"
@@ -856,9 +859,11 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    w = Window.partitionBy("epoch").orderBy("h")
-    return keyed.select(
-        "epoch",
-        F.row_number().over(w).cast("long").alias("position"),
-        "doc_id",
+    n_b = 32
+    bucket = F.expr(
+        f"int(conv(substring(h, 1, 4), 16, 10)) * {n_b} div 65536"
     )
+    ranked = two_phase_row_number(
+        keyed, ["epoch"], ["h"], "position", bucket=bucket, n_buckets=n_b
+    )
+    return ranked.select("epoch", "position", "doc_id")
