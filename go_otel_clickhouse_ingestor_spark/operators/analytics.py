@@ -5277,11 +5277,16 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with (volume, user_id) rank ties deterministic.  The half split is
     the integer epoch-micros comparison (stat_psi_drift's rule).
     Plan: one (user, half) agg over the scan, per-half rank via the
-    two-phase distributed rank (``distrank.two_phase_row_number`` —
-    quantile buckets on x, local rank + broadcast prefix offsets; no
-    task ever carries a whole half, unlike the r7 two-fat-partition
-    window this replaces), per-half totals as a broadcast 2-row join,
-    a 10×11-bounded matrix agg."""
+    two-phase distributed rank (``distrank.two_phase_row_number``)
+    with a composite bucket monotone in the FULL (x, user_id) order
+    key — the exact volume x as the major key (equal-x rows need no
+    cross-bucket coordination) and a 32-way equal-width user_id range
+    as the tie-breaker, so even a 100 TB-scale tie plateau (millions
+    of one-event users) splits across 32 window partitions instead of
+    funneling through one task (the r7 two-fat-partition window this
+    replaces).  The h1/h2 pairing is a single per-user conditional
+    pivot — not a half-vs-half self-join, which would recompute the
+    whole rank lineage twice — then a 10×11-bounded matrix agg."""
     from .distrank import two_phase_row_number
 
     ev = table(spark, sf_dir, "events")
@@ -5302,23 +5307,27 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "half")
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    # 1-row build-time job: user_id bounds for the tie-break sub-bucket
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    n_sub = 32
+    sub = ((F.col("user_id") - F.lit(lo)) * n_sub) / F.lit(int(hi) - int(lo) + 1)
+    bucket = F.col("x") * n_sub + sub.cast("long")
     totals = halves.groupBy("half").agg(F.count(F.lit(1)).alias("n"))
     ranked = two_phase_row_number(
-        halves, ["half"], ["x", "user_id"], "rk"
+        halves, ["half"], ["x", "user_id"], "rk", bucket=bucket
     ).join(F.broadcast(totals), "half")
     deciled = ranked.select(
         "user_id",
         "half",
         (F.expr("cast((10 * (rk - 1)) div n as bigint)") + 1).alias("decile"),
     )
-    a = deciled.filter(F.col("half") == 1).select(
-        "user_id", F.col("decile").alias("decile_h1")
-    )
-    bb = deciled.filter(F.col("half") == 2).select(
-        "user_id", F.col("decile").alias("decile_h2")
-    )
     return (
-        a.join(bb, "user_id", "left")
+        deciled.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("half") == 1, F.col("decile"))).alias("decile_h1"),
+            F.max(F.when(F.col("half") == 2, F.col("decile"))).alias("decile_h2"),
+        )
+        .filter(F.col("decile_h1").isNotNull())
         .select(
             "decile_h1",
             F.coalesce("decile_h2", F.lit(0).cast("long")).alias("decile_h2"),

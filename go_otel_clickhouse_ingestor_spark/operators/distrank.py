@@ -104,7 +104,7 @@ def two_phase_row_number(
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if bucket is not None:
-        bucketed = df.withColumn(_BUCKET, bucket.cast("int"))
+        bucketed = df.withColumn(_BUCKET, bucket.cast("long"))
     else:
         bucketed, _ = _quantile_bucket(df, order_cols[0], n_buckets)
 
