@@ -91,6 +91,31 @@ def check_rotation() -> list[str]:
     return errs
 
 
+def check_plans_table() -> list[str]:
+    """Fail when a registered query has no row in the committed
+    PLANS.md — the audit table lagged two rounds running (r6: 2 names,
+    r7: 2 names) because regeneration was manual.  Cheap string check,
+    so it runs in --fast mode too."""
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    plans = os.path.join(REPO, "PLANS.md")
+    if not os.path.exists(plans):
+        return ["PLANS: PLANS.md missing — run tools/plan_report.py"]
+    rows = set()
+    with open(plans) as fh:
+        for line in fh:
+            if line.startswith("| ") and not line.startswith("| query"):
+                rows.add(line.split("|")[1].strip())
+    missing = sorted(n for n in load_all() if n not in rows)
+    if missing:
+        return [
+            f"PLANS: {len(missing)} registered queries missing from the "
+            f"PLANS.md audit table (regenerate with tools/plan_report.py): "
+            f"{missing}"
+        ]
+    return []
+
+
 def check_artifacts() -> list[str]:
     out = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
@@ -146,6 +171,7 @@ def run_plan_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
 def main() -> None:
     fast = "--fast" in sys.argv
     errs = check_rotation()
+    errs += check_plans_table()
     check_artifacts()
     if not fast:
         errs += run_pytest()
