@@ -38,48 +38,21 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 8 rotation:
-#: the cumulative driver-green union of CORRECTNESS_r1–r7 is 230 names —
-#: ALL of them are deleted from this list (the 50 round-7 window names
-#: were removed at the top of round 8) so the 50-slot window samples only
-#: the 100 oracle-backed queries that have never had a driver row (every
-#: one passes the local differential in tools/check_oracle.py).  The
-#: first 50 fill the round-8 window; the remaining 50 lead round 9.
-#: Rows-only queries (no DuckDB oracle) are kept OUT of this list until
-#: the oracle-backed backlog drains: they would burn window slots as
-#: ``no_oracle``.  Once rounds 8–9 clear the backlog, append the 11
-#: rows-only names (sim_ann_pq, dedup_near_e2e, dedup_semantic,
-#: cluster_kmeans_assign, emb_mmr_rerank, emb_pca_top_component,
-#: events_lttb_downsample, multimodal_resize, text_bpe_tokenize,
-#: text_compression_ratio, agg_hll_sketch_union) so the driver records
-#: them running clean.  ``tools/verify_round.py`` fails loudly if any
-#: name at the head of this list is already green in a CORRECTNESS_r*.json.
+#: queries with the least driver-anchored evidence.  Round 9 rotation:
+#: the cumulative driver-green union of CORRECTNESS_r1–r8 is 288 names —
+#: ALL of them are deleted from this list (the 50 round-8 window names
+#: were removed at the top of round 9) so the 50-slot window samples
+#: exactly the 50 queries that have never had a driver row: the 39
+#: remaining oracle-backed names (every one passes the local
+#: differential in tools/check_oracle.py) followed by the 11 rows-only
+#: names (no DuckDB oracle by design — sketches/ANN/clustering/codecs;
+#: the driver records them running clean with stable row counts).  After
+#: this window lands, every registered query has driver evidence —
+#: 338/338.  ``tools/verify_round.py`` fails loudly if any name at the
+#: head of this list is already green in a CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: list[str] = [
-    # round-8 window: the next 50 oracle-backed queries with no driver row
-    "text_dup_line_fraction",
-    "events_changepoint_cusum", "fn_datetime_tz", "cdc_schema_drift",
-    "emb_dim_variance", "join_dynamic_partition_pruning",
-    "join_bloom_prefilter", "events_forecast_holt",
-    "reshape_nest_unnest", "udf_scalar_iter",
-    "decontaminate_aho_corasick", "orders_abc_class",
-    "source_json_corrupt_records", "agg_skew_two_phase",
-    "dq_expectations_audit", "agg_product_compound",
-    "sql_pivot_dynamic_values", "text_feature_hashing",
-    "orders_ship_latency", "cdc_merge_upsert", "stat_bootstrap_ci",
-    "sample_balanced_classes", "events_slo_burn_rate",
-    "events_apdex_score", "events_sli_availability",
-    "events_histogram_otel_buckets", "events_exemplar_per_bucket",
-    "events_peak_detection", "fn_printf", "events_counter_rate_resets",
-    "source_multiline_logs", "events_new_vs_returning",
-    "text_vocab_growth_heaps", "events_max_drawdown",
-    "graph_label_propagation", "stat_dft_power", "emb_label_outliers",
-    "sub_not_in_null_semantics", "dedup_repeated_passages",
-    "pipeline_temperature_sampling", "pipeline_quality_classifier_lr",
-    "stat_spearman_trend", "stat_anova_f", "stat_psi_drift",
-    "text_unicode_normalize", "multimodal_byte_entropy",
-    "agg_table_checksum", "dq_snapshot_diff",
-    "emb_matryoshka_recall", "graph_k_core",
-    # staged for round 9 (the remaining 39 never-driver-sampled names)
+    # round-9 window part 1: the last 39 oracle-backed queries with no
+    # driver row
     "stat_mutual_information", "graph_jaccard_link_prediction",
     "events_seasonal_decompose", "source_parquet_footer_stats",
     "orders_skyline_pareto", "fn_aes_roundtrip", "pipeline_epoch_shuffle",
@@ -99,6 +72,13 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
     "events_gini_concentration", "events_decile_migration",
     "text_lang_confusion",
+    # round-9 window part 2: the 11 rows-only queries (no oracle by
+    # design) — fill the window's spare slots so the driver records a
+    # clean-run row for each; after this, driver evidence is 338/338.
+    "sim_ann_pq", "dedup_near_e2e", "dedup_semantic",
+    "cluster_kmeans_assign", "emb_mmr_rerank", "emb_pca_top_component",
+    "events_lttb_downsample", "multimodal_resize", "text_bpe_tokenize",
+    "text_compression_ratio", "agg_hll_sketch_union",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -71,11 +71,22 @@ def check_rotation() -> list[str]:
     unknown = [n for n in _DRIVER_PRIORITY if n not in reg]
     if unknown:
         errs.append(f"ROTATION: priority names not in the registry: {unknown}")
+    # Rows-only names in the window are only a waste while never-green
+    # oracle-backed names still exist OUTSIDE the window — each rows-only
+    # slot then displaces a hash-verifiable one.  Once the oracle backlog
+    # fits in the window, the spare slots SHOULD hold rows-only names so
+    # the driver records their clean runs (round-9 endgame: 338/338).
+    oracle_backlog_outside = [
+        n
+        for n, q in reg.items()
+        if q.oracle is not None and n not in green and n not in head
+    ]
     rows_only = [n for n in head if n in reg and reg[n].oracle is None]
-    if rows_only:
+    if rows_only and oracle_backlog_outside:
         errs.append(
             f"ROTATION: rows-only queries in the window (burn slots as "
-            f"no_oracle): {rows_only}"
+            f"no_oracle) while {len(oracle_backlog_outside)} oracle-backed "
+            f"names still wait outside it: {rows_only}"
         )
     missing = [
         n
