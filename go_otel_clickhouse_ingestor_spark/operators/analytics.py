@@ -5307,11 +5307,26 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "half")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    # 1-row build-time job: user_id bounds for the tie-break sub-bucket
+    # 1-row build-time job (intentionally eager: two longs of driver
+    # state buy the bucket bounds): user_id range for the tie-break
+    # sub-bucket.
     lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
     n_sub = 32
-    sub = ((F.col("user_id") - F.lit(lo)) * n_sub) / F.lit(int(hi) - int(lo) + 1)
-    bucket = F.col("x") * n_sub + sub.cast("long")
+    if lo is None:  # empty events table: single bucket, plan still builds
+        lo, width = 0, 1
+    else:
+        # Overflow-free equal-width bucketing: width computed in Python
+        # (arbitrary precision), the per-row (user_id - lo) / width in
+        # decimal(38,0) — `(user_id - lo) * 32` in long arithmetic wraps
+        # negative once the ID range exceeds ~2^58 (snowflake-style
+        # sparse 64-bit IDs), silently breaking the bucket monotonicity
+        # two_phase_row_number requires.
+        lo, width = int(lo), (int(hi) - int(lo)) // n_sub + 1
+    sub = F.floor(
+        (F.col("user_id").cast("decimal(38,0)") - F.lit(str(lo)).cast("decimal(38,0)"))
+        / F.lit(str(width)).cast("decimal(38,0)")
+    ).cast("long")
+    bucket = F.col("x") * n_sub + sub
     totals = halves.groupBy("half").agg(F.count(F.lit(1)).alias("n"))
     ranked = two_phase_row_number(
         halves, ["half"], ["x", "user_id"], "rk", bucket=bucket

@@ -56,7 +56,11 @@ def _quantile_bucket(
     ``order_col`` (cast to double).  Rank-based bucketing: skewed
     values cannot collapse more than their own mass into one bucket.
     Rows with equal ``order_col`` always land in the same bucket
-    (Bucketizer splits are half-open), preserving monotonicity."""
+    (Bucketizer splits are half-open), preserving monotonicity.
+    NULL/NaN keys violate the total-order precondition and raise
+    (``handleInvalid="error"``) — a "keep" bucket would sort them
+    LAST while Spark's window orders NULLS FIRST, silently skewing
+    every rank after the first null."""
     from pyspark.ml.feature import Bucketizer
 
     tmp = df.withColumn("__tpr_key", F.col(order_col).cast("double"))
@@ -70,7 +74,7 @@ def _quantile_bucket(
         splits=splits,
         inputCol="__tpr_key",
         outputCol="__tpr_q",
-        handleInvalid="keep",
+        handleInvalid="error",
     )
     out = (
         buck.transform(tmp)
@@ -107,6 +111,23 @@ def two_phase_row_number(
         bucketed = df.withColumn(_BUCKET, bucket.cast("long"))
     else:
         bucketed, _ = _quantile_bucket(df, order_cols[0], n_buckets)
+
+    # A NULL bucket would vanish through the inner offset join below —
+    # a precondition violation (null order key / null bucket expr) must
+    # raise, not silently drop rows.  The guard is fused into the bucket
+    # value itself so column pruning can never elide it.
+    bucketed = bucketed.withColumn(
+        _BUCKET,
+        F.when(
+            F.col(_BUCKET).isNull(),
+            F.raise_error(
+                F.lit(
+                    "two_phase_row_number: NULL bucket (order keys and any "
+                    "caller-supplied bucket expression must be non-null)"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(_BUCKET)),
+    )
 
     keys = [*part_cols, _BUCKET]
     counts = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("__tpr_n"))

@@ -1640,9 +1640,14 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     with corpus).  Coverage is emitted in exact integer per-mille via
     floor division (the multiply-out rule; token totals hit clean
     power shapes).  Plan: token explode → term partial agg →
-    frequency-ranked cumulative sum over the DISTINCT-term domain
-    (vocab-bounded, not corpus-bounded) → a 3-row checkpoint spine
-    probes the curve."""
+    ``orderBy(n desc, term).limit(max_checkpoint)`` compiles to
+    TakeOrderedAndProject (per-partition top-k merged on one tiny
+    task) BEFORE any window runs, so the rank + cumulative sum only
+    ever see ≤ max(_VOCAB_CHECKPOINTS) rows — at 100 TB the term
+    vocabulary is Heaps-law-huge and an unlimited rank would drag
+    billions of distinct terms through one window task.  The corpus
+    token total is a separate 1-row aggregate broadcast-crossJoined
+    back (not a full-frame window over the vocab)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens(F.col("text"))).alias("term")).filter(
         F.col("term") != ""
@@ -1650,19 +1655,21 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
 
+    # Coverage only probes rk <= max checkpoint, so take the top-k terms
+    # FIRST (TakeOrderedAndProject: per-partition top-k, one tiny merge
+    # task) and rank/cumsum within those <=10k rows only.  The corpus
+    # token total must still count EVERY term, so it is a 1-row
+    # aggregate joined back — never a full-frame window over the vocab.
+    top = tf.orderBy(F.col("n").desc(), F.col("term").asc()).limit(
+        max(_VOCAB_CHECKPOINTS)
+    )
+    total = tf.agg(F.sum("n").alias("total"))
     wr = Window.orderBy(F.col("n").desc(), F.col("term").asc())
-    wg = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = tf.select(
-        "n",
-        F.row_number().over(wr).alias("rk"),
-        F.sum("n").over(wg).alias("total"),
-    )
+    ranked = top.select("n", F.row_number().over(wr).alias("rk"))
     wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
     cum = ranked.select(
-        "rk", "total", F.sum("n").over(wc).alias("cum_n")
-    )
+        "rk", F.sum("n").over(wc).alias("cum_n")
+    ).crossJoin(F.broadcast(total))
     cp = spark.createDataFrame(
         [(c,) for c in _VOCAB_CHECKPOINTS], "vocab_size long"
     )

@@ -118,11 +118,58 @@ def check_plans_table() -> list[str]:
             if line.startswith("| ") and not line.startswith("| query"):
                 rows.add(line.split("|")[1].strip())
     missing = sorted(n for n in load_all() if n not in rows)
+    errs = []
     if missing:
-        return [
+        errs.append(
             f"PLANS: {len(missing)} registered queries missing from the "
             f"PLANS.md audit table (regenerate with tools/plan_report.py): "
             f"{missing}"
+        )
+    errs += check_top_k_plans(rows={})
+    return errs
+
+
+#: Queries whose scale story DEPENDS on Spark rewriting their
+#: rank/sort-then-limit into TakeOrderedAndProject (per-partition top-k).
+#: Losing the rewrite — e.g. a non-foldable limit, or an expression over
+#: the rank before the filter — silently reintroduces a full-domain sort
+#: through one window task.  Gate: their PLANS.md `top-k` column must
+#: keep `TOP`.
+_TOP_K_REQUIRED = (
+    "dedup_repeated_passages",
+    "graph_jaccard_link_prediction",
+    "orders_price_dispersion",
+    "text_term_burstiness",
+    "events_top_paths",
+    "text_zipf_fit",
+    "text_collocations_pmi",
+    "text_vocab_coverage_curve",
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q21",
+)
+
+
+def check_top_k_plans(rows: dict) -> list[str]:
+    """Fail when a load-bearing top-k query's PLANS.md row lost `TOP`."""
+    plans = os.path.join(REPO, "PLANS.md")
+    if not os.path.exists(plans):
+        return []  # missing-file case already reported by caller
+    top_col: dict[str, str] = {}
+    with open(plans) as fh:
+        for line in fh:
+            if line.startswith("| ") and not line.startswith("| query"):
+                cols = [c.strip() for c in line.split("|")]
+                if len(cols) > 7:
+                    top_col[cols[1]] = cols[7]
+    lost = [
+        n for n in _TOP_K_REQUIRED if n in top_col and top_col[n] != "TOP"
+    ]
+    if lost:
+        return [
+            f"PLANS: load-bearing top-k queries whose plan lost the "
+            f"TakeOrderedAndProject rewrite (full-domain sort through one "
+            f"task at scale): {lost}"
         ]
     return []
 
