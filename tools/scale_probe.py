@@ -177,6 +177,100 @@ def sem_cell_stats(spark, sf_dir: str) -> dict:
     }
 
 
+def distrank_stats(spark, sf_dir: str) -> dict:
+    """Two-phase-rank funnel diagnostics: the MAX rows any local-rank
+    window task carries for the two ``two_phase_row_number`` consumers
+    (claim to demonstrate: ≈ N/B, never a whole partition), plus the
+    distinct-volume domain the gini closed form aggregates over.
+
+    Mirrors the bucket expressions at ``operators/pipeline.py``
+    (pipeline_epoch_shuffle: md5-prefix range bucket) and
+    ``operators/analytics.py`` (events_decile_migration: composite
+    exact-volume × 32-way user_id-range bucket) — keep in sync."""
+    from go_otel_clickhouse_ingestor_spark.operators.pipeline import (
+        _SHUFFLE_EPOCHS,
+        _SHUFFLE_SEED,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    out: dict = {}
+
+    # pipeline_epoch_shuffle: (epoch, md5-prefix-bucket) task rows
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = d.count()
+    epochs = spark.createDataFrame([(e,) for e in _SHUFFLE_EPOCHS], "epoch long")
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(_SHUFFLE_SEED), F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    n_b = 32
+    bucket = F.expr(f"int(conv(substring(h, 1, 4), 16, 10)) * {n_b} div 65536")
+    sizes = (
+        keyed.withColumn("b", bucket)
+        .groupBy("epoch", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+        .first()
+    )
+    out["epoch_shuffle"] = {
+        "rows_per_epoch": n_docs,
+        "max_task_rows": sizes.mx,
+        "mean_task_rows": round(sizes.mean, 1),
+    }
+
+    # events_decile_migration: (half, x*32 + user_id-range) task rows
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    halves = (
+        ev.join(F.broadcast(b))
+        .select(
+            "user_id",
+            F.when(2 * F.unix_micros("ts") < F.col("t0") + F.col("t1"), 1)
+            .otherwise(2)
+            .alias("half"),
+        )
+        .groupBy("user_id", "half")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    n_sub = 32
+    lo, width = int(lo), (int(hi) - int(lo)) // n_sub + 1
+    sub = F.floor(
+        (F.col("user_id").cast("decimal(38,0)") - F.lit(str(lo)).cast("decimal(38,0)"))
+        / F.lit(str(width)).cast("decimal(38,0)")
+    ).cast("long")
+    n_users = halves.count()
+    sizes = (
+        halves.withColumn("b", F.col("x") * n_sub + sub)
+        .groupBy("half", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+        .first()
+    )
+    out["decile_migration"] = {
+        "ranked_rows": n_users,
+        "max_task_rows": sizes.mx,
+        "mean_task_rows": round(sizes.mean, 1),
+    }
+
+    # events_gini_concentration: closed form has NO rank; the frame it
+    # aggregates is the distinct per-user volume domain
+    vols = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("v"))
+    out["gini"] = {
+        "users": vols.count(),
+        "distinct_volume_domain": vols.select("v").distinct().count(),
+    }
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -202,6 +296,14 @@ def main() -> None:
                 "atN": sem_cell_stats(spark, scaled),
             }
             print(f"# sem_cells: {results[name]}", file=sys.stderr)
+            continue
+        if name == "distrank_stats":
+            # two-phase-rank funnel diagnostic, not a registry query
+            results[name] = {
+                "at1": distrank_stats(spark, base),
+                "atN": distrank_stats(spark, scaled),
+            }
+            print(f"# distrank_stats: {results[name]}", file=sys.stderr)
             continue
         q = reg[name]
         t0 = time.time()
