@@ -72,6 +72,23 @@ def get_spark(app_name: str = "go-otel-clickhouse-ingestor-spark") -> SparkSessi
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # A3 live leg: when a broker is configured, pull the Kafka connector
+    # onto the classpath at session launch (resolved from Maven by
+    # Spark's own package machinery; Scala suffix must match the PySpark
+    # build).  One-command local broker for the full round-trip:
+    #   docker run -p 9092:9092 apache/kafka:3.8.0
+    #   SPARK_GRAFT_KAFKA_BROKERS=localhost:9092 pytest tests/test_streaming.py -k kafka
+    # In an offline sandbox (no Maven route, no broker) the env var is
+    # unset and this is a no-op — see SCALING.md "Environmental
+    # ceilings" for what has and hasn't executed live.
+    if os.environ.get("SPARK_GRAFT_KAFKA_BROKERS"):
+        import pyspark
+
+        scala = os.environ.get("SPARK_GRAFT_SCALA_SUFFIX", "2.13")
+        builder = builder.config(
+            "spark.jars.packages",
+            f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__}",
+        )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
     return apply_runtime_conf(builder.getOrCreate())
