@@ -1185,14 +1185,17 @@ BPE_MERGES: list[tuple[str, str]] = [
 _BPE_RANKS = {pair: i for i, pair in enumerate(BPE_MERGES)}
 
 
-def bpe_encode(word: str) -> list[str]:
-    """Greedy lowest-rank-first BPE of one word over ``BPE_MERGES`` —
-    the exact merge loop of the GPT-2 encoder (public reference:
-    openai/gpt-2 encoder.py), against a frozen merge table."""
+def bpe_encode_with(word: str, ranks: dict) -> list[str]:
+    """Greedy lowest-rank-first BPE of one word over an arbitrary
+    pair→rank table — the exact merge loop of the GPT-2 encoder
+    (public reference: openai/gpt-2 encoder.py).  ``ranks`` is either
+    the frozen ``_BPE_RANKS`` or a table learned by
+    ``train_bpe_merges`` — the drop-in slot the tokenize op
+    documents."""
     parts = list(word)
     while len(parts) > 1:
         pairs = {(parts[i], parts[i + 1]) for i in range(len(parts) - 1)}
-        ranked = [(p, _BPE_RANKS[p]) for p in pairs if p in _BPE_RANKS]
+        ranked = [(p, ranks[p]) for p in pairs if p in ranks]
         if not ranked:
             break
         best = min(ranked, key=lambda x: x[1])[0]
@@ -1209,31 +1212,48 @@ def bpe_encode(word: str) -> list[str]:
     return parts
 
 
+def bpe_encode(word: str) -> list[str]:
+    """``bpe_encode_with`` over the frozen ``BPE_MERGES`` table."""
+    return bpe_encode_with(word, _BPE_RANKS)
+
+
+def _bpe_iter_with(ranks: dict):
+    """Arrow-batch BPE token counting over an arbitrary merge table,
+    with a per-task word cache (Zipf makes the hit rate extreme)."""
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+
+        def count(word: str) -> int:
+            n = cache.get(word)
+            if n is None:
+                n = len(bpe_encode_with(word, ranks))
+                cache[word] = n
+            return n
+
+        for pdf in batches:
+            words = pdf["text"].str.lower().str.split()
+            n_ws = words.map(len)
+            n_bpe = words.map(lambda ws: sum(count(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens_ws": n_ws.astype("int64"),
+                    "n_tokens_bpe": n_bpe.astype("int64"),
+                    "bpe_per_word": (n_bpe / n_ws.clip(lower=1)).round(4),
+                }
+            )
+
+    return run
+
+
 def _bpe_iter(batches):
-    """Arrow-batch BPE token counting with a per-task word cache."""
-    import pandas as pd
-
-    cache: dict[str, int] = {}
-
-    def count(word: str) -> int:
-        n = cache.get(word)
-        if n is None:
-            n = len(bpe_encode(word))
-            cache[word] = n
-        return n
-
-    for pdf in batches:
-        words = pdf["text"].str.lower().str.split()
-        n_ws = words.map(len)
-        n_bpe = words.map(lambda ws: sum(count(w) for w in ws))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_tokens_ws": n_ws.astype("int64"),
-                "n_tokens_bpe": n_bpe.astype("int64"),
-                "bpe_per_word": (n_bpe / n_ws.clip(lower=1)).round(4),
-            }
-        )
+    """Frozen-table BPE counting (back-compat name for the pytest
+    fixtures); the trained-table twin builds the same stage from
+    ``_bpe_iter_with(learned ranks)``."""
+    yield from _bpe_iter_with(_BPE_RANKS)(batches)
 
 
 @query("text_bpe_tokenize")  # rows-only: BPE is not expressible in SQL
@@ -1255,6 +1275,141 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", "text").mapInPandas(
         _bpe_iter,
+        "doc_id long, n_tokens_ws long, n_tokens_bpe long, bpe_per_word double",
+    )
+
+
+#: BPE training knobs: cap the word table the merge loop sees (Zipf
+#: coverage argument — the same one text_vocab_coverage_curve measures:
+#: the top-k words carry almost all token mass, so merges learned on
+#: them transfer; HF/SentencePiece trainers sample for the same
+#: reason), and the number of merges to learn.
+_BPE_TRAIN_VOCAB_CAP = 10_000
+_BPE_TRAIN_N_MERGES = 200
+
+
+def train_bpe_merges(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from (word, count) pairs — the
+    byte-pair-encoding training loop of Sennrich et al. 2016
+    ("Neural Machine Translation of Rare Words with Subword Units",
+    public reference: rsennrich/subword-nmt learn_bpe.py), with the
+    incremental pair-count maintenance that makes it O(total symbol
+    updates) instead of a full recount per merge.  Deterministic: ties
+    on count break to the lexicographically smallest pair."""
+    from collections import Counter, defaultdict
+
+    seqs = [list(w) for w, _ in word_counts]
+    counts = [c for _, c in word_counts]
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> word ids (may go stale)
+    for i, (seq, c) in enumerate(zip(seqs, counts)):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] += c
+            where[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        top = max(c for _, c in live)
+        best = min(p for p, c in live if c == top)
+        merges.append(best)
+        for i in list(where[best]):
+            seq, c = seqs[i], counts[i]
+            if best not in set(zip(seq, seq[1:])):  # stale index entry
+                continue
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] -= c
+            new: list[str] = []
+            j = 0
+            while j < len(seq):
+                if j < len(seq) - 1 and (seq[j], seq[j + 1]) == best:
+                    new.append(seq[j] + seq[j + 1])
+                    j += 2
+                else:
+                    new.append(seq[j])
+                    j += 1
+            seqs[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += c
+                where[p].add(i)
+        del pair_counts[best]
+    return merges
+
+
+def _corpus_word_counts(spark: SparkSession, sf_dir: str):
+    """Top-capped (word, count) table for BPE training: one word-count
+    shuffle over the corpus, then ``orderBy(count desc, word).limit``
+    — TakeOrderedAndProject, so the only full-corpus work is the
+    partial-aggregated count; the merge loop's input is bounded by the
+    cap no matter the corpus size."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.col("n").desc(), F.col("w")).limit(_BPE_TRAIN_VOCAB_CAP)
+    return [(r.w, r.n) for r in top.collect()]
+
+
+#: per-process memo: sf_dir -> learned ranks (training is deterministic,
+#: so recomputation is pure waste within one session)
+_BPE_TRAINED: dict[str, dict] = {}
+
+
+def _trained_ranks(spark: SparkSession, sf_dir: str) -> dict:
+    ranks = _BPE_TRAINED.get(sf_dir)
+    if ranks is None:
+        merges = train_bpe_merges(
+            _corpus_word_counts(spark, sf_dir), _BPE_TRAIN_N_MERGES
+        )
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        _BPE_TRAINED[sf_dir] = ranks
+    return ranks
+
+
+@query("text_bpe_train")  # rows-only: iterative argmax loop, no SQL twin
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table FROM the corpus (Sennrich 2016) — the
+    trained-vocabulary half of the tokenizer slot ``text_bpe_tokenize``
+    documents.  Distribution split: the corpus-scale work is ONE
+    word-count shuffle (partial-aggregated) + a TakeOrderedAndProject
+    top-k; the merge-learning loop then runs on the driver over the
+    capped word table — bounded by the cap × avg word length,
+    INDEPENDENT of corpus size (the standard trainer shape: HF
+    tokenizers / SentencePiece also learn from a capped/sampled word
+    table).  Deterministic: count ties break lexicographically.
+    Output: (rank, left, right, merged) — loadable straight into
+    ``bpe_encode_with``.  The pytest gate proves the incremental
+    trainer identical to a naive full-recount reference and checks the
+    learned table actually compresses the corpus it was trained on."""
+    merges = train_bpe_merges(
+        _corpus_word_counts(spark, sf_dir), _BPE_TRAIN_N_MERGES
+    )
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string, merged string",
+    )
+
+
+@query("text_bpe_tokenize_trained")  # rows-only: merge loop, no SQL twin
+def text_bpe_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bpe_tokenize`` with the CORPUS-TRAINED merge table — the
+    documented drop-in made real: identical stage signature and output
+    schema, only the broadcast rank table changes.  The pytest gate
+    checks the trained table tokenizes the training corpus into no
+    more subwords than the frozen English table (it learned this
+    corpus's actual pair statistics) while every per-row bound
+    (ws ≤ bpe ≤ chars) still holds."""
+    ranks = _trained_ranks(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(
+        _bpe_iter_with(ranks),
         "doc_id long, n_tokens_ws long, n_tokens_bpe long, bpe_per_word double",
     )
 

@@ -322,3 +322,145 @@ def type_holt_forecast(daily: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------
+# Round-9: streaming faces of the newest batch analytics.  The batch
+# twins (operators/analytics.py ``events_changepoint_cusum`` /
+# ``events_hysteresis_alerts``) are closed-form set-based plans; these
+# are the SAME recursions run incrementally per key in the state
+# store, for the alerting pipeline that can't wait for the batch pass.
+# Equivalence is provable, not approximate: the batch CUSUM's
+# prefix-sum-minus-running-min construction equals the recursion
+# S⁺_t = max(0, S⁺_{t-1} + z_t − k) fold below term by term, and both
+# sides pin z to the same integer micro-units so there is no float
+# drift to accumulate (tests/test_streaming_analytics.py re-proves it
+# row-for-row each run).
+
+_CUSUM_OUT_SCHEMA = (
+    "series string, day string, cusum_pos double, cusum_neg double, "
+    "alarm_up boolean, alarm_down boolean"
+)
+#: integer micro-unit chart state — exact under any batch chunking
+_CUSUM_STATE_SCHEMA = "sp long, sn long"
+
+#: CUSUM constants shared with the batch op: slack k = 0.5σ, alarm
+#: threshold h = 4σ, in z micro-units.
+_CUSUM_K_U = 500_000
+_CUSUM_H_U = 4_000_000
+
+
+def cusum_fold(mu: float, sigma: float):
+    """Per-series two-sided CUSUM fold with a FIXED baseline (mu,
+    sigma) — the control-chart deployment shape: the baseline comes
+    from a reference window (or the batch job), the stream folds new
+    points against it.  z is pinned to integer micro-units with the
+    batch op's exact floor(z·1e6 + 0.5) rule."""
+    import math
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs))
+        out = []
+        if len(rows):
+            rows = rows.sort_values("day")
+            for day, x in zip(rows["day"], rows["x"].astype(float)):
+                z_u = int(math.floor((x - mu) / sigma * 1_000_000 + 0.5))
+                sp = max(0, sp + z_u - _CUSUM_K_U)
+                sn = max(0, sn - z_u - _CUSUM_K_U)
+                out.append(
+                    (
+                        key[0],
+                        day,
+                        round(sp / 1_000_000.0, 6),
+                        round(sn / 1_000_000.0, 6),
+                        sp > _CUSUM_H_U,
+                        sn > _CUSUM_H_U,
+                    )
+                )
+            state.update((int(sp), int(sn)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "series", "day", "cusum_pos", "cusum_neg",
+                "alarm_up", "alarm_down",
+            ],
+        )
+
+    return fold
+
+
+def series_cusum_stream(daily: DataFrame, mu: float, sigma: float) -> DataFrame:
+    """Streaming two-sided CUSUM chart over a (series, day, x) feed.
+    State is two longs per series; shuffle keyed on the series id —
+    at 100 TB the store scales with the metric population, never with
+    traffic, and the fold is O(rows in batch)."""
+    return (
+        daily.select("series", "day", "x")
+        .groupBy("series")
+        .applyInPandasWithState(
+            cusum_fold(mu, sigma),
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_HYST_OUT_SCHEMA = (
+    "event_type string, day string, total_c long, n long, state string"
+)
+_HYST_STATE_SCHEMA = "st string"
+
+
+def hysteresis_fold(thresholds: dict):
+    """Per-type two-threshold alert state machine: enter 'alert' above
+    hi, return to 'clear' only below lo, carry in between — the batch
+    op's last-non-null window as an explicit carried state.  The
+    comparison is the batch op's exact multiplied-out integer form
+    (centi-total vs hi·n·100), so boundary days classify identically.
+    ``thresholds`` maps event_type -> (hi, lo); in production it is the
+    broadcast output of the baseline job."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (st,) = state.get if state.exists else ("clear",)
+        hi, lo = thresholds[key[0]]
+        rows = pd.concat(list(pdfs))
+        out = []
+        if len(rows):
+            rows = rows.sort_values("day")
+            for day, total_c, n in zip(
+                rows["day"], rows["total_c"].astype(int), rows["n"].astype(int)
+            ):
+                if total_c > hi * n * 100.0:
+                    st = "alert"
+                elif total_c < lo * n * 100.0:
+                    st = "clear"
+                out.append((key[0], day, total_c, n, st))
+            state.update((st,))
+        yield pd.DataFrame(
+            out, columns=["event_type", "day", "total_c", "n", "state"]
+        )
+
+    return fold
+
+
+def type_hysteresis_stream(daily: DataFrame, thresholds: dict) -> DataFrame:
+    """Streaming hysteresis alerting over a (event_type, day, total_c,
+    n) daily feed.  One short string of state per type."""
+    return (
+        daily.select("event_type", "day", "total_c", "n")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            hysteresis_fold(thresholds),
+            outputStructType=_HYST_OUT_SCHEMA,
+            stateStructType=_HYST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,159 @@
+"""Streaming faces of the round-8 batch analytics: the stateful CUSUM
+chart and hysteresis alert machine must reproduce their batch twins
+ROW FOR ROW when fed the same daily series across micro-batch
+boundaries — the carried state (not the within-batch fold) is what
+these tests exist to pin: each series is split across two triggers at
+an arbitrary day boundary, so any state bug (lost carry, re-zeroed
+chart, wrong init) shows as a mismatch in the second half.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from go_otel_clickhouse_ingestor_spark.tables import table
+
+
+def _two_batch_feed(spark, tmp_path, rows, name, schema):
+    """Write rows as two json files consumed one per trigger."""
+    d = tmp_path / name
+    d.mkdir()
+    half = len(rows) // 2
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:half]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[half:]))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+
+
+def _run_update(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_cusum_stream_matches_batch_closed_form(spark, sf_dir, tmp_path):
+    """series_cusum_stream == events_changepoint_cusum: the recursion
+    S_t = max(0, S_{t-1} + z_t - k) folded across TWO micro-batches
+    equals the batch prefix-sum-minus-running-min construction."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        events_changepoint_cusum,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        series_cusum_stream,
+    )
+
+    batch = events_changepoint_cusum(spark, sf_dir).orderBy("day").collect()
+    assert len(batch) >= 4, "fixture too small to split across batches"
+
+    # same baseline the batch op derives: exact DECIMAL sums cast to
+    # double, so z micro-units floor identically on both sides
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(14,4)"))
+        .cast("decimal(18,4)")
+        .alias("x")
+    )
+    drows = daily.orderBy("day").collect()
+    n = len(drows)
+    s_exact = sum((r.x for r in drows), Decimal(0))
+    ss_exact = sum((r.x * r.x for r in drows), Decimal(0))
+    s, ss = float(s_exact), float(ss_exact)
+    mu = s / n
+    sigma = (((ss - (s * s) / n) / (n - 1)) + 1e-12) ** 0.5
+
+    rows = [
+        {"series": "daily_value", "day": str(r.day), "x": float(r.x)}
+        for r in drows
+    ]
+    name = f"cusum_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark, tmp_path, rows, "cusum_feed", "series string, day string, x double"
+    )
+    _run_update(series_cusum_stream(stream, mu, sigma), name)
+    got = {
+        r.day: (r.cusum_pos, r.cusum_neg, r.alarm_up, r.alarm_down)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r.day: (r.cusum_pos, r.cusum_neg, r.alarm_up, r.alarm_down)
+        for r in batch
+    }
+    assert got == want
+
+
+def test_hysteresis_stream_matches_batch_window(spark, sf_dir, tmp_path):
+    """type_hysteresis_stream == events_hysteresis_alerts: the carried
+    alert status survives the micro-batch boundary and matches the
+    batch last-non-null window per (type, day)."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        events_hysteresis_alerts,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        type_hysteresis_stream,
+    )
+
+    batch = events_hysteresis_alerts(spark, sf_dir).collect()
+    assert len(batch) >= 4
+
+    # thresholds exactly as the batch op computes them
+    ev = table(spark, sf_dir, "events")
+    dv = "cast(value as decimal(24,10))"
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.expr(f"cast(sum({dv}) as double)").alias("s1"),
+        F.expr(f"cast(sum({dv} * {dv}) as double)").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("gn")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("gn"))
+        / (F.col("gn") - 1)
+    )
+    th = {
+        r.event_type: (r.hi, r.lo)
+        for r in g.select(
+            "event_type",
+            F.round(mean + 0.5 * sd, 4).alias("hi"),
+            F.round(mean - 0.5 * sd, 4).alias("lo"),
+        ).collect()
+    }
+
+    # replay the daily feed in (day, type) order so each type's series
+    # splits across the two files at an arbitrary point
+    feed = sorted(
+        (
+            {
+                "event_type": r.event_type,
+                "day": r.day,
+                "total_c": r.total_c,
+                "n": r.n,
+            }
+            for r in batch
+        ),
+        key=lambda r: (r["day"], r["event_type"]),
+    )
+    name = f"hyst_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark,
+        tmp_path,
+        feed,
+        "hyst_feed",
+        "event_type string, day string, total_c long, n long",
+    )
+    _run_update(type_hysteresis_stream(stream, th), name)
+    got = {
+        (r.event_type, r.day): r.state for r in spark.table(name).collect()
+    }
+    want = {(r.event_type, r.day): r.state for r in batch}
+    assert got == want
