@@ -79,6 +79,9 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_kmeans_assign", "emb_mmr_rerank", "emb_pca_top_component",
     "events_lttb_downsample", "multimodal_resize", "text_bpe_tokenize",
     "text_compression_ratio", "agg_hll_sketch_union",
+    # staged for round 10 (positions 51+ — outside this round's window):
+    # the round-9 additions, so next round's rotation finds them queued
+    "text_bpe_train", "text_bpe_tokenize_trained",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
