@@ -464,3 +464,65 @@ def type_hysteresis_stream(daily: DataFrame, thresholds: dict) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------
+# Streaming heavy hitters: a Misra–Gries summary per group key carried
+# in the state store — the streaming face of agg_heavy_hitters_topk
+# (operators/relational.py, approx_top_k's datasketches cousin).  The
+# summary is MERGEABLE and fixed-size (k counters), so at 100 TB the
+# state per group is O(k) regardless of item cardinality or traffic —
+# the whole point of sketch-in-state over a keyed count: a groupBy
+# count stream would carry state per DISTINCT ITEM.  Guarantee
+# (Misra–Gries 1982): every item with true count > N/(k+1) is in the
+# summary, and each kept counter undercounts by at most the total
+# decrement weight; when the summary never evicts (≤ k distinct items,
+# or one dominant plateau), counts are EXACT — the regime the
+# equivalence test pins against the batch top-k.
+
+_MG_K = 8  # counters per group — tune to the alerting k, not traffic
+_MG_OUT_SCHEMA = "group string, item string, cnt long, rank long"
+#: state: parallel arrays of the k tracked items and their counters
+_MG_STATE_SCHEMA = "items array<string>, counts array<long>"
+
+
+def _mg_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    items, counts = state.get if state.exists else ([], [])
+    sketch = dict(zip(items, counts))
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        for item in rows["item"]:
+            if item in sketch:
+                sketch[item] += 1
+            elif len(sketch) < _MG_K:
+                sketch[item] = 1
+            else:  # decrement-all step; drop zeroed counters
+                sketch = {i: c - 1 for i, c in sketch.items() if c > 1}
+        state.update((list(sketch.keys()), [int(c) for c in sketch.values()]))
+    top = sorted(sketch.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        [
+            (key[0], item, int(cnt), rank)
+            for rank, (item, cnt) in enumerate(top, start=1)
+        ],
+        columns=["group", "item", "cnt", "rank"],
+    )
+
+
+def group_heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """Streaming Misra–Gries top items per group over a (group, item)
+    feed.  Emits the current summary (item, cnt, rank) per group per
+    batch; state is k counters per group."""
+    return (
+        events.select("group", "item")
+        .groupBy("group")
+        .applyInPandasWithState(
+            _mg_fold,
+            outputStructType=_MG_OUT_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

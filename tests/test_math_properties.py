@@ -70,3 +70,57 @@ def test_bpe_greedy_equals_rank_exhaustive(word):
     assert bpe_encode(word) == parts
     # reassembly invariant: concatenation is the original word
     assert "".join(bpe_encode(word)) == word
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # group
+            st.integers(min_value=-50, max_value=50),  # order key (many ties)
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=25),            # bucket width
+)
+@settings(max_examples=300, deadline=None)
+def test_two_phase_rank_identity(rows, width):
+    """distrank.two_phase_row_number's construction — bucket by ANY
+    monotone non-decreasing function of the order key, rank locally
+    within (group, bucket), add the per-(group, bucket) prefix offset —
+    must equal the monolithic row_number for every input, including tie
+    runs spanning bucket boundaries.  (Ties here share a bucket because
+    the bucket is a function OF the key — the precondition the Spark
+    operator documents.)  Pure-Python twin of the algebra;
+    tests/test_distrank.py drives the real Spark operator."""
+    # reference: global rank per group, stable by input position
+    want: dict = {}
+    for g in {g for g, _ in rows}:
+        ordered = sorted(
+            (i for i, (gg, _) in enumerate(rows) if gg == g),
+            key=lambda i: (rows[i][1], i),
+        )
+        for rk, i in enumerate(ordered, start=1):
+            want[i] = rk
+    # two-phase: bucket = key // width (monotone in key)
+    from collections import defaultdict
+
+    got: dict = {}
+    for g in {g for g, _ in rows}:
+        members = [i for i, (gg, _) in enumerate(rows) if gg == g]
+        counts: defaultdict = defaultdict(int)
+        for i in members:
+            counts[rows[i][1] // width] += 1
+        offset = {}
+        run = 0
+        for b in sorted(counts):
+            offset[b] = run
+            run += counts[b]
+        by_bucket: defaultdict = defaultdict(list)
+        for i in members:
+            by_bucket[rows[i][1] // width].append(i)
+        for b, idxs in by_bucket.items():
+            idxs.sort(key=lambda i: (rows[i][1], i))
+            for local, i in enumerate(idxs, start=1):
+                got[i] = offset[b] + local
+    assert got == want

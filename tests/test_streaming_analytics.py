@@ -157,3 +157,70 @@ def test_hysteresis_stream_matches_batch_window(spark, sf_dir, tmp_path):
     }
     want = {(r.event_type, r.day): r.state for r in batch}
     assert got == want
+
+
+def test_heavy_hitters_stream_matches_batch_topk(spark, sf_dir, tmp_path):
+    """group_heavy_hitters_stream == the exact top-3 (and so ==
+    agg_heavy_hitters_topk's sketch result) when the item cardinality
+    fits the summary — the events fixture has 5 event types vs k=8
+    counters, so Misra-Gries never evicts and counts are EXACT even
+    across the micro-batch boundary."""
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        group_heavy_hitters_stream,
+    )
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    batch = load_all()["agg_heavy_hitters_topk"].fn(spark, sf_dir).collect()
+    assert len(batch) == 3
+
+    ev = table(spark, sf_dir, "events")
+    feed = [
+        {"group": "events", "item": r.event_type}
+        for r in ev.select("event_type").collect()
+    ]
+    name = f"mg_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark, tmp_path, feed, "mg_feed", "group string, item string"
+    )
+    _run_update(group_heavy_hitters_stream(stream), name)
+    # final summary = the last batch's emission (max rows per item)
+    final = (
+        spark.table(name)
+        .groupBy("item")
+        .agg(F.max("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+        .limit(3)
+        .collect()
+    )
+    assert [(r.item, r.cnt) for r in final] == [
+        (r.item, r.cnt) for r in batch
+    ]
+
+
+def test_heavy_hitters_stream_bounds_state_under_eviction(spark, tmp_path):
+    """With MORE distinct items than counters the summary must evict
+    (state stays at k counters) while every true heavy hitter — count
+    > N/(k+1) — survives, per the Misra-Gries guarantee."""
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        _MG_K,
+        group_heavy_hitters_stream,
+    )
+
+    # one dominant item (40%) + a long tail of 30 singletons
+    feed = [{"group": "g", "item": "hot"} for _ in range(40)]
+    feed += [{"group": "g", "item": f"cold{i}"} for i in range(60)]
+    name = f"mg2_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark, tmp_path, feed, "mg2_feed", "group string, item string"
+    )
+    _run_update(group_heavy_hitters_stream(stream), name)
+    last_rows = spark.table(name).collect()
+    per_batch = {}
+    for r in last_rows:
+        per_batch.setdefault(r.item, []).append(r.cnt)
+    # summary size bounded by k at every emission
+    assert len({r.item for r in last_rows}) <= _MG_K + 60 // (_MG_K + 1) + 1
+    # the 40% item survives with a within-guarantee count
+    hot = [r for r in last_rows if r.item == "hot"]
+    assert hot, "dominant item evicted — Misra-Gries guarantee broken"
+    assert max(r.cnt for r in hot) >= 40 - (100 // (_MG_K + 1))
