@@ -27,15 +27,15 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _JAR_GLOBS = [
-    "~/.cache/coursier/*/*/*/*/maven-all/org/duckdb/duckdb_jdbc/*/duckdb_jdbc-*.jar",
-    "~/.m2/repository/org/duckdb/duckdb_jdbc/*/duckdb_jdbc-*.jar",
-    "~/.ivy2/cache/org.duckdb/duckdb_jdbc/jars/duckdb_jdbc-*.jar",
+    "~/.cache/coursier/**/duckdb_jdbc-*.jar",
+    "~/.m2/repository/**/duckdb_jdbc-*.jar",
+    "~/.ivy2/cache/**/duckdb_jdbc-*.jar",
 ]
 
 
 def _find_duckdb_jar() -> str | None:
     for pat in _JAR_GLOBS:
-        hits = sorted(glob.glob(os.path.expanduser(pat)))
+        hits = sorted(glob.glob(os.path.expanduser(pat), recursive=True))
         if hits:
             return hits[-1]
     return None
