@@ -644,9 +644,12 @@ def source_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds each record.  The oracle synthesizes the records
     directly from the parquet truth, so a hash match proves
     shred → reassemble is lossless including line order.  Scale: the
-    ONE global ordered window runs per log FILE (the natural unit —
-    partition by input_file_name at a real landing zone), then
-    everything is record-keyed."""
+    ordered window is PARTITIONED BY ``input_file_name()`` — the log
+    file is the natural record-boundary unit (records never span
+    files), so a landing zone of 10k files runs 10k independent
+    prefix-sums instead of one global window; everything after is
+    record-keyed.  The fixture writes one file, for which the
+    per-file form is identical to a global window."""
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"/tmp/spark_graft_formats/mlog_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
@@ -676,16 +679,23 @@ def source_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     raw = spark.read.text(path).select(
-        "value", F.monotonically_increasing_id().alias("line_no")
+        "value",
+        F.monotonically_increasing_id().alias("line_no"),
+        F.input_file_name().alias("src_file"),
     )
     is_start = (~F.col("value").startswith(" ")).cast("int")
-    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("src_file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     tagged = raw.select(
         "value",
         "line_no",
+        "src_file",
         F.sum(is_start).over(w).alias("rec_id"),
     )
-    rec = tagged.groupBy("rec_id").agg(
+    rec = tagged.groupBy("src_file", "rec_id").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list("
             "struct(line_no, value))), s -> s.value), chr(10))"

@@ -1075,3 +1075,55 @@ def test_lttb_structural_contract(spark, sf_dir):
     assert idxs[0] == min(src) and idxs[-1] == max(src)
     for r in rows:
         assert abs(src[r.day_index] - r.total_value) < 1e-9
+
+
+def test_multiline_logs_reassemble_per_file(spark, tmp_path):
+    """The multiline-log window is partitioned by input_file_name():
+    records must reassemble independently per file (records never span
+    files), with no cross-file bleed of record ids — the multi-file
+    landing-zone case the single-file fixture can't exercise."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    (tmp_path / "a.log").write_text(
+        "evt eid=1 type=error v=1.0\n    at frame_a(eid=1)\n"
+        "evt eid=2 type=click v=2.0\n"
+    )
+    (tmp_path / "b.log").write_text(
+        "evt eid=3 type=error v=3.0\n    at frame_a(eid=3)\n"
+        "    at frame_b(eid=3)\n"
+    )
+    # the exact stage shape source_multiline_logs runs
+    raw = spark.read.text(str(tmp_path)).select(
+        "value",
+        F.monotonically_increasing_id().alias("line_no"),
+        F.input_file_name().alias("src_file"),
+    )
+    is_start = (~F.col("value").startswith(" ")).cast("int")
+    w = (
+        Window.partitionBy("src_file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rec = (
+        raw.select(
+            "value", "line_no", "src_file",
+            F.sum(is_start).over(w).alias("rec_id"),
+        )
+        .groupBy("src_file", "rec_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(line_no, value))), s -> s.value), chr(10))"
+            ).alias("record"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.regexp_extract("record", "eid=(\\d+)", 1).cast("long").alias(
+                "event_id"
+            ),
+            "n_lines",
+        )
+    )
+    got = {(r.event_id, r.n_lines) for r in rec.collect()}
+    assert got == {(1, 2), (2, 1), (3, 3)}
