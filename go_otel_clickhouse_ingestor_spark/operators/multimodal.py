@@ -5,10 +5,12 @@ column with a typed metadata struct alongside — the layout every
 large-scale multimodal corpus uses (WebDataset / Parquet-BLOB).  The
 Spark-side plumbing is real and tested: schema, struct bundling,
 nested access, and Arrow-batched ``mapInPandas`` decode with a
-documented batch shape.  The *codec* itself is stubbed: this container
-has no image/audio libraries, so ``decode_media_batch`` dispatches to
-a deterministic fake (clearly marked) and raises
-``NotImplementedError`` for real codecs.
+documented batch shape.  Codecs: BMP (24-bit) and WAV (PCM16) decode
+FOR REAL with stdlib struct + numpy (``decode_bmp``/``decode_wav`` —
+no PIL/torchaudio needed); formats that require external libraries
+(JPEG/PNG/video) raise ``NotImplementedError`` at the clearly marked
+boundary, and a deterministic fake codec keeps the plumbing testable
+for those payloads.
 
 Since the driver fixtures carry no binary column, the payload here is
 the utf-8 encoding of ``documents.text`` — the plumbing doesn't care
@@ -36,40 +38,142 @@ DECODE_SCHEMA = (
 )
 
 
+def decode_bmp(buf: bytes) -> tuple:
+    """REAL decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up, BI_RGB) with stdlib struct + numpy only — no PIL.
+    Returns (width, height, mean_b, mean_g, mean_r, brightness).
+    Format reference: the public Windows BMP file-format layout
+    (14-byte file header + 40-byte DIB header, rows padded to 4
+    bytes, pixels stored B,G,R bottom-up)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    width, height = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    row_bytes = (width * 3 + 3) & ~3
+    px = np.frombuffer(
+        buf, dtype=np.uint8, count=abs(height) * row_bytes, offset=data_off
+    ).reshape(abs(height), row_bytes)[:, : width * 3]
+    if height > 0:  # bottom-up storage: flip to raster order
+        px = px[::-1]
+    px = px.reshape(abs(height), width, 3).astype(np.float64)
+    mean_b, mean_g, mean_r = (float(px[..., c].mean()) for c in range(3))
+    return (
+        width,
+        abs(height),
+        mean_b / 255.0,
+        mean_g / 255.0,
+        mean_r / 255.0,
+        (mean_b + mean_g + mean_r) / (3 * 255.0),
+    )
+
+
+def decode_wav(buf: bytes) -> tuple:
+    """REAL decode of a PCM16 mono RIFF/WAVE payload with stdlib
+    struct + numpy only — no torchaudio.  Returns (sample_rate,
+    n_samples, rms, zero_crossing_rate).  Format reference: the
+    public RIFF/WAVE chunk layout (fmt chunk: audio format 1 = PCM)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, samples = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", buf, body)
+            bits = struct.unpack_from("<H", buf, body + 14)[0]
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only PCM16 mono WAV is supported (fmt={fmt}, "
+                    f"bits={bits}, channels={channels})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(
+                buf, dtype="<i2", count=size // 2, offset=body
+            ).astype(np.float64)
+        pos = body + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    rms = float(np.sqrt((samples**2).mean())) / 32768.0 if len(samples) else 0.0
+    zc = (
+        float((np.signbit(samples[1:]) != np.signbit(samples[:-1])).mean())
+        if len(samples) > 1
+        else 0.0
+    )
+    return rate, len(samples), rms, zc
+
+
 def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Decode one Arrow batch of media payloads.
 
-    Real codecs (PIL / torchaudio / pyav) are not available in this
-    container — attempting them raises ``NotImplementedError`` so the
-    gap is explicit.  The DETERMINISTIC FAKE derives "dimensions" and a
-    4-dim "feature" from the payload bytes (md5), which keeps the
-    Spark plumbing (schema, batching, partitioning) fully testable.
+    Three codecs exist in this dependency-free container:
+
+    - ``bmp``  — REAL (``decode_bmp``: struct + numpy; 24-bit BI_RGB)
+    - ``wav``  — REAL (``decode_wav``: struct + numpy; PCM16 mono)
+    - ``fake`` — the DETERMINISTIC stand-in (md5-derived dimensions/
+      features) that keeps plumbing testable for payloads with no
+      dependency-free codec
+
+    Formats that genuinely need external libraries (JPEG/PNG need PIL,
+    video needs pyav) raise ``NotImplementedError`` so the gap stays
+    explicit.  All codecs emit the same ``DECODE_SCHEMA`` row: for bmp,
+    (width, height) are the real header dimensions and f0..f3 =
+    (mean_b, mean_g, mean_r, brightness); for wav, width=sample_rate,
+    height=n_samples and f0..f1 = (rms, zero-crossing rate).
     """
     import hashlib
 
-    medias = pdf["media_type"]
-    if (medias != "fake").any():  # pragma: no cover - real codecs absent
+    known = {"fake", "bmp", "wav"}
+    unknown = set(pdf["media_type"]) - known
+    if unknown:  # pragma: no cover - real codecs absent
         raise NotImplementedError(
-            "real media decoding (image/audio/video) needs PIL/av; "
-            "only the deterministic 'fake' codec exists in this environment"
+            f"media types {sorted(unknown)} need external codecs "
+            "(PIL/pyav); dependency-free codecs here: bmp, wav, fake"
         )
     out = []
-    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-        digest = hashlib.md5(bytes(payload)).digest()
+    for doc_id, media, payload in zip(
+        pdf["doc_id"], pdf["media_type"], pdf["payload"]
+    ):
+        buf = bytes(payload)
+        if media == "bmp":
+            w, h, f0, f1, f2, f3 = decode_bmp(buf)
+            row = dict(width=w, height=h, f0=f0, f1=f1, f2=f2, f3=f3)
+        elif media == "wav":
+            rate, n, rms, zc = decode_wav(buf)
+            row = dict(width=rate, height=n, f0=rms, f1=zc, f2=0.0, f3=0.0)
+        else:
+            digest = hashlib.md5(buf).digest()
+            # Feature vector flattened to scalar columns: array cells
+            # are unhashable in the canonicalized comparison, so the
+            # 4-dim "feature" crosses the boundary as f0..f3.
+            row = dict(
+                width=16 + digest[0] % 64,
+                height=16 + digest[1] % 64,
+                f0=digest[0] / 255.0,
+                f1=digest[1] / 255.0,
+                f2=digest[2] / 255.0,
+                f3=digest[3] / 255.0,
+            )
         out.append(
             {
                 "doc_id": doc_id,
-                "media_type": "fake",
-                "n_bytes": len(payload),
-                "width": 16 + digest[0] % 64,
-                "height": 16 + digest[1] % 64,
-                # Feature vector flattened to scalar columns: array cells
-                # are unhashable in the canonicalized comparison, so the
-                # 4-dim "feature" crosses the boundary as f0..f3.
-                "f0": digest[0] / 255.0,
-                "f1": digest[1] / 255.0,
-                "f2": digest[2] / 255.0,
-                "f3": digest[3] / 255.0,
+                "media_type": media,
+                "n_bytes": len(buf),
+                **row,
             }
         )
     return pd.DataFrame(out)
@@ -136,6 +240,92 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit("fake").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_decode_iter, DECODE_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Build a real uncompressed 24-bit BMP (bottom-up, BI_RGB).
+    ``pixel_fn(x, y) -> (b, g, r)`` in raster (top-down) coordinates.
+    Used to synthesize genuine image payloads for the codec tests and
+    the decode-codecs query — the fixtures ship no binary column."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    header = b"BM" + struct.pack(
+        "<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0)
+    rows = []
+    for y in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pixel_fn(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_bytes - width * 3)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def encode_wav(rate: int, samples) -> bytes:
+    """Build a real PCM16 mono RIFF/WAVE payload from int16 samples."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _synth_codec_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per document, synthesize one REAL BMP and one REAL WAV payload
+    (dimensions/content derived deterministically from doc_id) — the
+    binary-landing stand-in, since the fixtures carry no media blobs."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = []
+        for doc_id in pdf["doc_id"]:
+            seed = int(doc_id)
+            w, h = 4 + seed % 5, 3 + seed % 4
+            bmp = encode_bmp(
+                w, h, lambda x, y: ((x * 37 + seed) % 256, (y * 59 + seed) % 256, (x + y + seed) % 256)
+            )
+            n = 64 + seed % 32
+            wav = encode_wav(
+                8000, [((seed + i) * 997) % 32768 - 16384 for i in range(n)]
+            )
+            out.append({"doc_id": doc_id, "media_type": "bmp", "payload": bmp})
+            out.append({"doc_id": doc_id, "media_type": "wav", "payload": wav})
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_decode_codecs")  # rows-only: binary codecs, no SQL twin
+def multimodal_decode_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decoding through the production decode stage: per
+    document, a genuine 24-bit BMP and a genuine PCM16 WAV are
+    synthesized (mapInPandas; the fixtures ship no binary column) and
+    decoded by the dependency-free ``decode_bmp``/``decode_wav``
+    parsers — actual header parsing, pixel/sample math in numpy — not
+    the deterministic fake.  Same stage signature and schema as
+    ``multimodal_decode``; JPEG/PNG/video still raise at the
+    documented external-codec boundary.  Scale: both stages are
+    map-only Arrow passes, zero shuffles; payload bytes never leave
+    the task that made them."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _synth_codec_iter, "doc_id long, media_type string, payload binary"
     )
     return payloads.mapInPandas(_decode_iter, DECODE_SCHEMA)
 
