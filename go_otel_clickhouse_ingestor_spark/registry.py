@@ -82,7 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     # staged for round 10 (positions 51+ — outside this round's window):
     # the round-9 additions, so next round's rotation finds them queued
     "text_bpe_train", "text_bpe_tokenize_trained",
-    "multimodal_decode_codecs",
+    "multimodal_decode_codecs", "multimodal_resize_codecs",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

@@ -1225,3 +1225,55 @@ def test_decode_codecs_query_real_end_to_end(spark, sf_dir):
     assert ((bmp.height >= 3) & (bmp.height <= 6)).all()
     assert (wav.width == 8000).all()  # sample rate from the fmt chunk
     assert ((wav.f0 > 0) & (wav.f0 < 1)).all()  # rms normalized
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    """resize_bmp: hand-checkable nearest-neighbor on a 4x2 image
+    resized to max_side 2 -> 2x1: pixel-center sampling picks columns
+    1 and 3 of row 1 exactly (x_src = round((x+0.5)*4/2 - 0.5))."""
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        bmp_pixels,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    # 4x2: pixel (x,y) -> (x*10, y*10, x+y) so every pixel is unique
+    src = encode_bmp(4, 2, lambda x, y: (x * 10, y * 10, x + y))
+    out_buf, in_w, in_h, out_w, out_h = resize_bmp(src, 2)
+    assert (in_w, in_h, out_w, out_h) == (4, 2, 2, 1)
+    px = bmp_pixels(out_buf)
+    # y_src = round((0+0.5)*2/1 - 0.5) = round(0.5) = 0 (banker's? numpy
+    # round-half-even gives 0); x_src = round((x+0.5)*4/2 - 0.5) = {0,2}
+    # -> expected pixels (0*10, 0, 0+0) and (2*10, 0, 2+0)
+    assert px.shape == (1, 2, 3)
+    assert px[0, 0].tolist() == [0, 0, 0]
+    assert px[0, 1].tolist() == [20, 0, 2]
+
+
+def test_resize_bmp_never_upscales_and_roundtrips():
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        bmp_pixels,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    src = encode_bmp(5, 3, lambda x, y: (x, y, 100))
+    out_buf, _, _, out_w, out_h = resize_bmp(src, 224)
+    assert (out_w, out_h) == (5, 3)
+    assert bmp_pixels(out_buf).tolist() == bmp_pixels(src).tolist()
+
+
+def test_resize_codecs_query_geometry(spark, sf_dir):
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    pdf = load_all()["multimodal_resize_codecs"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    longest = pdf[["out_w", "out_h"]].max(axis=1)
+    assert (longest <= 32).all()
+    assert (pdf.scale <= 1.0).all()  # downscale-only
+    # aspect ratio preserved to rounding
+    import numpy as np
+
+    ar_in = pdf.width / pdf.height
+    ar_out = pdf.out_w / pdf.out_h
+    assert (np.abs(ar_in - ar_out) <= np.maximum(ar_in, ar_out) * 0.12).all()
