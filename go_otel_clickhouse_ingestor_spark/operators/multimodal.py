@@ -116,18 +116,18 @@ def resize_bmp(buf: bytes, max_side: int) -> "tuple":
     return buf_out, in_w, in_h, out_w, out_h
 
 
-def decode_wav(buf: bytes) -> tuple:
-    """REAL decode of a PCM16 mono RIFF/WAVE payload with stdlib
-    struct + numpy only — no torchaudio.  Returns (sample_rate,
-    n_samples, rms, zero_crossing_rate).  Format reference: the
-    public RIFF/WAVE chunk layout (fmt chunk: audio format 1 = PCM)."""
+def wav_samples(buf: bytes):
+    """Parse a PCM16 mono RIFF/WAVE payload (chunk walk: fmt + data)
+    into (sample_rate, float64 sample array) — stdlib struct + numpy
+    only, no torchaudio.  Format reference: the public RIFF/WAVE chunk
+    layout (fmt chunk: audio format 1 = PCM)."""
     import struct
 
     import numpy as np
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, rate, bits, channels, samples = 12, None, None, None, None
+    pos, rate, samples = 12, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
         body = pos + 8
@@ -146,6 +146,15 @@ def decode_wav(buf: bytes) -> tuple:
         pos = body + size + (size & 1)
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def decode_wav(buf: bytes) -> tuple:
+    """REAL decode of a PCM16 mono RIFF/WAVE payload: returns
+    (sample_rate, n_samples, rms, zero_crossing_rate)."""
+    import numpy as np
+
+    rate, samples = wav_samples(buf)
     rms = float(np.sqrt((samples**2).mean())) / 32768.0 if len(samples) else 0.0
     zc = (
         float((np.signbit(samples[1:]) != np.signbit(samples[:-1])).mean())
@@ -543,6 +552,88 @@ def _resize_real_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 }
             )
         yield pd.DataFrame(out)
+
+
+#: Real audio framing grid — the standard 20 ms / 10 ms windows at
+#: 8 kHz, the same geometry ``multimodal_audio_frames`` oracle-checks.
+_AF_FRAME, _AF_HOP = 160, 80
+
+
+def _audio_features_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode REAL WAV payloads and window the PCM into overlapping
+    frames with numpy stride tricks — per-frame RMS and zero-crossing
+    rate, the front of every speech-feature pipeline."""
+    import numpy as np
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = wav_samples(bytes(payload))
+            n = len(samples)
+            if n < _AF_FRAME:
+                continue
+            n_frames = 1 + (n - _AF_FRAME) // _AF_HOP
+            idx = (
+                np.arange(_AF_FRAME)[None, :]
+                + _AF_HOP * np.arange(n_frames)[:, None]
+            )
+            frames = samples[idx]
+            rms = np.sqrt((frames**2).mean(axis=1)) / 32768.0
+            zc = (
+                np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1])
+            ).mean(axis=1)
+            for k in range(n_frames):
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": k,
+                        "offset_samples": k * _AF_HOP,
+                        "rms": round(float(rms[k]), 6),
+                        "zcr": round(float(zc[k]), 6),
+                    }
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "frame_idx", "offset_samples", "rms", "zcr"],
+        )
+
+
+def _synth_wav_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One REAL PCM16 WAV per document, long enough for several 20 ms
+    frames (320–831 samples, deterministic from doc_id)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = []
+        for doc_id in pdf["doc_id"]:
+            seed = int(doc_id)
+            n = 320 + (seed * 13) % 512
+            wav = encode_wav(
+                8000, [((seed + i) * 997) % 32768 - 16384 for i in range(n)]
+            )
+            out.append({"doc_id": doc_id, "payload": wav})
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_audio_features_codecs")  # rows-only: binary codec
+def multimodal_audio_features_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame features, dependency-free: genuine PCM16 WAV
+    payloads decoded by ``decode_wav`` and windowed into the standard
+    20 ms / 10 ms grid (the exact geometry ``multimodal_audio_frames``
+    oracle-checks) with vectorized per-frame RMS + zero-crossing rate
+    — the frame-sample stage of the triad upgraded from the
+    deterministic fake to actual sample math.  1→N in-batch expansion,
+    map-only, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _synth_wav_iter, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _audio_features_iter,
+        "doc_id long, frame_idx long, offset_samples long, rms double, zcr double",
+    )
 
 
 @query("multimodal_resize_codecs")  # rows-only: binary codec, no SQL twin

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the round-9 additions, so next round's rotation finds them queued
     "text_bpe_train", "text_bpe_tokenize_trained",
     "multimodal_decode_codecs", "multimodal_resize_codecs",
+    "multimodal_audio_features_codecs",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

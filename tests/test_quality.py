@@ -1277,3 +1277,43 @@ def test_resize_codecs_query_geometry(spark, sf_dir):
     ar_in = pdf.width / pdf.height
     ar_out = pdf.out_w / pdf.out_h
     assert (np.abs(ar_in - ar_out) <= np.maximum(ar_in, ar_out) * 0.12).all()
+
+
+def test_audio_frame_features_hand_computed():
+    """_audio_features_iter: a hand-built WAV of 240 samples gives
+    exactly two 160-sample frames at hop 80 with hand-computable RMS:
+    constant amplitude A -> rms = A/32768 exactly."""
+    import pandas as pd
+
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        _audio_features_iter,
+        encode_wav,
+    )
+
+    wav = encode_wav(8000, [16384] * 240)  # constant, no zero crossings
+    out = pd.concat(
+        list(_audio_features_iter(iter([pd.DataFrame(
+            {"doc_id": [7], "payload": [wav]}
+        )])))
+    )
+    assert list(out.frame_idx) == [0, 1]
+    assert list(out.offset_samples) == [0, 80]
+    assert (out.rms == 0.5).all() and (out.zcr == 0.0).all()
+
+
+def test_audio_features_query_grid_matches_oracle_formula(spark, sf_dir):
+    """The real-PCM frame grid must follow the same 20 ms / 10 ms
+    formula multimodal_audio_frames oracle-checks: n_frames =
+    1 + (n_samples - 160) // 80."""
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    pdf = (
+        load_all()["multimodal_audio_features_codecs"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    fc = pdf.groupby("doc_id").frame_idx.max() + 1
+    for d, n_frames in fc.items():
+        n = 320 + (int(d) * 13) % 512
+        assert n_frames == 1 + (n - 160) // 80
+    assert ((pdf.rms >= 0) & (pdf.rms <= 1) & (pdf.zcr >= 0) & (pdf.zcr <= 1)).all()
