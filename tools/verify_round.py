@@ -174,6 +174,31 @@ def check_top_k_plans(rows: dict) -> list[str]:
     return []
 
 
+def check_readme_counts() -> list[str]:
+    """Fail when README's registered-query count drifts from the
+    registry (it lagged by hand three times in round 9 alone)."""
+    import re
+
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    reg = load_all()
+    n = len(reg)
+    n_oracle = sum(1 for q in reg.values() if q.oracle is not None)
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(
+        r"\((\d+) registered queries, (\d+) with DuckDB oracle twins\)", readme
+    )
+    if not m:
+        return ["README: registered-query count line not found"]
+    if (int(m.group(1)), int(m.group(2))) != (n, n_oracle):
+        return [
+            f"README: counts say {m.group(1)}/{m.group(2)} but registry has "
+            f"{n} queries / {n_oracle} oracle-backed — update README.md"
+        ]
+    return []
+
+
 def check_artifacts() -> list[str]:
     out = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
@@ -230,6 +255,7 @@ def main() -> None:
     fast = "--fast" in sys.argv
     errs = check_rotation()
     errs += check_plans_table()
+    errs += check_readme_counts()
     check_artifacts()
     if not fast:
         errs += run_pytest()
