@@ -102,6 +102,11 @@ HEADLINE = [
     "emb_matryoshka_recall",
     "orders_skyline_pareto",
     "pipeline_epoch_shuffle",
+    # round-9 flagships: the reworked distributed-rank decile shape,
+    # the limit-before-rank vocab curve, and the lazy in-task BPE trainer
+    "events_decile_migration",
+    "text_vocab_coverage_curve",
+    "text_bpe_train",
 ]
 
 

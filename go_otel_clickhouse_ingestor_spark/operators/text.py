@@ -1340,8 +1340,8 @@ def train_bpe_merges(
     return merges
 
 
-def _corpus_word_counts(spark: SparkSession, sf_dir: str):
-    """Top-capped (word, count) table for BPE training: one word-count
+def _top_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-capped (word, count) frame for BPE training: one word-count
     shuffle over the corpus, then ``orderBy(count desc, word).limit``
     — TakeOrderedAndProject, so the only full-corpus work is the
     partial-aggregated count; the merge loop's input is bounded by the
@@ -1353,8 +1353,25 @@ def _corpus_word_counts(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    top = wc.orderBy(F.col("n").desc(), F.col("w")).limit(_BPE_TRAIN_VOCAB_CAP)
-    return [(r.w, r.n) for r in top.collect()]
+    return wc.orderBy(F.col("n").desc(), F.col("w")).limit(_BPE_TRAIN_VOCAB_CAP)
+
+
+def _train_iter(batches):
+    """Run the merge-learning loop inside ONE executor task over the
+    (already top-k-capped) word table.  The result is independent of
+    word order (pair counts are commutative sums; ties break
+    lexicographically), so however Arrow chunks the partition the
+    merges come out identical."""
+    import pandas as pd
+
+    rows = pd.concat(list(batches))
+    merges = train_bpe_merges(
+        list(zip(rows["w"], rows["n"].astype(int))), _BPE_TRAIN_N_MERGES
+    )
+    yield pd.DataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        columns=["rank", "left", "right", "merged"],
+    )
 
 
 #: per-process memo: sf_dir -> learned ranks (training is deterministic,
@@ -1365,10 +1382,8 @@ _BPE_TRAINED: dict[str, dict] = {}
 def _trained_ranks(spark: SparkSession, sf_dir: str) -> dict:
     ranks = _BPE_TRAINED.get(sf_dir)
     if ranks is None:
-        merges = train_bpe_merges(
-            _corpus_word_counts(spark, sf_dir), _BPE_TRAIN_N_MERGES
-        )
-        ranks = {pair: i for i, pair in enumerate(merges)}
+        merges = text_bpe_train(spark, sf_dir).collect()
+        ranks = {(r.left, r.right): r.rank for r in merges}
         _BPE_TRAINED[sf_dir] = ranks
     return ranks
 
@@ -1379,21 +1394,21 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained-vocabulary half of the tokenizer slot ``text_bpe_tokenize``
     documents.  Distribution split: the corpus-scale work is ONE
     word-count shuffle (partial-aggregated) + a TakeOrderedAndProject
-    top-k; the merge-learning loop then runs on the driver over the
-    capped word table — bounded by the cap × avg word length,
-    INDEPENDENT of corpus size (the standard trainer shape: HF
+    top-k; the merge-learning loop runs INSIDE one executor task
+    (``mapInPandas`` over the single capped partition — the driver
+    never materializes the word table), bounded by cap × avg word
+    length, INDEPENDENT of corpus size (the standard trainer shape: HF
     tokenizers / SentencePiece also learn from a capped/sampled word
     table).  Deterministic: count ties break lexicographically.
-    Output: (rank, left, right, merged) — loadable straight into
-    ``bpe_encode_with``.  The pytest gate proves the incremental
-    trainer identical to a naive full-recount reference and checks the
-    learned table actually compresses the corpus it was trained on."""
-    merges = train_bpe_merges(
-        _corpus_word_counts(spark, sf_dir), _BPE_TRAIN_N_MERGES
-    )
-    return spark.createDataFrame(
-        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
-        "rank long, left string, right string, merged string",
+    Fully lazy — the whole pipeline is one auditable plan (scan →
+    partial agg → TOP → Arrow train task).  Output: (rank, left,
+    right, merged) — loadable straight into ``bpe_encode_with``.  The
+    pytest gate proves the incremental trainer identical to a naive
+    full-recount reference and checks the learned table actually
+    compresses the corpus it was trained on."""
+    top = _top_word_counts(spark, sf_dir)
+    return top.coalesce(1).mapInPandas(
+        _train_iter, "rank long, left string, right string, merged string"
     )
 
 
