@@ -5350,3 +5350,257 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_h1", "decile_h2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------- sequence patterns
+
+#: Conversion-corridor pattern over per-user event-type symbol strings:
+#: a view, any run of views/clicks, then a purchase — with no error or
+#: signup breaking the corridor.  Single-char symbols = first letter of
+#: the event type (click/error/purchase/signup/view are first-letter
+#: unique in the fixture vocabulary).
+_SEQ_PATTERN = "v[vc]*p"
+
+
+@query(
+    "events_sequence_regex_match",
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             substring(event_type, 1, 1) AS s
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(s, '' ORDER BY ts_us, event_id) AS seq
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id,
+           cast(length(seq) AS BIGINT) AS seq_len,
+           cast(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT)
+             AS n_matches,
+           regexp_extract(seq, '{_SEQ_PATTERN}') AS first_match
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) > 0
+    """,
+)
+def events_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    ``MATCH_RECOGNIZE`` / ClickHouse ``sequenceMatch``/``sequenceCount``
+    gap in Spark SQL, closed by compiling the event-type sequence to a
+    symbol STRING and running an ordinary regex over it: each user's
+    events in (ts, event_id) order become one character each, and the
+    pattern ``{_SEQ_PATTERN}`` ("view, any views/clicks, purchase —
+    the conversion corridor, broken by error/signup") is counted with
+    non-overlapping leftmost-first semantics — identical between Java
+    regex and RE2 for this automaton-unambiguous pattern, which is
+    what makes the DuckDB twin a true oracle.  Funnels
+    (events_window_funnel) answer "did these steps happen in order";
+    the regex form answers the strictly richer "did they happen in
+    order with NOTHING ELSE in between" and generalizes to any
+    regular corridor without new operator code.  Plan: one user-keyed
+    shuffle (partial-agg collect_list), sort_array + transform +
+    array_join inside codegen, regexp_count on the bounded per-user
+    string — per-user event counts are session-bounded (fixture ~20;
+    at 100 TB the same query runs per (user, day) grain to cap the
+    string, the standard sessionize-first discipline)."""
+    ev = table(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("event_id"),
+            F.substring("event_type", 1, 1).alias("s"),
+        ).alias("e"),
+    )
+    seqs = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x.getField("s")
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit(_SEQ_PATTERN)).cast("long").alias("n_matches"),
+        F.regexp_extract("seq", _SEQ_PATTERN, 0).alias("first_match"),
+    ).filter(F.col("n_matches") > 0)
+
+
+@query(
+    "events_exp_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             cast(round(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN v_us > 0
+                  THEN cast(length(printf('%b', v_us)) - 1 AS BIGINT)
+                  ELSE -1 END AS bucket_idx
+      FROM v
+    )
+    SELECT event_type,
+           cast(0 AS BIGINT) AS scale,
+           bucket_idx,
+           CASE WHEN bucket_idx >= 0
+                THEN (1::BIGINT << bucket_idx) ELSE 0 END AS lower_us,
+           CASE WHEN bucket_idx >= 0
+                THEN (1::BIGINT << (bucket_idx + 1)) ELSE 0 END AS upper_us,
+           cast(count(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket_idx
+    """,
+)
+def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP ExponentialHistogram bucketing (scale 0) of event values in
+    exact integer micro-units — the modern OTel metrics data point the
+    reference's explicit-bucket path (A14, ``internal/metrics/
+    metrics.go``; batch face events_histogram_otel_buckets) predates:
+    base-2 buckets (2^k, 2^(k+1)] indexed by k = floor(log2(v)), plus
+    the dedicated zero bucket (idx -1), per the OpenTelemetry protocol
+    spec (open-telemetry/opentelemetry-proto metrics.proto,
+    ExponentialHistogramDataPoint).  The index is computed EXACTLY —
+    bit-length of the micro-value (``length(bin(v)) - 1``), never
+    float ``log2`` whose 1-ulp wobble at bucket boundaries differs
+    between engines — so the DuckDB twin (printf('%b')) hash-matches
+    bit for bit.  Mergeability is the point at scale: scale-0 buckets
+    are a partial-aggregable map (this whole query is one
+    partial-agged groupBy, no shuffle beyond the 5×~40-cell grid), and
+    downscaling is bucket-index halving — the property that lets 1000
+    executors each keep a tiny sketch and merge associatively."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_us"),
+    )
+    b = v.select(
+        "event_type",
+        F.when(
+            F.col("v_us") > 0, (F.length(F.bin("v_us")) - 1).cast("long")
+        )
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("bucket_idx"),
+    )
+    g = b.groupBy("event_type", "bucket_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bound = lambda off: F.when(
+        F.col("bucket_idx") >= 0,
+        F.expr(f"shiftleft(cast(1 as bigint), cast(bucket_idx as int) + {off})"),
+    ).otherwise(F.lit(0).cast("long"))
+    return g.select(
+        "event_type",
+        F.lit(0).cast("long").alias("scale"),
+        "bucket_idx",
+        bound(0).alias("lower_us"),
+        bound(1).alias("upper_us"),
+        "n",
+    )
+
+
+#: Template-mining report depth (distinct masked templates kept).
+_TEMPLATE_TOPK = 50
+
+
+@query(
+    "events_log_templates",
+    oracle=f"""
+    WITH lines AS (
+      SELECT user_id,
+             CASE event_id % 3
+               WHEN 0 THEN printf('%s uid=%d took %d ms', event_type,
+                                  user_id, cast(round(value * 1000) AS BIGINT))
+               WHEN 1 THEN printf('%s failed for uid=%d req=%s retry=%d',
+                                  event_type, user_id,
+                                  substring(md5(cast(event_id AS VARCHAR)), 1, 12),
+                                  event_id % 5)
+               ELSE printf('%s ok uid=%d bytes=%d', event_type, user_id,
+                           cast(round(value * 100) AS BIGINT))
+             END AS line
+      FROM events
+    ),
+    masked AS (
+      SELECT user_id, line,
+             regexp_replace(regexp_replace(line, '[0-9a-f]{{8,}}', '<H>', 'g'),
+                            '[0-9]+', '<N>', 'g') AS template
+      FROM lines
+    ),
+    agg AS (
+      SELECT template,
+             cast(count(*) AS BIGINT) AS n_lines,
+             cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             min(line) AS sample_line
+      FROM masked GROUP BY template
+    )
+    SELECT template, n_lines, n_users, sample_line,
+           cast(row_number() OVER (ORDER BY n_lines DESC, template)
+                AS BIGINT) AS rn
+    FROM agg
+    ORDER BY rn LIMIT {_TEMPLATE_TOPK}
+    """,
+)
+def events_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining — the observability operator that turns a
+    raw log firehose into its handful of generating templates (Drain /
+    Spell family; ClickHouse users run this as the first step of log
+    analytics on exactly the kind of tables the reference ingests):
+    mask the variable fields (hex ids first — they subsume digit runs
+    — then integers) and aggregate the surviving constant skeleton.
+    The fixture corpus has no raw log files, so the line stage
+    synthesizes a deterministic 15-template log stream from the events
+    table (5 event types × 3 printf forms keyed by event_id,
+    the source_multiline_logs convention) — the miner itself never
+    sees the generator and must recover exactly those templates, which
+    the DuckDB twin re-derives independently.  Per template: line
+    volume, distinct-user spread (templates everyone hits vs one
+    user's crash loop), and the lexicographically-smallest raw line as
+    the deterministic exemplar.  Plan: map-linear printf + two codegen
+    regexp_replace over the scan, one partial-agged groupBy on the
+    template skeleton (cardinality = template count — Drain yields
+    ~10^3 at 100 TB, so the agg grid is tiny no matter the corpus),
+    rank over that bounded grid only."""
+    ev = table(spark, sf_dir, "events")
+    ms = F.expr("cast(round(value * 1000) as bigint)")
+    by = F.expr("cast(round(value * 100) as bigint)")
+    req = F.substring(F.md5(F.col("event_id").cast("string")), 1, 12)
+    line = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string("%s uid=%d took %d ms", "event_type", "user_id", ms),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.format_string(
+                "%s failed for uid=%d req=%s retry=%d",
+                "event_type",
+                "user_id",
+                req,
+                F.col("event_id") % 5,
+            ),
+        )
+        .otherwise(
+            F.format_string("%s ok uid=%d bytes=%d", "event_type", "user_id", by)
+        )
+    )
+    masked = ev.select("user_id", line.alias("line")).select(
+        "user_id",
+        "line",
+        F.regexp_replace(
+            F.regexp_replace("line", "[0-9a-f]{8,}", "<H>"), "[0-9]+", "<N>"
+        ).alias("template"),
+    )
+    agg = masked.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("line").alias("sample_line"),
+    )
+    w = Window.orderBy(F.col("n_lines").desc(), F.col("template"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TEMPLATE_TOPK)
+        .select("template", "n_lines", "n_users", "sample_line", "rn")
+    )

@@ -72,15 +72,22 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
     "events_gini_concentration", "events_decile_migration",
     "text_lang_confusion",
-    # round-9 window part 2: the 11 rows-only queries (no oracle by
-    # design) — fill the window's spare slots so the driver records a
-    # clean-run row for each; after this, driver evidence is 338/338.
+    # round-9 window part 2: the three oracle-backed round-9 additions
+    # (hash-verifiable evidence outranks rows-only slots — the
+    # verify_round rotation rule), then 8 of the 11 rows-only queries
+    # (no oracle by design) filling the window's remaining slots so the
+    # driver records a clean-run row for each.
+    "events_sequence_regex_match", "events_exp_histogram",
+    "events_log_templates",
     "sim_ann_pq", "dedup_near_e2e", "dedup_semantic",
     "cluster_kmeans_assign", "emb_mmr_rerank", "emb_pca_top_component",
-    "events_lttb_downsample", "multimodal_resize", "text_bpe_tokenize",
-    "text_compression_ratio", "agg_hll_sketch_union",
+    "events_lttb_downsample", "multimodal_resize",
     # staged for round 10 (positions 51+ — outside this round's window):
-    # the round-9 additions, so next round's rotation finds them queued
+    # the 3 rows-only names the round-9 oracle additions displaced,
+    # then the remaining round-9 additions, so next round's rotation
+    # finds them queued — after r10's window, every registered query
+    # has driver evidence.
+    "text_bpe_tokenize", "text_compression_ratio", "agg_hll_sketch_union",
     "text_bpe_train", "text_bpe_tokenize_trained",
     "multimodal_decode_codecs", "multimodal_resize_codecs",
     "multimodal_audio_features_codecs",
