@@ -5604,3 +5604,105 @@ def events_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TEMPLATE_TOPK)
         .select("template", "n_lines", "n_users", "sample_line", "rn")
     )
+
+
+# ------------------------------------------------- rate-limiter replay
+
+#: Token-bucket parameters in exact integer refill-microseconds: one
+#: token refills per minute, so 1 token = 60e6 us of refill; capacity
+#: 5 tokens.  Integer units keep the sequential recurrence bit-exact
+#: across engines (floats would drift between Spark's and DuckDB's
+#: summation order).
+_TB_COST_US = 60_000_000
+_TB_CAP_US = 5 * _TB_COST_US
+
+
+def _token_bucket_replay(pdf):
+    """Replay one user's events through the token bucket (Arrow batch;
+    sequential by construction — admission depends on the full prefix,
+    the Lindley-style recursion no window frame expresses)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    bal = _TB_CAP_US
+    prev_ts = None
+    out_bal, out_adm = [], []
+    for ts in pdf["ts_us"]:
+        if prev_ts is not None:
+            bal = min(_TB_CAP_US, bal + (int(ts) - prev_ts))
+        prev_ts = int(ts)
+        admitted = bal >= _TB_COST_US
+        if admitted:
+            bal -= _TB_COST_US
+        out_adm.append(admitted)
+        out_bal.append(bal)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "rn": range(1, len(pdf) + 1),
+            "admitted": out_adm,
+            "balance_us": out_bal,
+        }
+    )
+
+
+@query(
+    "events_token_bucket_admission",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
+               AS dt_us
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, 0::BIGINT AS rn, {_TB_CAP_US}::BIGINT AS bal
+      FROM (SELECT DISTINCT user_id FROM seq)
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             least({_TB_CAP_US}, w.bal + s.dt_us)
+               - CASE WHEN least({_TB_CAP_US}, w.bal + s.dt_us)
+                           >= {_TB_COST_US}
+                      THEN {_TB_COST_US} ELSE 0 END
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT s.user_id, s.event_id, s.rn,
+           least({_TB_CAP_US}, prev.bal + s.dt_us) >= {_TB_COST_US}
+             AS admitted,
+           cur.bal AS balance_us
+    FROM seq s
+    JOIN walk prev ON prev.user_id = s.user_id AND prev.rn = s.rn - 1
+    JOIN walk cur  ON cur.user_id = s.user_id AND cur.rn = s.rn
+    """,
+)
+def events_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay: which recorded events a
+    5-token / 1-token-per-minute bucket per user would have admitted —
+    the reference's OWN ingestion governor (A1: ``internal/generator/
+    generator.go`` paces emission with golang.org/x/time/rate's token
+    bucket) turned into an audit query over recorded traffic, the
+    "what would the limiter have dropped" question capacity planning
+    asks before tightening a limit.  State is exact integer
+    refill-microseconds (1 token = 60e6 us), so the sequential
+    recurrence — refill by Δt capped at capacity, admit iff a full
+    token is present, admission consumes — is bit-identical in the
+    Arrow kernel and the DuckDB RECURSIVE-CTE twin: a full oracle
+    differential for a stateful sequential operator.  No window frame
+    expresses it (admission depends on every prior admission, a
+    Lindley-style recursion), so the per-user replay runs as ONE
+    Arrow-grouped kernel after the user-keyed shuffle — per-user event
+    counts are session-bounded (the join_asof discipline), users
+    parallelize freely, and the streaming face of the same recurrence
+    is applyInPandasWithState keyed the same way."""
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return keyed.groupBy("user_id").applyInPandas(
+        _token_bucket_replay,
+        "user_id long, event_id long, rn long, admitted boolean, balance_us long",
+    )

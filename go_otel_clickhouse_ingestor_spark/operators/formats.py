@@ -828,3 +828,140 @@ def expire_lake_partitions(
         shutil.rmtree(tomb)
         dropped[value] = len(files)
     return dropped
+
+
+@query(
+    "source_otlp_spans_parse",
+    oracle="""
+    WITH span_json AS (
+      SELECT user_id, event_id,
+             printf('{"traceId":"%s","spanId":"%s","name":"%s","kind":%d,'
+                    || '"startTimeUnixNano":"%d","endTimeUnixNano":"%d"}',
+                    md5(cast(user_id AS VARCHAR)),
+                    substring(md5(cast(event_id AS VARCHAR)), 1, 16),
+                    event_type,
+                    2 + event_id % 2,
+                    epoch_us(ts) * 1000,
+                    epoch_us(ts) * 1000
+                      + cast(round(value * 1000) AS BIGINT) * 1000000) AS sj
+      FROM events
+    ),
+    envelopes AS (
+      SELECT printf('{"resourceSpans":[{"resource":{"attributes":[{"key":'
+                    || '"service.name","value":{"stringValue":"svc-%d"}}]},'
+                    || '"scopeSpans":[{"scope":{"name":"synthetic-gen"},'
+                    || '"spans":[%s]}]}]}',
+                    user_id % 8,
+                    string_agg(sj, ',' ORDER BY event_id)) AS env
+      FROM span_json GROUP BY user_id
+    ),
+    spans AS (
+      SELECT json_extract_string(env,
+               '$.resourceSpans[0].resource.attributes[0].value.stringValue')
+               AS service,
+             unnest(cast(json_extract(env,
+               '$.resourceSpans[0].scopeSpans[0].spans') AS JSON[])) AS s
+      FROM envelopes
+    )
+    SELECT service,
+           s->>'traceId' AS trace_id,
+           s->>'spanId'  AS span_id,
+           s->>'name'    AS name,
+           cast(s->>'kind' AS BIGINT) AS kind,
+           cast(s->>'startTimeUnixNano' AS BIGINT) // 1000 AS start_us,
+           (cast(s->>'endTimeUnixNano' AS BIGINT)
+              - cast(s->>'startTimeUnixNano' AS BIGINT)) // 1000
+             AS duration_us
+    FROM spans
+    """,
+)
+def source_otlp_spans_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON trace ingestion — the wire format the reference's
+    domain is built around (an OTel ingestor; its own self-tracing is
+    A15, ``internal/tracing/tracing.go``): parse
+    ``ExportTraceServiceRequest`` envelopes
+    (resourceSpans[] → scopeSpans[] → spans[], resource attributes as
+    key/typed-value pairs, uint64 nanos encoded as JSON STRINGS per the
+    proto3 JSON mapping — the detail every hand-rolled parser gets
+    wrong) into a flat span table with service attribution and integer
+    micro durations.  The fixture corpus has no OTLP landing zone, so
+    the envelope stage synthesizes one deterministic envelope per user
+    from the events table by explicit string concatenation — byte-
+    identical in both engines — and the two PARSERS are fully
+    independent: Spark ``from_json`` with the typed nested OTLP schema
+    (handles any number of resourceSpans/scopeSpans, attribute arrays
+    filtered by key), DuckDB json_extract + JSON[] unnest.  Plan:
+    synthesis is one user-keyed shuffle; the parse itself is
+    map-linear — from_json + three generator explodes + an attribute
+    filter, all codegen, which is exactly the 100 TB landing-zone
+    shape (one pass over raw JSON bytes, no shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    sj = F.format_string(
+        '{"traceId":"%s","spanId":"%s","name":"%s","kind":%d,'
+        '"startTimeUnixNano":"%d","endTimeUnixNano":"%d"}',
+        F.md5(F.col("user_id").cast("string")),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+        F.col("event_type"),
+        F.lit(2) + F.col("event_id") % 2,
+        F.unix_micros("ts") * 1000,
+        F.unix_micros("ts") * 1000
+        + F.expr("cast(round(value * 1000) as bigint)") * 1000000,
+    )
+    keyed = ev.select(
+        "user_id",
+        F.struct(F.col("event_id").alias("event_id"), sj.alias("sj")).alias("e"),
+    )
+    envelopes = keyed.groupBy("user_id").agg(
+        F.format_string(
+            '{"resourceSpans":[{"resource":{"attributes":[{"key":'
+            '"service.name","value":{"stringValue":"svc-%d"}}]},'
+            '"scopeSpans":[{"scope":{"name":"synthetic-gen"},'
+            '"spans":[%s]}]}]}',
+            F.col("user_id") % 8,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x.getField("sj")
+                ),
+                ",",
+            ),
+        ).alias("env")
+    )
+    otlp_schema = (
+        "resourceSpans array<struct<"
+        "resource: struct<attributes: array<struct<"
+        "key: string, value: struct<stringValue: string>>>>, "
+        "scopeSpans: array<struct<"
+        "scope: struct<name: string>, "
+        "spans: array<struct<traceId: string, spanId: string, name: string, "
+        "kind: bigint, startTimeUnixNano: string, endTimeUnixNano: string>>>>>>"
+    )
+    parsed = envelopes.select(
+        F.from_json("env", otlp_schema).alias("req")
+    )
+    rs = parsed.select(F.explode("req.resourceSpans").alias("rs"))
+    svc = rs.select(
+        F.element_at(
+            F.filter(
+                F.col("rs.resource.attributes"),
+                lambda a: a.getField("key") == "service.name",
+            ),
+            1,
+        )
+        .getField("value")
+        .getField("stringValue")
+        .alias("service"),
+        F.explode("rs.scopeSpans").alias("ss"),
+    )
+    sp = svc.select("service", F.explode("ss.spans").alias("s"))
+    return sp.select(
+        "service",
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.col("s.name").alias("name"),
+        F.col("s.kind").alias("kind"),
+        F.expr("cast(s.startTimeUnixNano as bigint) div 1000").alias("start_us"),
+        F.expr(
+            "(cast(s.endTimeUnixNano as bigint)"
+            " - cast(s.startTimeUnixNano as bigint)) div 1000"
+        ).alias("duration_us"),
+    )

@@ -2765,3 +2765,100 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price_c") / 100.0, 2).alias("weighted_median_price"),
         F.col("tot").cast("long").alias("total_weight"),
     )
+
+
+#: Count-min sketch geometry: d independent hash rows × w cells.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+#: Engine-portable uniform hash into [0, w): two hex chars of
+#: md5("cms<i>:<key>") decoded by position in the hex alphabet —
+#: byte-identical in Spark and DuckDB, so the whole sketch (not just
+#: its error bound) is oracle-differentiable.
+_CMS_CELL = (
+    "pmod((instr('0123456789abcdef', substring(md5(concat('cms', "
+    "cast({i} as string), ':', {key})), 1, 1)) - 1) * 16 "
+    "+ instr('0123456789abcdef', substring(md5(concat('cms', "
+    "cast({i} as string), ':', {key})), 2, 1)) - 1, 64)"
+)
+
+
+@query(
+    "agg_count_min_estimate",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type, i,
+             ((instr('0123456789abcdef', substring(md5('cms' || i || ':'
+                || event_type), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substring(md5('cms' || i || ':'
+                || event_type), 2, 1)) - 1) % {_CMS_WIDTH} AS cell
+      FROM events, range({_CMS_DEPTH}) r(i)
+    ),
+    sketch AS (
+      SELECT i, cell, count(*) AS c FROM hashed GROUP BY i, cell
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    key_cells AS (
+      SELECT k.event_type, r.i,
+             ((instr('0123456789abcdef', substring(md5('cms' || r.i || ':'
+                || k.event_type), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substring(md5('cms' || r.i || ':'
+                || k.event_type), 2, 1)) - 1) % {_CMS_WIDTH} AS cell
+      FROM keys k, range({_CMS_DEPTH}) r(i)
+    ),
+    est AS (
+      SELECT kc.event_type, min(s.c) AS est_n
+      FROM key_cells kc JOIN sketch s ON kc.i = s.i AND kc.cell = s.cell
+      GROUP BY kc.event_type
+    ),
+    truth AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1)
+    SELECT t.event_type,
+           cast(t.true_n AS BIGINT) AS true_n,
+           cast(e.est_n AS BIGINT) AS est_n,
+           cast(e.est_n - t.true_n AS BIGINT) AS overcount
+    FROM truth t JOIN est e ON t.event_type = e.event_type
+    """,
+)
+def agg_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) — the mergeable fixed-memory frequency summary ClickHouse
+    exposes as ``topK``-family machinery and every streaming system
+    keeps per partition: d={_CMS_DEPTH} independent hash rows ×
+    w={_CMS_WIDTH} counters, point estimate = min over rows, with the
+    one-sided guarantee est ≥ true (collisions only ADD).  Unlike the
+    library sketches (agg_hll_sketch_union is rows-only by design),
+    this one is built from an ENGINE-PORTABLE hash — two md5 hex chars
+    decoded positionally — so the sketch cells, the estimates, and the
+    per-key overcount all hash-match the DuckDB twin exactly: a full
+    oracle differential for a probabilistic structure.  Plan: the
+    build is one pass over the scan exploded ×{_CMS_DEPTH} into a
+    partial-aggregable (row, cell) grid of AT MOST
+    {_CMS_DEPTH}×{_CMS_WIDTH} cells — fixed memory per executor no
+    matter the key cardinality, which is the whole point at 100 TB —
+    and the estimate side joins the broadcast-sized sketch to the
+    (tiny) distinct-key probe set."""
+    ev = table(spark, sf_dir, "events")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("i")
+    cell = F.expr(_CMS_CELL.format(i="i", key="event_type"))
+    hashed = ev.select("event_type").select("event_type", rows).select(
+        "event_type", "i", cell.alias("cell")
+    )
+    sketch = hashed.groupBy("i", "cell").agg(F.count(F.lit(1)).alias("c"))
+    key_cells = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", rows)
+        .select("event_type", "i", cell.alias("cell"))
+    )
+    est = (
+        key_cells.join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("est_n"))
+    )
+    truth = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    return truth.join(est, "event_type").select(
+        "event_type",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+    )
