@@ -167,3 +167,35 @@ def session_counts_dynamic_gap(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def exp_histogram_windowed(
+    events: DataFrame, width: str = "1 day", delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-window OTLP ExponentialHistogram (scale 0) bucket counts —
+    the streaming face of the batch ``events_exp_histogram`` query:
+    values in exact integer micro-units, bucket index =
+    bit-length(v)-1 (never float log2), the OTLP zero bucket at
+    idx -1.  Emits (window, event_type, bucket_idx, n).
+
+    Mergeability is the contract this face exists to prove: scale-0
+    buckets form a partial-aggregable map, so window grids merge by
+    plain addition — summing the per-window counts over all windows
+    must reproduce the batch grid exactly (pinned in
+    tests/test_streaming_analytics.py).  At 100 TB the state store
+    holds one counter per (window, type, bucket) — ~5×40 cells per
+    window, watermark-bounded — the same reason the reference's
+    explicit-bucket histograms (A14, internal/metrics/metrics.go)
+    are cheap to keep per label set."""
+    v_us = F.expr("cast(round(value * 1000000) as bigint)")
+    bucket = (
+        F.when(v_us > 0, (F.length(F.bin(v_us)) - 1).cast("long"))
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("bucket_idx")
+    )
+    return (
+        events.withWatermark("ts", delay)
+        .select("ts", "event_type", bucket)
+        .groupBy(F.window("ts", width), "event_type", "bucket_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

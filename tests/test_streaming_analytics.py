@@ -224,3 +224,76 @@ def test_heavy_hitters_stream_bounds_state_under_eviction(spark, tmp_path):
     hot = [r for r in last_rows if r.item == "hot"]
     assert hot, "dominant item evicted — Misra-Gries guarantee broken"
     assert max(r.cnt for r in hot) >= 40 - (100 // (_MG_K + 1))
+
+
+def test_exp_histogram_stream_merges_to_batch_grid(spark, sf_dir, tmp_path):
+    """exp_histogram_windowed == events_exp_histogram after merging
+    windows: scale-0 buckets are a partial-aggregable map, so the
+    per-day streaming grids (fed across TWO micro-batches at an
+    arbitrary row split) must sum to the batch grid exactly — the
+    mergeability property the batch docstring claims, executed through
+    the real streaming path (watermark + windowed state)."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        events_exp_histogram,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        exp_histogram_windowed,
+    )
+
+    batch = {
+        (r.event_type, r.bucket_idx): r.n
+        for r in events_exp_histogram(spark, sf_dir).collect()
+    }
+    assert len(batch) >= 10, "fixture too small for a meaningful grid"
+
+    ev = table(spark, sf_dir, "events").orderBy("event_id").limit(2000)
+    rows = [
+        {
+            "ts": r.ts.isoformat(sep=" "),
+            "event_type": r.event_type,
+            "value": r.value,
+        }
+        for r in ev.collect()
+    ]
+    # the stream sees only these rows; recompute the batch truth on them
+    sub = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["value"]) for r in rows],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    v_us = F.expr("cast(round(value * 1000000) as bigint)")
+    want = {
+        (r.event_type, r.bucket_idx): r.n
+        for r in sub.select(
+            "event_type",
+            F.when(v_us > 0, (F.length(F.bin(v_us)) - 1).cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("bucket_idx"),
+        )
+        .groupBy("event_type", "bucket_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+
+    name = f"exphist_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark,
+        tmp_path,
+        rows,
+        "exphist_feed",
+        "ts timestamp, event_type string, value double",
+    )
+    q = (
+        exp_histogram_windowed(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got: dict = {}
+    for r in spark.table(name).collect():
+        k = (r.event_type, r.bucket_idx)
+        got[k] = got.get(k, 0) + r.n
+    assert got == want
