@@ -879,3 +879,136 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_directed_edges"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("assortativity"),
     )
+
+
+#: Portable hash for parent selection in the synthesized trace tree:
+#: first 8 md5 hex chars of the event id, decoded positionally —
+#: byte-identical in Spark and DuckDB (the agg_count_min_estimate
+#: convention), so both engines build the SAME random recursive tree.
+_TREE_HASH = (
+    "((instr('0123456789abcdef', substring(md5(cast({key} as string)), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substring(md5(cast({key} as string)), 2, 1))"
+    " - 1)"
+)
+
+
+@query(
+    "graph_tree_depth_pointer_doubling",
+    oracle=f"""
+    WITH RECURSIVE spans AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             {_TREE_HASH.format(key='event_id')} AS h
+      FROM events
+    ),
+    tree AS (
+      SELECT user_id, event_id, rn,
+             CASE WHEN rn = 1 THEN 0 ELSE 1 + (h % (rn - 1)) END AS parent_rn
+      FROM spans
+    ),
+    walk AS (
+      SELECT user_id, rn, 0::BIGINT AS depth FROM tree WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.rn, w.depth + 1
+      FROM tree t JOIN walk w
+        ON t.user_id = w.user_id AND t.parent_rn = w.rn
+    )
+    SELECT t.user_id, t.event_id,
+           cast(t.rn AS BIGINT) AS rn,
+           cast(t.parent_rn AS BIGINT) AS parent_rn,
+           w.depth
+    FROM tree t JOIN walk w ON t.user_id = w.user_id AND t.rn = w.rn
+    """,
+)
+def graph_tree_depth_pointer_doubling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tree-depth resolution by POINTER DOUBLING — the O(log depth)
+    primitive for chasing parent links at scale (trace trees, comment
+    threads, org charts, filesystem paths): each round every node
+    learns its ancestor's ancestor and adds the accumulated hop
+    counts, so after ceil(log2(max depth)) self-joins every node holds
+    its root distance — where the naive per-node walk is
+    O(depth) SEQUENTIAL dependent lookups and the recursive-CTE shape
+    (the DuckDB twin) is one scan PER LEVEL, both of which die on a
+    100 TB span table with deep traces.  The substrate is a
+    deterministic random recursive tree per user-trace: span rank k
+    attaches to a uniform earlier rank chosen by an engine-portable
+    md5 hash, so parent choice is data-dependent (no closed-form
+    depth) yet both engines build the identical tree — making a full
+    oracle differential possible for an iterative distributed
+    algorithm.  Plan: per-user rank window (session-bounded), then
+    log2(max_rank) rounds of (user, rank)-keyed self-joins, each round
+    ``localCheckpoint``-ed so lineage stays O(1) (the dedup_cluster_cc
+    discipline); the one driver-side scalar is max span count (sets
+    the round count).  Joins co-partition on the same key every round,
+    so at 100 TB each round is one co-located shuffle of the span
+    table — log-many passes total, the textbook Wyllie list-ranking
+    trade."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    spans = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.expr(_TREE_HASH.format(key="event_id")).alias("h"),
+    )
+    tree = spans.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.when(F.col("rn") == 1, F.lit(0).cast("long"))
+        .otherwise(1 + F.pmod(F.col("h"), F.col("rn") - 1))
+        .alias("parent_rn"),
+    ).localCheckpoint(eager=True)
+
+    # 1-row build-time job (intentionally eager: one long of driver
+    # state buys the round count): rounds = ceil(log2(max rank)).
+    max_rn = tree.agg(F.max("rn")).first()[0] or 1
+    rounds = max(1, int(max_rn - 1).bit_length())
+
+    # state: (user_id, rn, jump, dist) — jump = known ancestor (root
+    # jumps to itself so doubling is absorbing), dist = hops to jump.
+    state = tree.select(
+        "user_id",
+        "rn",
+        F.when(F.col("rn") == 1, F.col("rn")).otherwise(F.col("parent_rn"))
+        .alias("jump"),
+        F.when(F.col("rn") == 1, F.lit(0)).otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("user_id").alias("h_user"),
+            F.col("rn").alias("h_rn"),
+            F.col("jump").alias("h_jump"),
+            F.col("dist").alias("h_dist"),
+        )
+        state = (
+            state.join(
+                hop,
+                (F.col("user_id") == F.col("h_user"))
+                & (F.col("jump") == F.col("h_rn")),
+            )
+            .select(
+                "user_id",
+                "rn",
+                F.col("h_jump").alias("jump"),
+                (F.col("dist") + F.col("h_dist")).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        tree.join(state.select("user_id", "rn", "dist"), ["user_id", "rn"])
+        .select(
+            "user_id",
+            "event_id",
+            "rn",
+            "parent_rn",
+            F.col("dist").alias("depth"),
+        )
+    )
