@@ -107,6 +107,10 @@ HEADLINE = [
     "events_decile_migration",
     "text_vocab_coverage_curve",
     "text_bpe_train",
+    # round-9 observability flagships: OTLP envelope parse and the
+    # log-depth pointer-doubling tree walk
+    "source_otlp_spans_parse",
+    "graph_tree_depth_pointer_doubling",
 ]
 
 

@@ -2862,3 +2862,148 @@ def agg_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
     )
+
+
+#: Portable HyperLogLog geometry: m = 64 registers (p = 6).
+_HLL_M = 64
+
+
+@query(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, md5(cast(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type,
+             ((instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substring(hx, 2, 1)) - 1)
+               % {_HLL_M} AS idx,
+             substring(hx, 3, 8) AS h8
+      FROM h
+    ),
+    rho AS (
+      SELECT event_type, idx,
+             CASE WHEN h8 = '00000000' THEN 33
+                  ELSE 4 * length(regexp_extract(h8, '^0*'))
+                       + 5 - length(printf('%b',
+                           instr('0123456789abcdef',
+                                 substring(regexp_replace(h8, '^0*', ''),
+                                           1, 1)) - 1))
+             END AS r
+      FROM parts
+    ),
+    regs AS (
+      SELECT event_type, idx, max(r) AS m FROM rho GROUP BY event_type, idx
+    ),
+    spine AS (
+      SELECT t.event_type, g.idx, coalesce(regs.m, 0) AS m
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(range({_HLL_M})) AS idx) g
+      LEFT JOIN regs ON regs.event_type = t.event_type AND regs.idx = g.idx
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(pow(2.0, -m))                       AS s,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)  AS v
+      FROM spine GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, v,
+             (0.7213 / (1 + 1.079 / {_HLL_M}))
+               * {_HLL_M} * {_HLL_M} / s AS raw
+      FROM agg
+    ),
+    truth AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_n FROM events
+      GROUP BY event_type
+    )
+    SELECT t.event_type,
+           cast(t.exact_n AS BIGINT) AS exact_n,
+           round(CASE WHEN e.raw <= 2.5 * {_HLL_M} AND e.v > 0
+                      THEN {_HLL_M} * ln({_HLL_M} / cast(e.v AS DOUBLE))
+                      ELSE e.raw END, 4) AS hll_estimate,
+           cast(e.v AS BIGINT) AS zero_registers
+    FROM truth t JOIN est e ON t.event_type = e.event_type
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimation (Flajolet et al. 2007)
+    with an ENGINE-PORTABLE hash — m={_HLL_M} registers indexed by two
+    md5 hex chars, ρ = leading-zero count of the next 32 hash bits
+    computed on the hex text itself (count of leading '0' chars + the
+    within-char bit-length of the first non-zero, so no base
+    conversion and no float log anywhere in the sketch), stochastic
+    averaging + the standard small-range linear-counting correction.
+    Spark's own approx_count_distinct (agg_approx_distinct) is
+    rows-only by design — its HLL++ seeds are engine-private; this
+    one's registers, zero-count, and estimate hash-match the DuckDB
+    twin exactly, completing the oracle-differentiable sketch pair
+    with agg_count_min_estimate.  Plan: one pass over the scan into a
+    (type, register) max-agg — partial-aggregable, fixed {_HLL_M}
+    cells per key no matter the cardinality (THE reason HLL is the
+    100 TB distinct-count workhorse: registers merge by max across
+    executors) — then a broadcast {_HLL_M}-row spine fills empty
+    registers for the harmonic mean."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("hx"))
+    val1 = "(instr('0123456789abcdef', substring(hx, 1, 1)) - 1)"
+    val2 = "(instr('0123456789abcdef', substring(hx, 2, 1)) - 1)"
+    parts = h.select(
+        "event_type",
+        F.expr(f"pmod({val1} * 16 + {val2}, {_HLL_M})").alias("idx"),
+        F.substring("hx", 3, 8).alias("h8"),
+    )
+    first_nz = (
+        "instr('0123456789abcdef', substring(regexp_replace(h8, '^0*', ''), 1, 1)) - 1"
+    )
+    rho = parts.select(
+        "event_type",
+        "idx",
+        F.when(F.col("h8") == "00000000", F.lit(33))
+        .otherwise(
+            F.expr(
+                "4 * length(regexp_extract(h8, '^0*', 0)) + 5 "
+                f"- length(bin({first_nz}))"
+            )
+        )
+        .cast("int")
+        .alias("r"),
+    )
+    regs = rho.groupBy("event_type", "idx").agg(F.max("r").alias("m"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("idx"),
+        )
+        .join(regs, ["event_type", "idx"], "left")
+        .select("event_type", "idx", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    agg = spine.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    est = agg.select(
+        "event_type",
+        "v",
+        (F.lit(alpha) * F.lit(_HLL_M) * F.lit(_HLL_M) / F.col("s")).alias("raw"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_n")
+    )
+    return truth.join(est, "event_type").select(
+        "event_type",
+        "exact_n",
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+                F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+            ).otherwise(F.col("raw")),
+            4,
+        ).alias("hll_estimate"),
+        F.col("v").cast("long").alias("zero_registers"),
+    )

@@ -46,10 +46,13 @@ _REGISTRY: dict[str, Query] = {}
 #: remaining oracle-backed names (every one passes the local
 #: differential in tools/check_oracle.py) followed by the 11 rows-only
 #: names (no DuckDB oracle by design — sketches/ANN/clustering/codecs;
-#: the driver records them running clean with stable row counts).  After
-#: this window lands, every registered query has driver evidence —
-#: 338/338.  ``tools/verify_round.py`` fails loudly if any name at the
-#: head of this list is already green in a CORRECTNESS_r*.json.
+#: the driver records them running clean with stable row counts).  The
+#: round-9 oracle-backed additions enter the window ahead of rows-only
+#: slots (hash evidence outranks clean-run evidence), displacing some
+#: rows-only names to round 10; after r10's window, every registered
+#: query has driver evidence.  ``tools/verify_round.py`` fails loudly if
+#: any name at the head of this list is already green in a
+#: CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: list[str] = [
     # round-9 window part 1: the last 39 oracle-backed queries with no
     # driver row
@@ -80,16 +83,15 @@ _DRIVER_PRIORITY: list[str] = [
     "events_sequence_regex_match", "events_exp_histogram",
     "events_log_templates", "source_otlp_spans_parse",
     "agg_count_min_estimate", "events_token_bucket_admission",
-    "graph_tree_depth_pointer_doubling",
+    "graph_tree_depth_pointer_doubling", "agg_hll_portable",
     "sim_ann_pq", "dedup_near_e2e", "dedup_semantic",
-    "cluster_kmeans_assign",
     # staged for round 10 (positions 51+ — outside this round's window):
     # the rows-only names the round-9 oracle additions displaced, then
     # the remaining round-9 additions, so next round's rotation finds
     # them queued — after r10's window, every registered query has
     # driver evidence.
-    "emb_mmr_rerank", "emb_pca_top_component", "events_lttb_downsample",
-    "multimodal_resize",
+    "cluster_kmeans_assign", "emb_mmr_rerank", "emb_pca_top_component",
+    "events_lttb_downsample", "multimodal_resize",
     "text_bpe_tokenize", "text_compression_ratio", "agg_hll_sketch_union",
     "text_bpe_train", "text_bpe_tokenize_trained",
     "multimodal_decode_codecs", "multimodal_resize_codecs",
