@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: Output row per updated user; state is (total_value, n_events).
@@ -522,6 +523,71 @@ def group_heavy_hitters_stream(events: DataFrame) -> DataFrame:
             _mg_fold,
             outputStructType=_MG_OUT_SCHEMA,
             stateStructType=_MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _token_bucket_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's in-order events through the token bucket,
+    carrying (balance, last_ts) across micro-batches."""
+    from ..operators.analytics import _TB_CAP_US, _TB_COST_US
+
+    bal, prev_ts, rn = state.get if state.exists else (_TB_CAP_US, -1, 0)
+    out_eid, out_rn, out_adm, out_bal = [], [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for eid, ts in zip(pdf["event_id"], pdf["ts_us"]):
+            if prev_ts >= 0:
+                bal = min(_TB_CAP_US, bal + (int(ts) - prev_ts))
+            prev_ts = int(ts)
+            admitted = bal >= _TB_COST_US
+            if admitted:
+                bal -= _TB_COST_US
+            rn += 1
+            out_eid.append(int(eid))
+            out_rn.append(rn)
+            out_adm.append(admitted)
+            out_bal.append(bal)
+    state.update((bal, prev_ts, rn))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": out_eid,
+            "rn": out_rn,
+            "admitted": out_adm,
+            "balance_us": out_bal,
+        }
+    )
+
+
+def token_bucket_stream(events: DataFrame) -> DataFrame:
+    """Streaming face of ``events_token_bucket_admission``: admit or
+    reject each event AS IT ARRIVES from a per-user token bucket
+    (capacity/refill constants shared with the batch op), state =
+    (balance, last event time, admitted rank) carried across
+    micro-batches — the reference's A1 pacing
+    (``internal/generator/generator.go``'s golang.org/x/time/rate
+    bucket) applied to the ingest stream itself, i.e. admission
+    control at the pipeline mouth.  Requires per-user event-time order
+    across batches (the upstream sort/watermark discipline the CUSUM
+    face documents); the equivalence test feeds ordered splits and
+    pins stream == batch row for row."""
+    return (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _token_bucket_fold,
+            outputStructType=(
+                "user_id long, event_id long, rn long, "
+                "admitted boolean, balance_us long"
+            ),
+            stateStructType="bal long, prev_ts long, rn long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -297,3 +297,69 @@ def test_exp_histogram_stream_merges_to_batch_grid(spark, sf_dir, tmp_path):
         k = (r.event_type, r.bucket_idx)
         got[k] = got.get(k, 0) + r.n
     assert got == want
+
+
+def test_token_bucket_stream_matches_batch_replay(spark, sf_dir, tmp_path):
+    """token_bucket_stream == events_token_bucket_admission row for
+    row when the same per-user-ordered events arrive across TWO
+    micro-batches: the carried (balance, last_ts, rank) state is the
+    whole operator — a lost carry admits what the batch replay
+    rejects."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        events_token_bucket_admission,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        token_bucket_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    # a stable subset, ordered by event time so the two triggers split
+    # every user's series mid-stream (global time order implies
+    # per-user order within and across the halves)
+    sub = ev.orderBy(F.unix_micros("ts"), "event_id").limit(2000).collect()
+    rows = [
+        {
+            "event_id": r.event_id,
+            "ts": r.ts.isoformat(sep=" "),
+            "user_id": r.user_id,
+            "event_type": r.event_type,
+            "value": r.value,
+        }
+        for r in sub
+    ]
+
+    # batch truth on the same subset: write it as a tiny parquet dir
+    # shaped like the fixture and run the registered query against it
+    subdir = tmp_path / "tb_subset"
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+            for r in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.parquet(str(subdir / "events.parquet"))
+    want = {
+        (r.user_id, r.event_id): (r.rn, r.admitted, r.balance_us)
+        for r in events_token_bucket_admission(spark, str(subdir)).collect()
+    }
+
+    name = f"tb_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark,
+        tmp_path,
+        rows,
+        "tb_feed",
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    _run_update(token_bucket_stream(stream), name)
+    got = {
+        (r.user_id, r.event_id): (r.rn, r.admitted, r.balance_us)
+        for r in spark.table(name).collect()
+    }
+    assert got == want and len(got) == len(rows) > 0
