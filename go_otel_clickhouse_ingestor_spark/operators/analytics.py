@@ -5449,8 +5449,10 @@ def events_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            bucket_idx,
            CASE WHEN bucket_idx >= 0
                 THEN (1::BIGINT << bucket_idx) ELSE 0 END AS lower_us,
-           CASE WHEN bucket_idx >= 0
-                THEN (1::BIGINT << (bucket_idx + 1)) ELSE 0 END AS upper_us,
+           CASE WHEN bucket_idx BETWEEN 0 AND 61
+                THEN (1::BIGINT << (bucket_idx + 1))
+                WHEN bucket_idx = 62 THEN NULL
+                ELSE 0 END AS upper_us,
            cast(count(*) AS BIGINT) AS n
     FROM b GROUP BY event_type, bucket_idx
     """,
@@ -5488,16 +5490,29 @@ def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = b.groupBy("event_type", "bucket_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    bound = lambda off: F.when(
+    # bucket_idx for a positive BIGINT micro-value is at most 62, so
+    # the lower bound 1<<idx always fits a long; the UPPER bound
+    # 1<<(idx+1) overflows at idx = 62 (Spark would wrap negative,
+    # DuckDB hard-errors) — that open-ended top bucket reports NULL,
+    # matching OTLP's index-not-bounds wire semantics.
+    lower = F.when(
         F.col("bucket_idx") >= 0,
-        F.expr(f"shiftleft(cast(1 as bigint), cast(bucket_idx as int) + {off})"),
+        F.expr("shiftleft(cast(1 as bigint), cast(bucket_idx as int))"),
     ).otherwise(F.lit(0).cast("long"))
+    upper = (
+        F.when(
+            F.col("bucket_idx").between(0, 61),
+            F.expr("shiftleft(cast(1 as bigint), cast(bucket_idx as int) + 1)"),
+        )
+        .when(F.col("bucket_idx") == 62, F.lit(None).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
     return g.select(
         "event_type",
         F.lit(0).cast("long").alias("scale"),
         "bucket_idx",
-        bound(0).alias("lower_us"),
-        bound(1).alias("upper_us"),
+        lower.alias("lower_us"),
+        upper.alias("upper_us"),
         "n",
     )
 

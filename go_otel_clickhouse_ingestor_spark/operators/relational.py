@@ -2779,7 +2779,7 @@ _CMS_CELL = (
     "pmod((instr('0123456789abcdef', substring(md5(concat('cms', "
     "cast({i} as string), ':', {key})), 1, 1)) - 1) * 16 "
     "+ instr('0123456789abcdef', substring(md5(concat('cms', "
-    "cast({i} as string), ':', {key})), 2, 1)) - 1, 64)"
+    "cast({i} as string), ':', {key})), 2, 1)) - 1, {w})"
 )
 
 
@@ -2839,7 +2839,7 @@ def agg_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) distinct-key probe set."""
     ev = table(spark, sf_dir, "events")
     rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("i")
-    cell = F.expr(_CMS_CELL.format(i="i", key="event_type"))
+    cell = F.expr(_CMS_CELL.format(i="i", key="event_type", w=_CMS_WIDTH))
     hashed = ev.select("event_type").select("event_type", rows).select(
         "event_type", "i", cell.alias("cell")
     )

@@ -1364,7 +1364,11 @@ def _train_iter(batches):
     merges come out identical."""
     import pandas as pd
 
-    rows = pd.concat(list(batches))
+    chunks = list(batches)
+    if not chunks:  # empty/fully-filtered corpus: empty merge table
+        yield pd.DataFrame(columns=["rank", "left", "right", "merged"])
+        return
+    rows = pd.concat(chunks)
     merges = train_bpe_merges(
         list(zip(rows["w"], rows["n"].astype(int))), _BPE_TRAIN_N_MERGES
     )

@@ -75,9 +75,9 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
     "events_gini_concentration", "events_decile_migration",
     "text_lang_confusion",
-    # round-9 window part 2: the three oracle-backed round-9 additions
+    # round-9 window part 2: the EIGHT oracle-backed round-9 additions
     # (hash-verifiable evidence outranks rows-only slots — the
-    # verify_round rotation rule), then 8 of the 11 rows-only queries
+    # verify_round rotation rule), then 3 of the 11 rows-only queries
     # (no oracle by design) filling the window's remaining slots so the
     # driver records a clean-run row for each.
     "events_sequence_regex_match", "events_exp_histogram",

@@ -429,6 +429,17 @@ def hysteresis_fold(thresholds: dict):
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] not in thresholds:
+            # a type with no baseline thresholds (new in the live
+            # stream) is passed through un-alerted rather than killing
+            # the query with a KeyError; the next baseline refresh
+            # picks it up
+            for pdf in pdfs:  # drain the iterator per the state protocol
+                pass
+            yield pd.DataFrame(
+                [], columns=["event_type", "day", "total_c", "n", "state"]
+            )
+            return
         (st,) = state.get if state.exists else ("clear",)
         hi, lo = thresholds[key[0]]
         rows = pd.concat(list(pdfs))
@@ -538,9 +549,15 @@ def _token_bucket_fold(
 
     bal, prev_ts, rn = state.get if state.exists else (_TB_CAP_US, -1, 0)
     out_eid, out_rn, out_adm, out_bal = [], [], [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for eid, ts in zip(pdf["event_id"], pdf["ts_us"]):
+    # concat BEFORE sorting: a group larger than the Arrow batch size
+    # arrives as several chunks in arbitrary order, and a per-chunk
+    # sort would feed the recurrence out-of-order timestamps (negative
+    # refills) — the cusum_fold discipline
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame()
+    if len(rows):
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for eid, ts in zip(rows["event_id"], rows["ts_us"]):
             if prev_ts >= 0:
                 bal = min(_TB_CAP_US, bal + (int(ts) - prev_ts))
             prev_ts = int(ts)

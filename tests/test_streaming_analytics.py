@@ -357,7 +357,17 @@ def test_token_bucket_stream_matches_batch_replay(spark, sf_dir, tmp_path):
         "tb_feed",
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
-    _run_update(token_bucket_stream(stream), name)
+    # force multi-chunk groups: with a tiny Arrow batch size every
+    # user's rows arrive as several chunks, so a per-chunk (instead of
+    # whole-group) sort in the fold would feed the recurrence
+    # out-of-order timestamps and diverge from the batch replay
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "16")
+    try:
+        _run_update(token_bucket_stream(stream), name)
+    finally:
+        spark.conf.set(key, saved)
     got = {
         (r.user_id, r.event_id): (r.rn, r.admitted, r.balance_us)
         for r in spark.table(name).collect()

@@ -125,7 +125,7 @@ def check_plans_table() -> list[str]:
             f"PLANS.md audit table (regenerate with tools/plan_report.py): "
             f"{missing}"
         )
-    errs += check_top_k_plans(rows={})
+    errs += check_top_k_plans()
     return errs
 
 
@@ -150,7 +150,7 @@ _TOP_K_REQUIRED = (
 )
 
 
-def check_top_k_plans(rows: dict) -> list[str]:
+def check_top_k_plans() -> list[str]:
     """Fail when a load-bearing top-k query's PLANS.md row lost `TOP`."""
     plans = os.path.join(REPO, "PLANS.md")
     if not os.path.exists(plans):
