@@ -360,3 +360,75 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("adelta").cast("long").alias("max_abs_delta_c"),
         )
     )
+
+
+#: k-anonymity threshold: classes smaller than this are re-identifiable.
+_KANON_K = 5
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             cast(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             count(*) AS n_rows
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(n_rows) AS total, min(n_rows) AS k_min FROM classes)
+    SELECT c_nationkey,
+           c_mktsegment,
+           bal_band,
+           cast(n_rows AS BIGINT)          AS n_rows,
+           (n_rows < {_KANON_K})           AS at_risk,
+           cast(t.k_min AS BIGINT)         AS k_min,
+           cast((SELECT sum(n_rows) FROM classes WHERE n_rows < {_KANON_K})
+                AS BIGINT)                 AS rows_at_risk,
+           cast(t.total AS BIGINT)         AS total_rows
+    FROM classes CROSS JOIN tot t
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs BEFORE export (Sweeney 2002: a record
+    is re-identifiable when its quasi-identifier combination is shared
+    by fewer than k rows; the famous result is that zip+birthdate+sex
+    singles out most of a population).  Quasi-identifier tuple here:
+    (nation, market segment, account-balance band); every equivalence
+    class is reported with its size, an ``at_risk`` flag (n < {_KANON_K}),
+    and the dataset-level audit numbers every row carries — the
+    minimum k actually achieved, the total row mass in at-risk classes
+    (the quantity a suppress-or-generalize pass must remove), and the
+    population.  Plan: one partial-agged groupBy over the scan into a
+    class grid bounded by the quasi-identifier domain (nations ×
+    segments × bands — thousands of cells at any data scale), then two
+    broadcast 1-row aggregates joined back; the 100 TB cost is the one
+    scan, exactly like every dq_* audit."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = classes.agg(
+        F.sum("n_rows").alias("total"), F.min("n_rows").alias("k_min")
+    )
+    risk = classes.filter(F.col("n_rows") < _KANON_K).agg(
+        F.sum("n_rows").alias("rows_at_risk")
+    )
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(risk))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") < _KANON_K).alias("at_risk"),
+            F.col("k_min").cast("long").alias("k_min"),
+            F.col("rows_at_risk").cast("long").alias("rows_at_risk"),
+            F.col("total").cast("long").alias("total_rows"),
+        )
+    )
