@@ -5721,3 +5721,81 @@ def events_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame
         _token_bucket_replay,
         "user_id long, event_id long, rn long, admitted boolean, balance_us long",
     )
+
+
+@query(
+    "events_label_cardinality_audit",
+    oracle="""
+    WITH lab AS (
+      SELECT event_type,
+             cast(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             user_id,
+             cast(ts AS DATE) AS day
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             count(*)                    AS n_rows,
+             count(DISTINCT k_val)       AS k_card,
+             count(DISTINCT user_id)     AS user_card,
+             count(DISTINCT day)         AS days,
+             count(DISTINCT (k_val, user_id)) AS series_card
+      FROM lab GROUP BY event_type
+    )
+    SELECT event_type,
+           cast(n_rows AS BIGINT)      AS n_rows,
+           cast(k_card AS BIGINT)      AS k_card,
+           cast(user_card AS BIGINT)   AS user_card,
+           cast(series_card AS BIGINT) AS series_card,
+           cast((series_card + days - 1) // days AS BIGINT)
+                                       AS series_per_day_ceil,
+           cast(n_rows // series_card AS BIGINT)
+                                       AS rows_per_series,
+           (series_card * 10 > n_rows) AS explosion_risk
+    FROM per_type
+    """,
+)
+def events_label_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cardinality audit — the #1 operational failure mode of
+    every metrics backend the reference feeds (a ClickHouse/Prometheus
+    series is one row PER LABEL COMBINATION, so an unbounded label
+    like user id or request path multiplies storage and query cost;
+    the reference's own counters are label-scoped for exactly this
+    reason, internal/metrics/metrics.go): per event type, the distinct
+    cardinality of each candidate label (props.k, user), the SERIES
+    cardinality their combination would create, the mean rows per
+    series (exact integer division — a series touched by ≤10 rows is
+    paying index cost for no aggregation benefit, hence the
+    ``explosion_risk`` cross-multiplied flag), and the per-day series
+    ceiling a retention planner multiplies out.  Plan: one
+    partial-agged multi-distinct groupBy over the scan (Spark expands
+    multiple exact DISTINCTs to an expand+two-phase agg — still one
+    pass over the data, grid bounded by the type domain)."""
+    ev = table(spark, sf_dir, "events")
+    lab = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+    )
+    per_type = lab.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k_val").alias("k_card"),
+        F.countDistinct("user_id").alias("user_card"),
+        F.countDistinct("day").alias("days"),
+        F.countDistinct("k_val", "user_id").alias("series_card"),
+    )
+    return per_type.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("k_card").cast("long").alias("k_card"),
+        F.col("user_card").cast("long").alias("user_card"),
+        F.col("series_card").cast("long").alias("series_card"),
+        F.expr("cast((series_card + days - 1) div days as bigint)").alias(
+            "series_per_day_ceil"
+        ),
+        F.expr("cast(n_rows div series_card as bigint)").alias(
+            "rows_per_series"
+        ),
+        (F.col("series_card") * 10 > F.col("n_rows")).alias("explosion_risk"),
+    )

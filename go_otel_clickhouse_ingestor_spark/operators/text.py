@@ -2015,3 +2015,140 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: RAKE stopword delimiters (the fixture vocabulary's function words)
+#: and report depth.
+_RAKE_STOPS = ("a", "the")
+_RAKE_TOPK = 20
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH padded AS (
+      SELECT ' ' || replace(lower(text), ' ', '  ') || ' ' AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    cut AS (
+      SELECT regexp_replace(t, ' ({'|'.join(_RAKE_STOPS)}) ', '|', 'g') AS t
+      FROM padded
+    ),
+    phrases AS (
+      SELECT row_number() OVER () AS occ_id,
+             trim(replace(p, '  ', ' ')) AS phrase
+      FROM cut, unnest(string_split(t, '|')) AS u(p)
+      WHERE trim(replace(p, '  ', ' ')) <> ''
+    ),
+    pw AS (
+      SELECT occ_id, phrase,
+             len(string_split(phrase, ' ')) AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM phrases
+    ),
+    ws AS (
+      SELECT w,
+             count(*)  AS freq,
+             sum(plen) AS deg
+      FROM pw GROUP BY w
+    ),
+    wscore AS (SELECT w, (1000000 * deg) // freq AS score_micro FROM ws),
+    pscore AS (
+      SELECT pw.phrase,
+             sum(wscore.score_micro) AS occ_score
+      FROM pw JOIN wscore ON pw.w = wscore.w
+      GROUP BY pw.phrase, pw.occ_id
+    ),
+    agg AS (
+      SELECT phrase,
+             cast(count(*) AS BIGINT) AS n_occurrences,
+             cast(max(occ_score) AS BIGINT) AS score_micro
+      FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_micro,
+           cast(row_number() OVER (ORDER BY score_micro DESC, phrase)
+                AS BIGINT) AS rn
+    FROM agg
+    ORDER BY rn LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") — the classic unsupervised
+    keyphrase miner: split text into candidate phrases at stopword
+    delimiters, score each word by degree/frequency (degree = summed
+    length of the phrases it occurs in — words that travel in long
+    phrases beat loners), and score a phrase as the sum of its word
+    scores.  Scores are exact integer micro-units via per-word floor
+    division BEFORE the phrase sum (the portability ladder: one
+    deterministic rounding point, identical in both engines), and the
+    phrase split uses the double-space trick — pad every space, then
+    every ' stopword ' owns its delimiters even when stopwords run
+    consecutively — so Spark and DuckDB carve byte-identical phrases
+    with one regexp_replace each.  Plan: two scan-linear explodes
+    (phrase, word) into a word-stat partial agg, a broadcast-sized
+    word-score join back, a phrase agg, and a
+    ``orderBy().limit({_RAKE_TOPK})`` TakeOrderedAndProject BEFORE the
+    rank window (the vocab-coverage discipline: the distinct-phrase
+    domain is Heaps-huge at 100 TB; the window must only ever see
+    {_RAKE_TOPK} rows)."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    stops = "|".join(_RAKE_STOPS)
+    cut = d.select(
+        F.regexp_replace(
+            F.concat(
+                F.lit(" "),
+                F.replace(F.lower("text"), F.lit(" "), F.lit("  ")),
+                F.lit(" "),
+            ),
+            f" ({stops}) ",
+            "|",
+        ).alias("t")
+    )
+    phrases = (
+        cut.select(F.explode(F.split("t", r"\|")).alias("p"))
+        .select(
+            F.trim(F.replace(F.col("p"), F.lit("  "), F.lit(" "))).alias(
+                "phrase"
+            )
+        )
+        .filter(F.col("phrase") != "")
+    )
+    # one row per phrase OCCURRENCE (id tags each occurrence so a
+    # repeated word inside one phrase counts per instance, per RAKE)
+    occ = phrases.select(
+        F.monotonically_increasing_id().alias("occ_id"), "phrase"
+    )
+    pw = occ.select(
+        "occ_id",
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    wscore = ws.select(
+        "w", F.expr("(1000000 * deg) div freq").alias("score_micro")
+    )
+    pscore = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("occ_id", "phrase")
+        .agg(F.sum("score_micro").alias("occ_score"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("occ_score").cast("long").alias("score_micro"),
+    )
+    top = agg.orderBy(F.col("score_micro").desc(), F.col("phrase")).limit(
+        _RAKE_TOPK
+    )
+    from pyspark.sql.window import Window as _W
+
+    wr = _W.orderBy(F.col("score_micro").desc(), F.col("phrase"))
+    return top.select(
+        "phrase",
+        "n_occurrences",
+        "score_micro",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    )

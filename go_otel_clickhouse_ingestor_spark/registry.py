@@ -84,13 +84,14 @@ _DRIVER_PRIORITY: list[str] = [
     "events_log_templates", "source_otlp_spans_parse",
     "agg_count_min_estimate", "events_token_bucket_admission",
     "graph_tree_depth_pointer_doubling", "agg_hll_portable",
-    "dq_k_anonymity",
-    "sim_ann_pq", "dedup_near_e2e",
+    "dq_k_anonymity", "events_label_cardinality_audit",
+    "text_keyword_rake",
     # staged for round 10 (positions 51+ — outside this round's window):
     # the rows-only names the round-9 oracle additions displaced, then
     # the remaining round-9 additions, so next round's rotation finds
     # them queued — after r10's window, every registered query has
     # driver evidence.
+    "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
     "emb_pca_top_component", "events_lttb_downsample", "multimodal_resize",
     "text_bpe_tokenize", "text_compression_ratio", "agg_hll_sketch_union",

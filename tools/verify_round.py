@@ -144,6 +144,7 @@ _TOP_K_REQUIRED = (
     "text_zipf_fit",
     "text_collocations_pmi",
     "text_vocab_coverage_curve",
+    "text_keyword_rake",
     "tpch_q3",
     "tpch_q10",
     "tpch_q21",
