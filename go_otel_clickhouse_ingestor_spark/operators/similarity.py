@@ -1142,3 +1142,105 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda pdf: _mmr_select(pdf),
         "qid long, mmr_rank long, vec_id long, relevance double, mmr_score double",
     )
+
+
+#: Mutual-kNN graph degree.
+_MKNN_K = 5
+
+
+@query(
+    "emb_mutual_knn_graph",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT label, src, dst, cos
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, dst) <= {_MKNN_K}
+    )
+    SELECT k1.label, k1.src AS vec_a, k1.dst AS vec_b,
+           round(k1.cos, 5) AS cos_sim
+    FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+    WHERE k1.src < k1.dst
+    """,
+)
+def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction — the neighborhood graph behind
+    SemDeDup-style duplicate pruning, graph-based label propagation,
+    and UMAP/HDBSCAN preprocessing: an edge survives only when each
+    endpoint is in the OTHER's k={_MKNN_K} nearest neighbors, which
+    kills the hub/asymmetry edges a one-directional kNN keeps (hubs
+    are everyone's neighbor but reciprocate almost nobody).  Blocked
+    by ``label`` exactly like dedup_embedding_cosine — the IVF-cell
+    discipline: exact cosine only inside a block, so the pair join
+    shuffles on the block key and never goes quadratic across the
+    corpus (at 100 TB the blocks come from the kmeans cells
+    sim_ann_ivf builds; the fixture's label plays that role).  Ranking
+    uses the RAW double cosine (the unrolled left-associative dot is
+    bit-identical to DuckDB's list_dot_product, so the order — and
+    therefore the kNN sets — match exactly); the rounded value is
+    display-only.  Plan: norms once before the join, block-keyed pair
+    join, per-vector rank window (partitioned by vector — thousands of
+    tiny frames), then the mutuality self-join of the k·n-bounded kNN
+    edge list."""
+    from .similarity import dot as vec_dot, embedding_dim
+
+    raw = table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    e = raw.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("emb"),
+    ).withColumn(
+        "nrm", F.sqrt(vec_dot(F.col("emb"), F.col("emb"), dim))
+    )
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("src"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(
+        b, (a.label == b.label_b) & (a.src != b.dst)
+    ).select(
+        "label",
+        "src",
+        "dst",
+        (
+            vec_dot(F.col("emb_a"), F.col("emb_b"), dim)
+            / (F.col("nrm_a") * F.col("nrm_b"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MKNN_K
+    ).select("label", "src", "dst", "cos")
+    k2 = knn.select(F.col("src").alias("r_dst"), F.col("dst").alias("r_src"))
+    return (
+        knn.join(
+            k2, (knn.src == k2.r_src) & (knn.dst == k2.r_dst)
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "label",
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            F.round("cos", 5).alias("cos_sim"),
+        )
+    )

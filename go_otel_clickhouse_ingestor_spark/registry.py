@@ -85,7 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_count_min_estimate", "events_token_bucket_admission",
     "graph_tree_depth_pointer_doubling", "agg_hll_portable",
     "dq_k_anonymity", "events_label_cardinality_audit",
-    "text_keyword_rake",
+    "text_keyword_rake", "emb_mutual_knn_graph",
     # staged for round 10 (positions 51+ — outside this round's window):
     # the rows-only names the round-9 oracle additions displaced, then
     # the remaining round-9 additions, so next round's rotation finds
