@@ -1144,8 +1144,11 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Mutual-kNN graph degree.
+#: Mutual-kNN graph degree, target block size for the adaptive
+#: sign-bit sub-cells, and the hyperplane budget (max sub-cell depth).
 _MKNN_K = 5
+_MKNN_CELL_TARGET = 256
+_MKNN_MAX_BITS = 16
 
 
 @query(
@@ -1157,10 +1160,27 @@ _MKNN_K = 5
                                    embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
+    lc AS (
+      SELECT label,
+             greatest(0, least({_MKNN_MAX_BITS},
+               cast(ceil(log2(count(*) / {_MKNN_CELL_TARGET}.0)) AS INT)))
+               AS bits
+      FROM e GROUP BY label
+    ),
+    cells AS (
+      SELECT e.*,
+             (SELECT coalesce(sum(CASE WHEN i < lc.bits
+                                        AND e.emb[i + 1] >= 0
+                                       THEN (1 << i) ELSE 0 END), 0)
+              FROM range({_MKNN_MAX_BITS}) r(i)) AS cell
+      FROM e JOIN lc ON e.label = lc.label
+    ),
     pairs AS (
       SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
              list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM cells a
+      JOIN cells b ON a.label = b.label AND a.cell = b.cell
+                  AND a.vec_id <> b.vec_id
     ),
     knn AS (
       SELECT label, src, dst, cos
@@ -1180,44 +1200,64 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     and UMAP/HDBSCAN preprocessing: an edge survives only when each
     endpoint is in the OTHER's k={_MKNN_K} nearest neighbors, which
     kills the hub/asymmetry edges a one-directional kNN keeps (hubs
-    are everyone's neighbor but reciprocate almost nobody).  Blocked
-    by ``label`` exactly like dedup_embedding_cosine — the IVF-cell
-    discipline: exact cosine only inside a block, so the pair join
-    shuffles on the block key and never goes quadratic across the
-    corpus (at 100 TB the blocks come from the kmeans cells
-    sim_ann_ivf builds; the fixture's label plays that role).  Ranking
-    uses the RAW double cosine (the unrolled left-associative dot is
-    bit-identical to DuckDB's list_dot_product, so the order — and
-    therefore the kNN sets — match exactly); the rounded value is
-    display-only.  Plan: norms once before the join, block-keyed pair
-    join, per-vector rank window (partitioned by vector — thousands of
-    tiny frames), then the mutuality self-join of the k·n-bounded kNN
-    edge list."""
+    are everyone's neighbor but reciprocate almost nobody).
+
+    Blocking is ADAPTIVE, not fixed: inside each label block, vectors
+    are sub-bucketed by the sign bits of their leading coordinates
+    (axis-hyperplane LSH, the Charikar 2002 SimHash family), and the
+    NUMBER of sign bits grows with the block's row count —
+    bits = ceil(log2(n_label / {_MKNN_CELL_TARGET})) — so candidate-pair
+    volume stays ≈ n·{_MKNN_CELL_TARGET} (LINEAR) no matter how dense a
+    block gets.  A fixed block key would go quadratic exactly like the
+    r4 SemDeDup finding (measured here: 23× time at 10× rows before
+    this sub-cell existed); the adaptive depth is the same medicine
+    sem_k applies to kmeans cells, expressed portably enough that the
+    DuckDB twin derives the identical cells — neighbors split across a
+    hyperplane are the standard ANN recall trade, and the differential
+    still verifies exactly because both engines make the same split.
+    Ranking uses the RAW double cosine (the unrolled left-associative
+    dot is bit-identical to DuckDB's list_dot_product, so the kNN sets
+    match exactly); the rounded value is display-only.  Plan: norms
+    once, per-label 1-row bit-depth agg broadcast back, (label,
+    cell)-keyed pair join, per-vector rank window, then the mutuality
+    self-join of the k·n-bounded edge list."""
     from .similarity import dot as vec_dot, embedding_dim
 
     raw = table(spark, sf_dir, "embeddings")
     dim = embedding_dim(raw)
-    e = raw.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("emb"),
-    ).withColumn(
+    e = raw.select("vec_id", "label", F.col("embedding").alias("emb")).withColumn(
         "nrm", F.sqrt(vec_dot(F.col("emb"), F.col("emb"), dim))
     )
-    a = e.select(
-        F.col("label"),
+    lc = e.groupBy("label").agg(
+        F.expr(
+            f"greatest(0, least({_MKNN_MAX_BITS}, "
+            f"cast(ceil(log2(count(1) / {_MKNN_CELL_TARGET}.0)) as int)))"
+        ).alias("bits")
+    )
+    cell = None
+    for i in range(_MKNN_MAX_BITS):
+        term = F.when(
+            (F.lit(i) < F.col("bits")) & (F.col("emb")[i] >= 0), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    cells = e.join(F.broadcast(lc), "label").withColumn("cell", cell)
+    a = cells.select(
+        "label",
+        F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("src"),
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = e.select(
+    b = cells.select(
         F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("dst"),
         F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(
-        b, (a.label == b.label_b) & (a.src != b.dst)
+        b,
+        (a.label == b.label_b) & (a.cell_a == b.cell_b) & (a.src != b.dst),
     ).select(
         "label",
         "src",
@@ -1228,14 +1268,14 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos"),
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
-    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _MKNN_K
-    ).select("label", "src", "dst", "cos")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MKNN_K)
+        .select("label", "src", "dst", "cos")
+    )
     k2 = knn.select(F.col("src").alias("r_dst"), F.col("dst").alias("r_src"))
     return (
-        knn.join(
-            k2, (knn.src == k2.r_src) & (knn.dst == k2.r_dst)
-        )
+        knn.join(k2, (knn.src == k2.r_src) & (knn.dst == k2.r_dst))
         .filter(F.col("src") < F.col("dst"))
         .select(
             "label",
