@@ -5728,7 +5728,7 @@ def events_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH lab AS (
       SELECT event_type,
-             cast(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             coalesce(cast(json_extract(props, '$.k') AS BIGINT), -1) AS k_val,
              user_id,
              cast(ts AS DATE) AS day
       FROM events
@@ -5774,7 +5774,14 @@ def events_label_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFram
     ev = table(spark, sf_dir, "events")
     lab = ev.select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        # coalesce the missing-label case to a sentinel series: Spark's
+        # countDistinct drops NULL-bearing tuples while DuckDB's
+        # count(DISTINCT (a, b)) keeps them — a NULL key would silently
+        # desync the differential (and a type whose every row lacked the
+        # label would divide by zero)
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("long"), F.lit(-1)
+        ).alias("k_val"),
         "user_id",
         F.col("ts").cast("date").alias("day"),
     )

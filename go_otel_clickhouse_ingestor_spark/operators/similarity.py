@@ -1221,12 +1221,12 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, per-label 1-row bit-depth agg broadcast back, (label,
     cell)-keyed pair join, per-vector rank window, then the mutuality
     self-join of the k·n-bounded edge list."""
-    from .similarity import dot as vec_dot, embedding_dim
+    from .dedup import materialized
 
     raw = table(spark, sf_dir, "embeddings")
     dim = embedding_dim(raw)
     e = raw.select("vec_id", "label", F.col("embedding").alias("emb")).withColumn(
-        "nrm", F.sqrt(vec_dot(F.col("emb"), F.col("emb"), dim))
+        "nrm", F.sqrt(dot(F.col("emb"), F.col("emb"), dim))
     )
     lc = e.groupBy("label").agg(
         F.expr(
@@ -1240,7 +1240,11 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(i) < F.col("bits")) & (F.col("emb")[i] >= 0), F.lit(1 << i)
         ).otherwise(F.lit(0))
         cell = term if cell is None else cell + term
-    cells = e.join(F.broadcast(lc), "label").withColumn("cell", cell)
+    # both sides of the pair join consume `cells`, and both sides of
+    # the mutuality join consume `knn` — persist each once instead of
+    # re-running the scan+norm+cell (resp. pair join + rank window)
+    # per consumer branch
+    cells = materialized(e.join(F.broadcast(lc), "label").withColumn("cell", cell))
     a = cells.select(
         "label",
         F.col("cell").alias("cell_a"),
@@ -1263,12 +1267,12 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         (
-            vec_dot(F.col("emb_a"), F.col("emb_b"), dim)
+            dot(F.col("emb_a"), F.col("emb_b"), dim)
             / (F.col("nrm_a") * F.col("nrm_b"))
         ).alias("cos"),
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
-    knn = (
+    knn = materialized(
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MKNN_K)
         .select("label", "src", "dst", "cos")

@@ -75,11 +75,11 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_cross_table_reconciliation", "events_seasonal_anomaly",
     "events_gini_concentration", "events_decile_migration",
     "text_lang_confusion",
-    # round-9 window part 2: the EIGHT oracle-backed round-9 additions
-    # (hash-verifiable evidence outranks rows-only slots — the
-    # verify_round rotation rule), then 3 of the 11 rows-only queries
-    # (no oracle by design) filling the window's remaining slots so the
-    # driver records a clean-run row for each.
+    # round-9 window part 2: eleven of the twelve oracle-backed round-9
+    # additions (hash-verifiable evidence outranks rows-only slots —
+    # the verify_round rotation rule); with the 39-name backlog they
+    # fill the 50-slot window exactly, so every displaced rows-only
+    # name and the 12th addition wait in the staged section below.
     "events_sequence_regex_match", "events_exp_histogram",
     "events_log_templates", "source_otlp_spans_parse",
     "agg_count_min_estimate", "events_token_bucket_admission",
@@ -87,10 +87,11 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_k_anonymity", "events_label_cardinality_audit",
     "text_keyword_rake", "emb_mutual_knn_graph",
     # staged for round 10 (positions 51+ — outside this round's window):
-    # the rows-only names the round-9 oracle additions displaced, then
-    # the remaining round-9 additions, so next round's rotation finds
-    # them queued — after r10's window, every registered query has
-    # driver evidence.
+    # the 12th round-9 oracle addition (the 39-name backlog + 11
+    # additions fill the 50 slots exactly), the rows-only names the
+    # additions displaced, then the rest — after r10's window, every
+    # registered query has driver evidence.
+    "emb_mutual_knn_graph",
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
     "emb_pca_top_component", "events_lttb_downsample", "multimodal_resize",
