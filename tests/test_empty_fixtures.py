@@ -1,0 +1,63 @@
+"""Degenerate-input sweep for the round-9 queries: every one must
+BUILD and EXECUTE against empty fixture tables (the r8-advice failure
+class — eager plan-build aggregates reading None, pd.concat on an
+empty iterator, division by an absent total).  Correctness on real
+data is the oracle differential's job; this pins the empty corner it
+cannot reach."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+#: The round-9 additions (oracle-backed + their streaming-adjacent
+#: batch faces); all read events/documents/embeddings/customer.
+ROUND9 = [
+    "events_sequence_regex_match",
+    "events_exp_histogram",
+    "events_log_templates",
+    "source_otlp_spans_parse",
+    "agg_count_min_estimate",
+    "events_token_bucket_admission",
+    "graph_tree_depth_pointer_doubling",
+    "agg_hll_portable",
+    "dq_k_anonymity",
+    "events_label_cardinality_audit",
+    "text_keyword_rake",
+    "emb_mutual_knn_graph",
+    "text_bpe_train",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A fixture dir whose tables have the right schemas and ZERO rows."""
+    root = tmp_path_factory.mktemp("empty_sf")
+    schemas = {
+        "events": (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ),
+        "documents": (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ),
+        "embeddings": "vec_id long, embedding array<float>, label int",
+        "customer": (
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        ),
+    }
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).write.parquet(
+            str(root / f"{name}.parquet")
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", ROUND9)
+def test_round9_query_survives_empty_tables(name, spark, empty_sf):
+    reg = load_all()
+    df = reg[name].fn(spark, empty_sf)
+    assert df.count() == 0
