@@ -373,3 +373,98 @@ def test_token_bucket_stream_matches_batch_replay(spark, sf_dir, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == want and len(got) == len(rows) > 0
+
+
+def test_token_bucket_state_survives_query_restart(spark, sf_dir, tmp_path):
+    """Checkpoint durability: run the token bucket over batch ONE,
+    STOP the query, then start a brand-new query instance on the same
+    checkpoint for batch TWO — the restored state-store values
+    (balance, last ts, rank) must continue the recurrence exactly
+    where the first instance left off, matching the batch replay of
+    the full series.  This is the crash/redeploy path of every
+    stateful streaming job; a state schema or restore bug shows up
+    only here, never in single-query tests."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        events_token_bucket_admission,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.stateful import (
+        token_bucket_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sub = ev.orderBy(F.unix_micros("ts"), "event_id").limit(600).collect()
+    rows = [
+        {
+            "event_id": r.event_id,
+            "ts": r.ts.isoformat(sep=" "),
+            "user_id": r.user_id,
+            "event_type": r.event_type,
+            "value": r.value,
+        }
+        for r in sub
+    ]
+    subdir = tmp_path / "tbr_subset"
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+            for r in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.parquet(str(subdir / "events.parquet"))
+    want = {
+        (r.user_id, r.event_id): (r.rn, r.admitted, r.balance_us)
+        for r in events_token_bucket_admission(spark, str(subdir)).collect()
+    }
+
+    src = tmp_path / "tbr_feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "tbr_ckpt")
+    half = len(rows) // 2
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    out = str(tmp_path / "tbr_out")
+
+    def run_instance():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # appending parquet is the recoverable production shape
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 10)
+            .json(str(src))
+        )
+        q = (
+            token_bucket_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.event_id): (r.rn, r.admitted, r.balance_us)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:half]))
+    got1 = run_instance()
+    assert set(got1) == {
+        (r["user_id"], r["event_id"]) for r in rows[:half]
+    }
+
+    # second, independent query instance over the SAME checkpoint
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[half:]))
+    got = run_instance()  # cumulative parquet: batch one + batch two
+
+    assert got == want
