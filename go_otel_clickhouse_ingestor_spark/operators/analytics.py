@@ -5806,3 +5806,86 @@ def events_label_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         (F.col("series_card") * 10 > F.col("n_rows")).alias("explosion_risk"),
     )
+
+
+@query(
+    "events_p99_of_user_p95",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             count(*) AS n,
+             list_extract(
+               list_sort(list(cast(round(value * 100) AS BIGINT))),
+               cast(ceil(0.95 * count(*)) AS INT)) AS p95_c
+      FROM events GROUP BY user_id
+    ),
+    pop AS (SELECT count(*) AS n_users FROM per_user),
+    tail AS (
+      SELECT p95_c,
+             row_number() OVER (ORDER BY p95_c DESC, user_id) AS rd
+      FROM per_user
+    )
+    SELECT cast(p.n_users AS BIGINT)                 AS n_users,
+           cast(min(pu.p95_c) AS BIGINT)             AS min_user_p95_c,
+           cast(max(pu.p95_c) AS BIGINT)             AS max_user_p95_c,
+           cast((SELECT max(p95_c) FROM tail, pop
+                 WHERE rd >= n_users - cast(ceil(0.99 * n_users) AS INT) + 1)
+                AS BIGINT)                           AS p99_of_p95_c,
+           cast(sum(pu.p95_c) // p.n_users AS BIGINT) AS mean_user_p95_c
+    FROM per_user pu CROSS JOIN pop p
+    GROUP BY p.n_users
+    """,
+)
+def events_p99_of_user_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact percentile — p99 ACROSS USERS of each user's
+    p95 latency — the aggregation every SLO review actually needs and
+    the one the percentile-averaging fallacy gets wrong (a mean of
+    per-user p95s says nothing; the tail OF the per-user tails does).
+    Both levels are EXACT DISCONTINUOUS percentiles on integer
+    centi-values (ceil(q·n)-th order statistic — never an interpolated
+    float, which ties engines to their interpolation rule).  Level 1
+    is a per-user sorted-array pick over session-bounded rows (the
+    collect_list discipline); level 2 never sorts the full user
+    domain: the ceil(0.99·N)-th smallest is the (N−idx+1)-th LARGEST,
+    so a TakeOrderedAndProject over the top ~1% of users followed by a
+    1-row min is the whole cross-user cost — at 100 TB that is a
+    per-partition top-k merge, not a global sort (the
+    vocab-coverage limit-before-rank discipline applied to order
+    statistics).  The report row also carries min/max/floor-mean of
+    the per-user p95s for the fallacy comparison."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "element_at(array_sort(collect_list("
+            "cast(round(value * 100) as bigint))), "
+            "cast(ceil(0.95 * count(1)) as int))"
+        ).alias("p95_c"),
+    )
+    pop = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("p95_c").alias("mn"),
+        F.max("p95_c").alias("mx"),
+        F.sum("p95_c").alias("sm"),
+    )
+    n_users = pop.first()  # 1-row build-time job: sizes the top-tail take
+    n = int(n_users.n_users) if n_users.n_users is not None else 0
+    if n == 0:
+        take = 1
+    else:
+        idx = -(-99 * n // 100)  # ceil(0.99 n) without floats
+        take = n - idx + 1
+    tail = per_user.orderBy(
+        F.col("p95_c").desc(), F.col("user_id")
+    ).limit(take)
+    p99 = tail.agg(F.min("p95_c").alias("p99_of_p95_c"))
+    return (
+        pop.crossJoin(F.broadcast(p99))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("mn").cast("long").alias("min_user_p95_c"),
+            F.col("mx").cast("long").alias("max_user_p95_c"),
+            F.col("p99_of_p95_c").cast("long").alias("p99_of_p95_c"),
+            F.expr("cast(sm div n_users as bigint)").alias("mean_user_p95_c"),
+        )
+    )

@@ -91,7 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     # additions fill the 50 slots exactly), the rows-only names the
     # additions displaced, then the rest — after r10's window, every
     # registered query has driver evidence.
-    "emb_mutual_knn_graph",
+    "emb_mutual_knn_graph", "events_p99_of_user_p95",
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
     "emb_pca_top_component", "events_lttb_downsample", "multimodal_resize",
