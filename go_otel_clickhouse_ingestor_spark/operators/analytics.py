@@ -5862,19 +5862,30 @@ def events_p99_of_user_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(ceil(0.95 * count(1)) as int))"
         ).alias("p95_c"),
     )
-    pop = per_user.agg(
+    # 1-row build-time job sizing the top-tail take; the fetched stats
+    # become a LITERAL frame so the heavy per-user aggregation is not
+    # re-evaluated a second time on the pop branch of the plan
+    stats = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.min("p95_c").alias("mn"),
         F.max("p95_c").alias("mx"),
         F.sum("p95_c").alias("sm"),
-    )
-    n_users = pop.first()  # 1-row build-time job: sizes the top-tail take
-    n = int(n_users.n_users) if n_users.n_users is not None else 0
+    ).first()
+    n = int(stats.n_users) if stats.n_users else 0
     if n == 0:
-        take = 1
-    else:
-        idx = -(-99 * n // 100)  # ceil(0.99 n) without floats
-        take = n - idx + 1
+        # oracle yields zero rows on an empty table (GROUP BY over an
+        # empty per_user); match it
+        return spark.createDataFrame(
+            [],
+            "n_users long, min_user_p95_c long, max_user_p95_c long, "
+            "p99_of_p95_c long, mean_user_p95_c long",
+        )
+    idx = -(-99 * n // 100)  # ceil(0.99 n) without floats
+    take = n - idx + 1
+    pop = spark.createDataFrame(
+        [(n, int(stats.mn), int(stats.mx), int(stats.sm))],
+        "n_users long, mn long, mx long, sm long",
+    )
     tail = per_user.orderBy(
         F.col("p95_c").desc(), F.col("user_id")
     ).limit(take)
@@ -5882,9 +5893,9 @@ def events_p99_of_user_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pop.crossJoin(F.broadcast(p99))
         .select(
-            F.col("n_users").cast("long").alias("n_users"),
-            F.col("mn").cast("long").alias("min_user_p95_c"),
-            F.col("mx").cast("long").alias("max_user_p95_c"),
+            "n_users",
+            F.col("mn").alias("min_user_p95_c"),
+            F.col("mx").alias("max_user_p95_c"),
             F.col("p99_of_p95_c").cast("long").alias("p99_of_p95_c"),
             F.expr("cast(sm div n_users as bigint)").alias("mean_user_p95_c"),
         )

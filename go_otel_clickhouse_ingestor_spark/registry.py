@@ -85,7 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_count_min_estimate", "events_token_bucket_admission",
     "graph_tree_depth_pointer_doubling", "agg_hll_portable",
     "dq_k_anonymity", "events_label_cardinality_audit",
-    "text_keyword_rake", "emb_mutual_knn_graph",
+    "text_keyword_rake",
     # staged for round 10 (positions 51+ — outside this round's window):
     # the 12th round-9 oracle addition (the 39-name backlog + 11
     # additions fill the 50 slots exactly), the rows-only names the

@@ -26,6 +26,7 @@ ROUND9 = [
     "events_label_cardinality_audit",
     "text_keyword_rake",
     "emb_mutual_knn_graph",
+    "events_p99_of_user_p95",
     "text_bpe_train",
 ]
 

@@ -40,7 +40,7 @@ def _run_update(stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180)
 
 
 def test_cusum_stream_matches_batch_closed_form(spark, sf_dir, tmp_path):
@@ -451,7 +451,10 @@ def test_token_bucket_state_survives_query_restart(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # fail fast on timeout: reading partial output (or starting the
+        # second instance on a still-held checkpoint) would mis-blame
+        # the state-restore behavior under test
+        assert q.awaitTermination(180)
         return {
             (r.user_id, r.event_id): (r.rn, r.admitted, r.balance_us)
             for r in spark.read.parquet(out).collect()
