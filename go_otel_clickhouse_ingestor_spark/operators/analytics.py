@@ -1800,7 +1800,7 @@ def events_rate_limit_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM changepoint detection (Page 1954) on the daily
-    revenue series: standardized residuals z_t, slack k=0.5, alarm
+    revenue series: standardized residuals z_t, allowance k=0.5, alarm
     threshold h=4σ.  The recursive chart S⁺_t = max(0, S⁺_{t-1} + z_t
     − k) is rewritten in closed form as a prefix sum minus its running
     minimum — two stacked windows instead of a sequential fold, so it

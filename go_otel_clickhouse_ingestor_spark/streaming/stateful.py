@@ -345,7 +345,7 @@ _CUSUM_OUT_SCHEMA = (
 #: integer micro-unit chart state — exact under any batch chunking
 _CUSUM_STATE_SCHEMA = "sp long, sn long"
 
-#: CUSUM constants shared with the batch op: slack k = 0.5σ, alarm
+#: CUSUM constants shared with the batch op: allowance k = 0.5σ, alarm
 #: threshold h = 4σ, in z micro-units.
 _CUSUM_K_U = 500_000
 _CUSUM_H_U = 4_000_000
