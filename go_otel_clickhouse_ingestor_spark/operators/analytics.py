@@ -3882,6 +3882,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     states = c.select(F.col("src").alias("state")).distinct()
     k = states.count()
+    if k == 0:  # empty/single-event corpus: no transitions, no chain
+        return spark.createDataFrame([], "state string, stationary_p double")
     p = states.select(
         "state", F.round(F.lit(1.0 / k), _MK_ROUND).alias("p")
     )

@@ -116,6 +116,12 @@ def kmeans(
         .collect()
     )
     cents = [list(r.embedding) for r in seeds]
+    if not cents:  # empty input: no centroids, no assignments
+        empty = spark.createDataFrame(
+            [],
+            "vec_id bigint, cell int, d2 double, embedding array<float>",
+        )
+        return empty, []
     dim = len(cents[0])  # from the seeds already on the driver — no extra job
     # fan out once (the fixture is one parquet split and broadcast joins
     # preserve input partitioning) and persist: every iteration's two
@@ -287,6 +293,10 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal partial agg; the corpus is scanned iters times, nothing
     corpus-sized ever reaches the driver."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if embedding_dim(e) is None:  # empty corpus: no direction to find
+        return spark.createDataFrame(
+            [], "pos int, loading double, rayleigh double"
+        )
     v, rayleigh = power_iteration(spark, e)
     rows = [
         Row(pos=i, loading=round(float(x), 8), rayleigh=round(float(rayleigh[-1]), 6))

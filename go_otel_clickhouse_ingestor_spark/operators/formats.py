@@ -129,8 +129,11 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .parquet(path)
         )
+    # explicit schema: an all-empty write leaves no footer to infer
+    # from, and a real lake reader never relies on inference anyway
     return (
-        spark.read.parquet(path)
+        spark.read.schema("event_id bigint, ts_us bigint, user_id bigint, value double, event_type string")
+        .parquet(path)
         .filter(F.col("event_type").isin("click", "purchase"))
         .select(*_COLS)
     )
@@ -359,7 +362,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .partitionBy("event_type")
             .parquet(path)
         )
-    fact = spark.read.parquet(path)
+    fact = spark.read.schema("event_id bigint, ts_us bigint, user_id bigint, value double, event_type string").parquet(path)
     dim = spark.createDataFrame(EVENT_TIERS, "event_type string, tier string")
     return (
         fact.join(F.broadcast(dim.filter(F.col("tier") == "engagement")), "event_type")
@@ -715,19 +718,31 @@ def _footer_stats_batches(batches):
     the file-level facts.  No data pages are touched — the whole audit
     is metadata IO, which is what makes it viable over a million-file
     lake."""
+    import glob as _glob
+    import os as _os
+
     import pandas as pd
     import pyarrow.parquet as pq
 
     for pdf in batches:
         out = []
         for t, path in zip(pdf["table_name"], pdf["path"]):
-            md = pq.ParquetFile(path).metadata
+            # a table may be a single parquet FILE (the driver fixtures)
+            # or a DIRECTORY of part files (any Spark-written lake):
+            # sum row counts over every part footer, column count from
+            # the first
+            parts = (
+                sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+                if _os.path.isdir(path)
+                else [path]
+            )
+            n_rows, n_cols = 0, 0
+            for part in parts:
+                md = pq.ParquetFile(part).metadata
+                n_rows += md.num_rows
+                n_cols = n_cols or md.num_columns
             out.append(
-                {
-                    "table_name": t,
-                    "n_rows": md.num_rows,
-                    "n_cols": md.num_columns,
-                }
+                {"table_name": t, "n_rows": n_rows, "n_cols": n_cols}
             )
         if out:
             yield pd.DataFrame(out)

@@ -233,6 +233,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one tiny scalar on the driver, like the oracle's (SELECT n)
+    if n_nodes == 0:  # empty graph: no ranks, not a 1/0 teleport term
+        return spark.createDataFrame([], "node bigint, pr double")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
 
     ranks = nodes.select(

@@ -516,6 +516,10 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_rows = (
         e.filter(F.col("vec_id") % 7 == 0).limit(2048).toPandas()["embedding"]
     )
+    if len(sample_rows) == 0:  # empty corpus: nothing to train or probe
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, adc_dist double, rn bigint"
+        )
     sample = np.stack(sample_rows.to_numpy()).astype(np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_train(sample / np.where(norms == 0, 1.0, norms))

@@ -571,7 +571,12 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = materialized(
         grams.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    total = float(freq.agg(F.sum("n")).first()[0])
+    total_row = freq.agg(F.sum("n")).first()[0]
+    if total_row is None:  # empty corpus: no gram mass, no scores
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_grams bigint, avg_logp double"
+        )
+    total = float(total_row)
     return (
         grams.join(F.broadcast(freq), "gram")
         .groupBy("doc_id")

@@ -49,6 +49,24 @@ def empty_sf(spark, tmp_path_factory):
             "c_custkey long, c_name string, c_nationkey int, "
             "c_acctbal double, c_mktsegment string"
         ),
+        "orders": (
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        ),
+        "lineitem": (
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp"
+        ),
+        "part": (
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double"
+        ),
+        "supplier": "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        "nation": "n_nationkey int, n_name string, n_regionkey int",
+        "region": "r_regionkey int, r_name string",
     }
     for name, schema in schemas.items():
         spark.createDataFrame([], schema).write.parquet(
@@ -62,3 +80,17 @@ def test_round9_query_survives_empty_tables(name, spark, empty_sf):
     reg = load_all()
     df = reg[name].fn(spark, empty_sf)
     assert df.count() == 0
+
+
+def test_every_registered_query_survives_empty_tables(spark, empty_sf):
+    """Full-registry smoke: all queries execute on zero-row tables.
+    One test (not parametrized) so the sweep shares a single fixture
+    write and adds minutes, not tens of minutes, to the suite."""
+    reg = load_all()
+    fails = []
+    for name, q in sorted(reg.items()):
+        try:
+            q.fn(spark, empty_sf).count()
+        except Exception as exc:  # noqa: BLE001 - collect, report once
+            fails.append((name, str(exc).split("\n")[0][:100]))
+    assert fails == []
