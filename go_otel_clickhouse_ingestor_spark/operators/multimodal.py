@@ -282,7 +282,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds zero shuffles; the pandas UDF boundary is the right place for
     a C codec because the payload bytes cross into Python exactly
     once, Arrow-batched."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payloads = d.select(
         "doc_id",
         F.lit("fake").alias("media_type"),
@@ -430,7 +430,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, payload bytes cross to Python once — plus the row
     EXPANSION is in-batch, so downstream operators see N_FRAMES× rows
     without any explode shuffle."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payloads = d.select(
         "doc_id",
         F.lit("fake").alias("media_type"),
@@ -489,7 +489,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches amortizing the Python boundary.  pytest asserts the
     geometry invariants (aspect ratio preserved to rounding, ≤224,
     never upscaled)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payload = d.select(
         "doc_id",
         F.lit("fake").alias("media_type"),

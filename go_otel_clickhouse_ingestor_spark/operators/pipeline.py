@@ -490,7 +490,7 @@ def pipeline_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 13 = 0 AND length(text) >= 57
     ),
     train AS (SELECT doc_id, lower(text) AS lt FROM documents
-              WHERE doc_id % 13 <> 0)
+              WHERE doc_id % 13 <> 0 AND text IS NOT NULL)
     SELECT t.doc_id, count(*) AS n_probe_hits
     FROM train t JOIN probes p ON position(p.probe IN t.lt) > 0
     GROUP BY t.doc_id
@@ -519,9 +519,9 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.lower(F.substring("text", 10, 48)).alias("probe"))
         .distinct()
     )
-    train = d.filter(F.col("doc_id") % 13 != 0).select(
-        "doc_id", F.lower(F.col("text")).alias("lt")
-    )
+    train = d.filter(
+        (F.col("doc_id") % 13 != 0) & F.col("text").isNotNull()
+    ).select("doc_id", F.lower(F.col("text")).alias("lt"))
     hits = train.join(
         F.broadcast(probes), F.expr("locate(probe, lt) > 0")
     )
@@ -599,7 +599,7 @@ def _aho_scan_iter(probes: list):
       WHERE doc_id % 13 = 0 AND length(text) >= 57
     ),
     train AS (SELECT doc_id, lower(text) AS lt FROM documents
-              WHERE doc_id % 13 <> 0)
+              WHERE doc_id % 13 <> 0 AND text IS NOT NULL)
     SELECT t.doc_id, count(*) AS n_probe_hits
     FROM train t JOIN probes p ON position(p.probe IN t.lt) > 0
     GROUP BY t.doc_id
@@ -630,9 +630,9 @@ def decontaminate_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     ]
-    train = d.filter(F.col("doc_id") % 13 != 0).select(
-        "doc_id", F.lower(F.col("text")).alias("lt")
-    )
+    train = d.filter(
+        (F.col("doc_id") % 13 != 0) & F.col("text").isNotNull()
+    ).select("doc_id", F.lower(F.col("text")).alias("lt"))
     return train.mapInPandas(
         _aho_scan_iter(probes), "doc_id long, n_probe_hits long"
     )

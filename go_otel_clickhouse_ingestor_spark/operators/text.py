@@ -287,7 +287,7 @@ _STRIDE = 40
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), starts AS (
       SELECT doc_id, t, len(t)::BIGINT AS n_tokens,
              unnest(range(0, len(t), {_STRIDE})) AS s
@@ -311,7 +311,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens/stride rows per doc), all JVM HOFs, zero shuffles, linear
     in corpus size.  The overlap factor (here 1.25×) is the storage
     amplification a planner must budget at 100 TB."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     t = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
     return (
         d.select("doc_id", t.alias("t"))
@@ -988,7 +988,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (determinism + the repetition ordering invariant).  Arrow-
     batched mapInPandas; map-only, no shuffle — the 100 TB cost is one
     decompression-speed-bound pass."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", "text").mapInPandas(
         _compress_iter,
         "doc_id long, raw_bytes long, compressed_bytes long, ratio double",
@@ -1277,7 +1277,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: no SQL twin can express the merge loop — the pytest
     gate checks hand-computed merges, an independent reference
     implementation, determinism, and the ws ≤ bpe ≤ chars bounds."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", "text").mapInPandas(
         _bpe_iter,
         "doc_id long, n_tokens_ws long, n_tokens_bpe long, bpe_per_word double",
@@ -1431,7 +1431,7 @@ def text_bpe_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's actual pair statistics) while every per-row bound
     (ws ≤ bpe ≤ chars) still holds."""
     ranks = _trained_ranks(spark, sf_dir)
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", "text").mapInPandas(
         _bpe_iter_with(ranks),
         "doc_id long, n_tokens_ws long, n_tokens_bpe long, bpe_per_word double",
@@ -1562,7 +1562,7 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              text || 'e' || chr(769)                  AS raw,
              nfc_normalize(text || 'e' || chr(769))   AS nfc,
              nfc_normalize(text) = text               AS raw_is_nfc
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT lang,
            count(*)                                          AS n_docs,
@@ -1596,7 +1596,7 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return s.map(lambda t: unicodedata.normalize("NFC", t))
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     aug = d.select(
         "lang",
         F.concat(F.col("text"), F.lit("e\u0301")).alias("raw"),

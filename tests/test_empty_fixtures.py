@@ -8,8 +8,10 @@ cannot reach."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from go_otel_clickhouse_ingestor_spark.registry import load_all
+from go_otel_clickhouse_ingestor_spark.tables import table
 
 #: The round-9 additions (oracle-backed + their streaming-adjacent
 #: batch faces); all read events/documents/embeddings/customer.
@@ -91,6 +93,64 @@ def test_every_registered_query_survives_empty_tables(spark, empty_sf):
     for name, q in sorted(reg.items()):
         try:
             q.fn(spark, empty_sf).count()
+        except Exception as exc:  # noqa: BLE001 - collect, report once
+            fails.append((name, str(exc).split("\n")[0][:100]))
+    assert fails == []
+
+
+@pytest.fixture(scope="module")
+def nullish_sf(spark, sf_dir, tmp_path_factory):
+    """The real fixture with ~10% NULLs injected into the nullable
+    value columns (events.value/props, documents.text/lang) — keys and
+    join columns stay intact.  Out-of-contract data for the oracle
+    hashes, but no query may CRASH on it: a null document is skipped
+    or nulled through, never a kernel error."""
+    root = tmp_path_factory.mktemp("nullish_sf")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 3, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 10 == 7, None)
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    ev.write.parquet(str(root / "events.parquet"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 3, None)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 10 == 7, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    d.write.parquet(str(root / "documents.parquet"))
+    import os
+    import shutil
+
+    for t in (
+        "embeddings customer supplier part orders lineitem nation region"
+    ).split():
+        src, dst = f"{sf_dir}/{t}.parquet", str(root / f"{t}.parquet")
+        # driver fixtures are single parquet FILES; lake layouts are dirs
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    return str(root)
+
+
+def test_every_registered_query_survives_null_values(spark, nullish_sf):
+    """Full-registry smoke on the null-bearing fixture: execution only
+    (value agreement on out-of-contract data is not asserted)."""
+    reg = load_all()
+    fails = []
+    for name, q in sorted(reg.items()):
+        try:
+            q.fn(spark, nullish_sf).count()
         except Exception as exc:  # noqa: BLE001 - collect, report once
             fails.append((name, str(exc).split("\n")[0][:100]))
     assert fails == []
