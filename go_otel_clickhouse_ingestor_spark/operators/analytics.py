@@ -5318,16 +5318,19 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, width = 0, 1
     else:
         # Overflow-free equal-width bucketing: width computed in Python
-        # (arbitrary precision), the per-row (user_id - lo) / width in
+        # (arbitrary precision), the per-row (user_id - lo) div width in
         # decimal(38,0) — `(user_id - lo) * 32` in long arithmetic wraps
         # negative once the ID range exceeds ~2^58 (snowflake-style
         # sparse 64-bit IDs), silently breaking the bucket monotonicity
-        # two_phase_row_number requires.
+        # two_phase_row_number requires.  Integral `div` (not `/` +
+        # floor): decimal `/` rounds HALF_UP to the adjusted scale
+        # BEFORE the floor, so a boundary ID at extreme ranges could
+        # round into the next cell — `div` is exact.
         lo, width = int(lo), (int(hi) - int(lo)) // n_sub + 1
-    sub = F.floor(
-        (F.col("user_id").cast("decimal(38,0)") - F.lit(str(lo)).cast("decimal(38,0)"))
-        / F.lit(str(width)).cast("decimal(38,0)")
-    ).cast("long")
+    sub = F.expr(
+        f"(cast(user_id as decimal(38,0)) - cast('{lo}' as decimal(38,0)))"
+        f" div cast('{width}' as decimal(38,0))"
+    )
     bucket = F.col("x") * n_sub + sub
     totals = halves.groupBy("half").agg(F.count(F.lit(1)).alias("n"))
     ranked = two_phase_row_number(
@@ -5431,6 +5434,28 @@ def events_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_matches") > 0)
 
 
+def otlp_scale0_parts(v_us):
+    """(spectrum, bucket_idx) columns for an integer micro-value under
+    OTLP ExponentialHistogram scale-0 semantics: lower-exclusive /
+    upper-inclusive buckets (2^k, 2^(k+1)] indexed by
+    ceil(log2 |v|) - 1, computed exactly as bit-length(|v|-1) - 1
+    (|v| = 1 → index -1), negatives bucketed by magnitude in the
+    'neg' spectrum, zeros in the 'zero' bucket (index pinned 0).
+    Shared by the batch query and the streaming face so the
+    mergeability test exercises one formula."""
+    m = F.abs(v_us)
+    idx = F.when(m == 1, F.lit(-1).cast("long")).otherwise(
+        (F.length(F.bin(m - 1)) - 1).cast("long")
+    )
+    spectrum = (
+        F.when(v_us > 0, F.lit("pos"))
+        .when(v_us < 0, F.lit("neg"))
+        .otherwise(F.lit("zero"))
+    )
+    bucket_idx = F.when(v_us == 0, F.lit(0).cast("long")).otherwise(idx)
+    return spectrum.alias("spectrum"), bucket_idx.alias("bucket_idx")
+
+
 @query(
     "events_exp_histogram",
     oracle="""
@@ -5441,39 +5466,57 @@ def events_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT event_type,
-             CASE WHEN v_us > 0
-                  THEN cast(length(printf('%b', v_us)) - 1 AS BIGINT)
-                  ELSE -1 END AS bucket_idx
+             CASE WHEN v_us > 0 THEN 'pos'
+                  WHEN v_us < 0 THEN 'neg'
+                  ELSE 'zero' END AS spectrum,
+             CASE WHEN v_us = 0 THEN 0
+                  WHEN abs(v_us) = 1 THEN -1
+                  ELSE cast(length(printf('%b', abs(v_us) - 1)) - 1
+                            AS BIGINT) END AS bucket_idx
       FROM v
     )
     SELECT event_type,
            cast(0 AS BIGINT) AS scale,
+           spectrum,
            bucket_idx,
-           CASE WHEN bucket_idx >= 0
-                THEN (1::BIGINT << bucket_idx) ELSE 0 END AS lower_us,
-           CASE WHEN bucket_idx BETWEEN 0 AND 61
-                THEN (1::BIGINT << (bucket_idx + 1))
-                WHEN bucket_idx = 62 THEN NULL
-                ELSE 0 END AS upper_us,
+           CASE WHEN spectrum = 'zero' THEN 0
+                WHEN spectrum = 'pos' AND bucket_idx >= 0
+                     THEN (1::BIGINT << bucket_idx)
+                WHEN spectrum = 'neg' AND bucket_idx BETWEEN -1 AND 61
+                     THEN -(1::BIGINT << (bucket_idx + 1))
+                ELSE NULL END AS lower_us,
+           CASE WHEN spectrum = 'zero' THEN 0
+                WHEN spectrum = 'pos' AND bucket_idx BETWEEN -1 AND 61
+                     THEN (1::BIGINT << (bucket_idx + 1))
+                WHEN spectrum = 'neg' AND bucket_idx >= 0
+                     THEN -(1::BIGINT << bucket_idx)
+                ELSE NULL END AS upper_us,
            cast(count(*) AS BIGINT) AS n
-    FROM b GROUP BY event_type, bucket_idx
+    FROM b GROUP BY event_type, spectrum, bucket_idx
     """,
 )
 def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP ExponentialHistogram bucketing (scale 0) of event values in
     exact integer micro-units — the modern OTel metrics data point the
     reference's explicit-bucket path (A14, ``internal/metrics/
-    metrics.go``; batch face events_histogram_otel_buckets) predates:
-    base-2 buckets (2^k, 2^(k+1)] indexed by k = floor(log2(v)), plus
-    the dedicated zero bucket (idx -1), per the OpenTelemetry protocol
-    spec (open-telemetry/opentelemetry-proto metrics.proto,
-    ExponentialHistogramDataPoint).  The index is computed EXACTLY —
-    bit-length of the micro-value (``length(bin(v)) - 1``), never
-    float ``log2`` whose 1-ulp wobble at bucket boundaries differs
-    between engines — so the DuckDB twin (printf('%b')) hash-matches
-    bit for bit.  Mergeability is the point at scale: scale-0 buckets
-    are a partial-aggregable map (this whole query is one
-    partial-agged groupBy, no shuffle beyond the 5×~40-cell grid), and
+    metrics.go``; batch face events_histogram_otel_buckets) predates.
+    Buckets follow the spec's boundary rule exactly
+    (open-telemetry/opentelemetry-proto metrics.proto,
+    ExponentialHistogramDataPoint): lower-EXCLUSIVE / upper-INCLUSIVE
+    base-2 buckets (2^k, 2^(k+1)] — so an exact power of two 2^k
+    belongs to index k-1 — with the dedicated zero bucket and a
+    mirrored NEGATIVE spectrum bucketed by magnitude, reported via the
+    ``spectrum`` column ('pos'/'neg'/'zero').  The index
+    ceil(log2 |v|) - 1 is computed EXACTLY as bit-length(|v|-1) - 1 on
+    the integer micro-value (``length(bin(m-1)) - 1``, |v|=1 → index
+    -1 for the (½, 1] bucket), never float ``log2`` whose 1-ulp wobble
+    at bucket boundaries differs between engines — so the DuckDB twin
+    (printf('%b')) hash-matches bit for bit.  Bucket bounds that are
+    not integer-representable (the ½ μs bound at index -1, the 2^63 μs
+    bound at index 62) report NULL, matching OTLP's index-not-bounds
+    wire semantics.  Mergeability is the point at scale: scale-0
+    buckets are a partial-aggregable map (this whole query is one
+    partial-agged groupBy, no shuffle beyond the ~5×40-cell grid), and
     downscaling is bucket-index halving — the property that lets 1000
     executors each keep a tiny sketch and merge associatively."""
     ev = table(spark, sf_dir, "events")
@@ -5481,37 +5524,46 @@ def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("cast(round(value * 1000000) as bigint)").alias("v_us"),
     )
-    b = v.select(
-        "event_type",
-        F.when(
-            F.col("v_us") > 0, (F.length(F.bin("v_us")) - 1).cast("long")
-        )
-        .otherwise(F.lit(-1).cast("long"))
-        .alias("bucket_idx"),
-    )
-    g = b.groupBy("event_type", "bucket_idx").agg(
+    b = v.select("event_type", *otlp_scale0_parts(F.col("v_us")))
+    g = b.groupBy("event_type", "spectrum", "bucket_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    # bucket_idx for a positive BIGINT micro-value is at most 62, so
-    # the lower bound 1<<idx always fits a long; the UPPER bound
-    # 1<<(idx+1) overflows at idx = 62 (Spark would wrap negative,
-    # DuckDB hard-errors) — that open-ended top bucket reports NULL,
-    # matching OTLP's index-not-bounds wire semantics.
-    lower = F.when(
-        F.col("bucket_idx") >= 0,
-        F.expr("shiftleft(cast(1 as bigint), cast(bucket_idx as int))"),
-    ).otherwise(F.lit(0).cast("long"))
-    upper = (
-        F.when(
-            F.col("bucket_idx").between(0, 61),
-            F.expr("shiftleft(cast(1 as bigint), cast(bucket_idx as int) + 1)"),
+    # Representable-bound arithmetic: 1<<idx fits a long through idx 62,
+    # but 1<<(idx+1) overflows there (Spark would wrap negative, DuckDB
+    # hard-errors), and index -1's magnitude bound is the fractional
+    # ½ μs — both report NULL.  The negative spectrum mirrors the
+    # magnitude interval: v in [-2^(k+1), -2^k).
+    shl = "shiftleft(cast(1 as bigint), cast(bucket_idx as int)%s)"
+    lower = (
+        F.when(F.col("spectrum") == "zero", F.lit(0).cast("long"))
+        .when(
+            (F.col("spectrum") == "pos") & (F.col("bucket_idx") >= 0),
+            F.expr(shl % ""),
         )
-        .when(F.col("bucket_idx") == 62, F.lit(None).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
+        .when(
+            (F.col("spectrum") == "neg")
+            & F.col("bucket_idx").between(-1, 61),
+            -F.expr(shl % " + 1"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    upper = (
+        F.when(F.col("spectrum") == "zero", F.lit(0).cast("long"))
+        .when(
+            (F.col("spectrum") == "pos")
+            & F.col("bucket_idx").between(-1, 61),
+            F.expr(shl % " + 1"),
+        )
+        .when(
+            (F.col("spectrum") == "neg") & (F.col("bucket_idx") >= 0),
+            -F.expr(shl % ""),
+        )
+        .otherwise(F.lit(None).cast("long"))
     )
     return g.select(
         "event_type",
         F.lit(0).cast("long").alias("scale"),
+        "spectrum",
         "bucket_idx",
         lower.alias("lower_us"),
         upper.alias("upper_us"),
@@ -5699,9 +5751,11 @@ def _token_bucket_replay(pdf):
 def events_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket rate-limiter replay: which recorded events a
     5-token / 1-token-per-minute bucket per user would have admitted —
-    the reference's OWN ingestion governor (A1: ``internal/generator/
-    generator.go`` paces emission with golang.org/x/time/rate's token
-    bucket) turned into an audit query over recorded traffic, the
+    the token-bucket upgrade of the reference's fixed-cadence pacing
+    (A1: ``cmd/root.go:119`` paces emission with a plain
+    ``time.NewTicker(time.Second / rate)``; a token bucket is the
+    burst-tolerant generalization every production limiter uses)
+    turned into an audit query over recorded traffic, the
     "what would the limiter have dropped" question capacity planning
     asks before tightening a limit.  State is exact integer
     refill-microseconds (1 token = 60e6 us), so the sequential
@@ -5762,8 +5816,10 @@ def events_label_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFram
     every metrics backend the reference feeds (a ClickHouse/Prometheus
     series is one row PER LABEL COMBINATION, so an unbounded label
     like user id or request path multiplies storage and query cost;
-    the reference's own counters are label-scoped for exactly this
-    reason, internal/metrics/metrics.go): per event type, the distinct
+    the reference sidesteps the risk by registering UNLABELED
+    counters/histogram only, ``internal/metrics/metrics.go:11-39`` —
+    this audit is what a deployment must run BEFORE adding the labels
+    the reference left off): per event type, the distinct
     cardinality of each candidate label (props.k, user), the SERIES
     cardinality their combination would create, the mean rows per
     series (exact integer division — a series touched by ≤10 rows is

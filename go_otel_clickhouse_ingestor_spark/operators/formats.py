@@ -728,14 +728,22 @@ def _footer_stats_batches(batches):
         out = []
         for t, path in zip(pdf["table_name"], pdf["path"]):
             # a table may be a single parquet FILE (the driver fixtures)
-            # or a DIRECTORY of part files (any Spark-written lake):
-            # sum row counts over every part footer, column count from
-            # the first
-            parts = (
-                sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-                if _os.path.isdir(path)
-                else [path]
-            )
+            # or a DIRECTORY of part files (any Spark-written lake,
+            # including Hive-partitioned key=value subdirs — hence the
+            # recursive glob): sum row counts over every part footer,
+            # column count from the first
+            if _os.path.isdir(path):
+                parts = sorted(
+                    _glob.glob(
+                        _os.path.join(path, "**", "*.parquet"), recursive=True
+                    )
+                )
+                if not parts:
+                    raise FileNotFoundError(
+                        f"no *.parquet part files under table dir {path!r}"
+                    )
+            else:
+                parts = [path]
             n_rows, n_cols = 0, 0
             for part in parts:
                 md = pq.ParquetFile(part).metadata

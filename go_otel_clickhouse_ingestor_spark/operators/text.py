@@ -368,10 +368,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with top-{_TFIDF_TOP} terms per document (fenced to 200
     docs so the oracle's token explosion stays fixture-sized; the plan
     is corpus-scale).  Cost shape: one explode → (doc, term) agg →
-    document-frequency agg (term-keyed, tiny) joined BACK broadcast →
-    per-doc top-k window.  The df table is vocabulary-sized, so the
-    join never reshuffles the token stream; idf uses the natural log
-    of n_docs/df with a deterministic term tie-break."""
+    document-frequency agg → term-keyed shuffle join BACK →
+    per-doc top-k window.  The df table grows with the vocabulary
+    (Heaps' law: unbounded in the corpus), so it must NOT be forced
+    broadcast — both sides of the join are term-keyed, so the shuffle
+    join is co-partitioned and never reshuffles the token stream
+    twice; idf uses the natural log of n_docs/df with a deterministic
+    term tie-break."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     tok = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
@@ -383,7 +386,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        # no broadcast hint: df_t is vocabulary-sized (unbounded under
+        # Heaps' law at corpus scale); tf and df_t are both term-keyed,
+        # so Catalyst plans a co-partitioned shuffle join, and AQE may
+        # still broadcast it when the runtime size fits the threshold.
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -565,7 +572,10 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .dedup import materialized
 
-    # persist the (vocabulary-sized) frequency table: it feeds BOTH the
+    # bounded domain: char trigrams of normalized text — ≤ ~60^3
+    # distinct keys regardless of corpus size, so the broadcast build is
+    # fixed-size at 100 TB (unlike word vocabularies, which are
+    # Heaps-unbounded).  Persist the frequency table: it feeds BOTH the
     # total-mass scalar and the join build side — and the persist stops
     # the probe-side gram explode from being re-derived through it
     freq = materialized(
@@ -2091,8 +2101,10 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ' stopword ' owns its delimiters even when stopwords run
     consecutively — so Spark and DuckDB carve byte-identical phrases
     with one regexp_replace each.  Plan: two scan-linear explodes
-    (phrase, word) into a word-stat partial agg, a broadcast-sized
-    word-score join back, a phrase agg, and a
+    (phrase, word) into a word-stat partial agg, a co-partitioned
+    word-keyed shuffle join back (the word-score table is
+    Heaps-unbounded, so no forced broadcast — AQE may still pick one
+    when the vocab fits at runtime), a phrase agg, and a
     ``orderBy().limit({_RAKE_TOPK})`` TakeOrderedAndProject BEFORE the
     rank window (the vocab-coverage discipline: the distinct-phrase
     domain is Heaps-huge at 100 TB; the window must only ever see
@@ -2137,7 +2149,11 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", F.expr("(1000000 * deg) div freq").alias("score_micro")
     )
     pscore = (
-        pw.join(F.broadcast(wscore), "w")
+        # no broadcast hint: wscore has one row per distinct corpus
+        # word (Heaps-unbounded); pw and wscore are both word-keyed, so
+        # the shuffle join is co-partitioned — AQE can still choose a
+        # broadcast at runtime when the vocab actually fits.
+        pw.join(wscore, "w")
         .groupBy("occ_id", "phrase")
         .agg(F.sum("score_micro").alias("occ_score"))
     )

@@ -149,7 +149,8 @@ def _ewma_fold(
     batch query pins — so the fold is deterministic however Spark
     chunks the group across Arrow batches."""
     ewma, n = state.get if state.exists else (None, 0)
-    rows = pd.concat(list(pdfs))
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame()
     if len(rows):
         rows = rows.sort_values(["ts", "event_id"])
         for v in rows["value"].astype(float):
@@ -281,7 +282,8 @@ def _holt_fold(
     observation seeds level (trend 0), matching the batch query's
     aggregate() zero element."""
     level, trend, n = state.get if state.exists else (None, 0.0, 0)
-    rows = pd.concat(list(pdfs))
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame()
     if len(rows):
         rows = rows.sort_values("day")
         for x in rows["x"].astype(float):
@@ -363,7 +365,8 @@ def cusum_fold(mu: float, sigma: float):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         sp, sn = state.get if state.exists else (0, 0)
-        rows = pd.concat(list(pdfs))
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         out = []
         if len(rows):
             rows = rows.sort_values("day")
@@ -442,7 +445,8 @@ def hysteresis_fold(thresholds: dict):
             return
         (st,) = state.get if state.exists else ("clear",)
         hi, lo = thresholds[key[0]]
-        rows = pd.concat(list(pdfs))
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         out = []
         if len(rows):
             rows = rows.sort_values("day")
@@ -503,7 +507,8 @@ def _mg_fold(
 ) -> Iterator[pd.DataFrame]:
     items, counts = state.get if state.exists else ([], [])
     sketch = dict(zip(items, counts))
-    rows = pd.concat(list(pdfs))
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame()
     if len(rows):
         for item in rows["item"]:
             if item in sketch:
@@ -586,10 +591,10 @@ def token_bucket_stream(events: DataFrame) -> DataFrame:
     reject each event AS IT ARRIVES from a per-user token bucket
     (capacity/refill constants shared with the batch op), state =
     (balance, last event time, admitted rank) carried across
-    micro-batches — the reference's A1 pacing
-    (``internal/generator/generator.go``'s golang.org/x/time/rate
-    bucket) applied to the ingest stream itself, i.e. admission
-    control at the pipeline mouth.  Requires per-user event-time order
+    micro-batches — the burst-tolerant generalization of the
+    reference's A1 pacing (``cmd/root.go:119``'s fixed-cadence
+    ``time.Ticker``) applied to the ingest stream itself, i.e.
+    admission control at the pipeline mouth.  Requires per-user event-time order
     across batches (the upstream sort/watermark discipline the CUSUM
     face documents); the equivalence test feeds ordered splits and
     pins stream == batch row for row."""
@@ -607,5 +612,163 @@ def token_bucket_stream(events: DataFrame) -> DataFrame:
             stateStructType="bal long, prev_ts long, rn long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# transformWithStateInPandas faces of the round-9 stateful twins.
+# Same recurrences as the applyInPandasWithState folds above (the
+# equivalence tests pin all three faces — batch, AIPWS, TWS — row for
+# row on ordered feeds); what the second backend buys at 100 TB is the
+# RocksDB state store (disk-backed, so the per-key state population is
+# bounded by local SSD instead of executor heap) plus the typed-state/
+# timer lifecycle the successor API standardizes.
+
+_TB_TWS_STATE = "bal long, prev_ts long, rn long"
+
+
+class TokenBucketProcessor(StatefulProcessor):
+    """Per-user token-bucket admission as a StatefulProcessor —
+    ``_token_bucket_fold``'s recurrence on the Spark 4 API."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._bucket = handle.getValueState("bucket", _TB_TWS_STATE)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        from ..operators.analytics import _TB_CAP_US, _TB_COST_US
+
+        bal, prev_ts, rn = (
+            self._bucket.get() if self._bucket.exists() else (_TB_CAP_US, -1, 0)
+        )
+        out_eid, out_rn, out_adm, out_bal = [], [], [], []
+        # concat BEFORE sorting — the _token_bucket_fold discipline: a
+        # group split across Arrow chunks must not feed the recurrence
+        # out-of-order timestamps
+        chunks = list(rows)
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(pdf):
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid, ts in zip(pdf["event_id"], pdf["ts_us"]):
+                if prev_ts >= 0:
+                    bal = min(_TB_CAP_US, bal + (int(ts) - prev_ts))
+                prev_ts = int(ts)
+                admitted = bal >= _TB_COST_US
+                if admitted:
+                    bal -= _TB_COST_US
+                rn += 1
+                out_eid.append(int(eid))
+                out_rn.append(rn)
+                out_adm.append(admitted)
+                out_bal.append(bal)
+        self._bucket.update((int(bal), int(prev_ts), int(rn)))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": out_eid,
+                "rn": out_rn,
+                "admitted": out_adm,
+                "balance_us": out_bal,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def token_bucket_stream_tws(events: DataFrame) -> DataFrame:
+    """``token_bucket_stream`` on transformWithStateInPandas (RocksDB
+    state store; the session/test sets ``ROCKSDB_PROVIDER``)."""
+    if not _HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0"
+        )
+    return (
+        events.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TokenBucketProcessor(),
+            outputStructType=(
+                "user_id long, event_id long, rn long, "
+                "admitted boolean, balance_us long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+class CusumProcessor(StatefulProcessor):
+    """Two-sided CUSUM with a fixed (mu, sigma) baseline as a
+    StatefulProcessor — ``cusum_fold``'s integer-micro recurrence on
+    the Spark 4 API.  Baseline constants travel in the processor
+    instance (pickled to the executors), exactly like the closure the
+    AIPWS face captures."""
+
+    def __init__(self, mu: float, sigma: float) -> None:
+        self._mu, self._sigma = float(mu), float(sigma)
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._cusum = handle.getValueState("cusum", _CUSUM_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        sp, sn = self._cusum.get() if self._cusum.exists() else (0, 0)
+        chunks = list(rows)
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+        out = []
+        if len(pdf):
+            pdf = pdf.sort_values("day")
+            for day, x in zip(pdf["day"], pdf["x"].astype(float)):
+                z_u = int(
+                    math.floor((x - self._mu) / self._sigma * 1_000_000 + 0.5)
+                )
+                sp = max(0, sp + z_u - _CUSUM_K_U)
+                sn = max(0, sn - z_u - _CUSUM_K_U)
+                out.append(
+                    (
+                        key[0],
+                        day,
+                        round(sp / 1_000_000.0, 6),
+                        round(sn / 1_000_000.0, 6),
+                        sp > _CUSUM_H_U,
+                        sn > _CUSUM_H_U,
+                    )
+                )
+            self._cusum.update((int(sp), int(sn)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "series", "day", "cusum_pos", "cusum_neg",
+                "alarm_up", "alarm_down",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def series_cusum_stream_tws(
+    daily: DataFrame, mu: float, sigma: float
+) -> DataFrame:
+    """``series_cusum_stream`` on transformWithStateInPandas (RocksDB
+    state store)."""
+    if not _HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0"
+        )
+    return (
+        daily.select("series", "day", "x")
+        .groupBy("series")
+        .transformWithStateInPandas(
+            statefulProcessor=CusumProcessor(mu, sigma),
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

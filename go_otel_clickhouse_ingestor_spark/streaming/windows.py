@@ -174,9 +174,11 @@ def exp_histogram_windowed(
 ) -> DataFrame:
     """Per-window OTLP ExponentialHistogram (scale 0) bucket counts —
     the streaming face of the batch ``events_exp_histogram`` query:
-    values in exact integer micro-units, bucket index =
-    bit-length(v)-1 (never float log2), the OTLP zero bucket at
-    idx -1.  Emits (window, event_type, bucket_idx, n).
+    values in exact integer micro-units, spec upper-inclusive bucket
+    index ceil(log2 |v|)-1 = bit-length(|v|-1)-1 (never float log2),
+    negative spectrum by magnitude, dedicated zero bucket — the ONE
+    formula shared via ``otlp_scale0_parts``.  Emits
+    (window, event_type, spectrum, bucket_idx, n).
 
     Mergeability is the contract this face exists to prove: scale-0
     buckets form a partial-aggregable map, so window grids merge by
@@ -187,15 +189,13 @@ def exp_histogram_windowed(
     window, watermark-bounded — the same reason the reference's
     explicit-bucket histograms (A14, internal/metrics/metrics.go)
     are cheap to keep per label set."""
+    from ..operators.analytics import otlp_scale0_parts
+
     v_us = F.expr("cast(round(value * 1000000) as bigint)")
-    bucket = (
-        F.when(v_us > 0, (F.length(F.bin(v_us)) - 1).cast("long"))
-        .otherwise(F.lit(-1).cast("long"))
-        .alias("bucket_idx")
-    )
+    spectrum, bucket = otlp_scale0_parts(v_us)
     return (
         events.withWatermark("ts", delay)
-        .select("ts", "event_type", bucket)
-        .groupBy(F.window("ts", width), "event_type", "bucket_idx")
+        .select("ts", "event_type", spectrum, bucket)
+        .groupBy(F.window("ts", width), "event_type", "spectrum", "bucket_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

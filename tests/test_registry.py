@@ -31,3 +31,48 @@ def test_driver_priority_names_all_exist():
         f"oracle-backed priority names listed AFTER rows-only ones "
         f"(would be displaced out of the window): {misordered}"
     )
+
+
+def test_unbounded_broadcast_gate():
+    """The verify_round static gate must (a) flag an F.broadcast over a
+    groupBy on a text-derived key — including one assignment-hop away,
+    the round-9 RAKE shape that survived three rounds of review — and
+    (b) pass limit-bounded, global-aggregate, and annotated sites."""
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from verify_round import check_unbounded_broadcasts
+
+    bad = """
+from pyspark.sql import functions as F
+
+def q(df):
+    toks = df.select(F.explode(F.split("text", " ")).alias("w"))
+    ws = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wscore = ws.select("w", (F.col("c") * 2).alias("s"))
+    return toks.join(F.broadcast(wscore), "w")
+"""
+    good = """
+from pyspark.sql import functions as F
+
+def q(df):
+    toks = df.select(F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).limit(1000)
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    # bounded domain: char trigrams, <= 60^3 keys at any corpus size
+    tri = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    return (toks.join(F.broadcast(vocab), "w")
+                .crossJoin(F.broadcast(total))
+                .join(F.broadcast(tri), "gram"))
+"""
+    with tempfile.TemporaryDirectory() as td:
+        pb, pg = os.path.join(td, "bad.py"), os.path.join(td, "good.py")
+        open(pb, "w").write(bad)
+        open(pg, "w").write(good)
+        flagged = check_unbounded_broadcasts([pb])
+        assert len(flagged) == 1 and "wscore" in flagged[0], flagged
+        assert check_unbounded_broadcasts([pg]) == []
+    # and the live tree is clean
+    assert check_unbounded_broadcasts() == []

@@ -241,7 +241,7 @@ def test_exp_histogram_stream_merges_to_batch_grid(spark, sf_dir, tmp_path):
     )
 
     batch = {
-        (r.event_type, r.bucket_idx): r.n
+        (r.event_type, r.spectrum, r.bucket_idx): r.n
         for r in events_exp_histogram(spark, sf_dir).collect()
     }
     assert len(batch) >= 10, "fixture too small for a meaningful grid"
@@ -260,16 +260,15 @@ def test_exp_histogram_stream_merges_to_batch_grid(spark, sf_dir, tmp_path):
         [(r["ts"], r["event_type"], r["value"]) for r in rows],
         "ts string, event_type string, value double",
     ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        otlp_scale0_parts,
+    )
+
     v_us = F.expr("cast(round(value * 1000000) as bigint)")
     want = {
-        (r.event_type, r.bucket_idx): r.n
-        for r in sub.select(
-            "event_type",
-            F.when(v_us > 0, (F.length(F.bin(v_us)) - 1).cast("long"))
-            .otherwise(F.lit(-1).cast("long"))
-            .alias("bucket_idx"),
-        )
-        .groupBy("event_type", "bucket_idx")
+        (r.event_type, r.spectrum, r.bucket_idx): r.n
+        for r in sub.select("event_type", *otlp_scale0_parts(v_us))
+        .groupBy("event_type", "spectrum", "bucket_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .collect()
     }
@@ -294,7 +293,7 @@ def test_exp_histogram_stream_merges_to_batch_grid(spark, sf_dir, tmp_path):
 
     got: dict = {}
     for r in spark.table(name).collect():
-        k = (r.event_type, r.bucket_idx)
+        k = (r.event_type, r.spectrum, r.bucket_idx)
         got[k] = got.get(k, 0) + r.n
     assert got == want
 

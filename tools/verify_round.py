@@ -175,6 +175,95 @@ def check_top_k_plans() -> list[str]:
     return []
 
 
+def check_unbounded_broadcasts(roots: list[str] | None = None) -> list[str]:
+    """Static gate: flag ``F.broadcast(x)`` where ``x`` was built by a
+    ``groupBy`` on a text/token/term/gram/word/phrase-derived key with
+    no intervening ``limit`` — the distinct-key domain is unbounded
+    under Heaps' law, so the forced broadcast (which overrides the
+    auto-broadcast size threshold) OOMs at corpus scale.  Genuinely
+    bounded domains (fixed sketch grids, char-trigram vocabularies,
+    top-k tables) pass either by construction (``.limit(`` in the
+    defining expression) or via an explicit ``bounded`` note in a
+    comment within the two lines above the assignment — the point is
+    forcing a deliberate, written justification at each site."""
+    import ast
+    import re
+
+    key_re = re.compile(
+        r"\.groupBy\(\s*[\"'](?:term|gram|token|phrase|word|w|shingle|ngram)[\"']"
+    )
+    errs: list[str] = []
+    roots = roots or [
+        os.path.join(REPO, "go_otel_clickhouse_ingestor_spark", "**", "*.py")
+    ]
+    for pattern in roots:
+        for path in sorted(glob.glob(pattern, recursive=True)):
+            with open(path) as fh:
+                src = fh.read()
+            if "broadcast" not in src:
+                continue
+            lines = src.splitlines()
+            tree = ast.parse(src)
+            assigns: dict[str, list[tuple[int, str]]] = {}
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Assign)
+                    and len(node.targets) == 1
+                    and isinstance(node.targets[0], ast.Name)
+                ):
+                    seg = ast.get_source_segment(src, node.value) or ""
+                    assigns.setdefault(node.targets[0].id, []).append(
+                        (node.lineno, seg)
+                    )
+            name_re = re.compile(r"[A-Za-z_]\w*")
+
+            def unbounded_text_agg(name: str, before: int, depth: int = 3) -> bool:
+                """True when ``name``'s defining chain reaches a groupBy
+                on a text-derived key with no limit and no 'bounded'
+                justification comment anywhere along the chain."""
+                prior = [a for a in assigns.get(name, []) if a[0] <= before]
+                if not prior or depth == 0:
+                    return False
+                alineno, seg = max(prior)
+                if ".limit(" in seg:
+                    return False  # bounded by construction (top-k)
+                if ".agg(" in seg and ".groupBy(" not in seg:
+                    return False  # global aggregate: exactly one row
+                ctx = "\n".join(lines[max(0, alineno - 7) : alineno - 1])
+                if "bounded" in ctx.lower() or "bounded" in seg.lower():
+                    return False  # reviewed, justified in place
+                if key_re.search(seg):
+                    return True
+                # follow the frame's lineage one hop (wscore = ws.select(...))
+                return any(
+                    unbounded_text_agg(ref, alineno, depth - 1)
+                    for ref in set(name_re.findall(seg))
+                    if ref != name and ref in assigns
+                )
+
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and node.args
+                    and isinstance(node.args[0], ast.Name)
+                ):
+                    continue
+                name = node.args[0].id
+                if not unbounded_text_agg(name, node.lineno):
+                    continue
+                errs.append(
+                    f"BROADCAST: {os.path.relpath(path, REPO)}:{node.lineno} — "
+                    f"F.broadcast({name}) over a groupBy on a text-derived key "
+                    f"with no limit (Heaps-unbounded domain at corpus scale); "
+                    f"drop the hint (a key-aligned shuffle join is already "
+                    f"co-partitioned) or add a '# bounded domain: ...' comment "
+                    f"above the assignment with the rationale"
+                )
+    return errs
+
+
 def check_readme_counts() -> list[str]:
     """Fail when README's registered-query count drifts from the
     registry (it lagged by hand three times in round 9 alone)."""
@@ -257,6 +346,7 @@ def main() -> None:
     errs = check_rotation()
     errs += check_plans_table()
     errs += check_readme_counts()
+    errs += check_unbounded_broadcasts()
     check_artifacts()
     if not fast:
         errs += run_pytest()
