@@ -111,6 +111,14 @@ HEADLINE = [
     # log-depth pointer-doubling tree walk
     "source_otlp_spans_parse",
     "graph_tree_depth_pointer_doubling",
+    # round-10 flagships: the trace-tree pair (co-partitioned
+    # self-join rollup + log-factor critical path), the 1-bit
+    # quantization recall kernel, and two cheap map-linear faces
+    "spans_self_time_rollup",
+    "spans_critical_path",
+    "emb_binary_quantize_recall",
+    "fn_ip",
+    "dq_freshness_completeness",
 ]
 
 

@@ -5575,6 +5575,45 @@ def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMPLATE_TOPK = 50
 
 
+def mask_log_template(col):
+    """The Drain-lite variable-field masking shared by the batch miner
+    and the streaming face (``streaming.windows.log_templates_windowed``)
+    — ONE formula so stream grids merge into the batch grid exactly:
+    hex runs first (they subsume digit runs), then integer runs."""
+    return F.regexp_replace(
+        F.regexp_replace(col, "[0-9a-f]{8,}", "<H>"), "[0-9]+", "<N>"
+    )
+
+
+def synth_log_line_expr():
+    """The deterministic 15-template log-line synthesis over an events
+    row (5 event types × 3 printf forms keyed by event_id) — shared by
+    the batch miner and the streaming equivalence test so both faces
+    see byte-identical lines."""
+    ms = F.expr("cast(round(value * 1000) as bigint)")
+    by = F.expr("cast(round(value * 100) as bigint)")
+    req = F.substring(F.md5(F.col("event_id").cast("string")), 1, 12)
+    return (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string("%s uid=%d took %d ms", "event_type", "user_id", ms),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.format_string(
+                "%s failed for uid=%d req=%s retry=%d",
+                "event_type",
+                "user_id",
+                req,
+                F.col("event_id") % 5,
+            ),
+        )
+        .otherwise(
+            F.format_string("%s ok uid=%d bytes=%d", "event_type", "user_id", by)
+        )
+    )
+
+
 @query(
     "events_log_templates",
     oracle=f"""
@@ -5633,34 +5672,10 @@ def events_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10^3 at 100 TB, so the agg grid is tiny no matter the corpus),
     rank over that bounded grid only."""
     ev = table(spark, sf_dir, "events")
-    ms = F.expr("cast(round(value * 1000) as bigint)")
-    by = F.expr("cast(round(value * 100) as bigint)")
-    req = F.substring(F.md5(F.col("event_id").cast("string")), 1, 12)
-    line = (
-        F.when(
-            F.col("event_id") % 3 == 0,
-            F.format_string("%s uid=%d took %d ms", "event_type", "user_id", ms),
-        )
-        .when(
-            F.col("event_id") % 3 == 1,
-            F.format_string(
-                "%s failed for uid=%d req=%s retry=%d",
-                "event_type",
-                "user_id",
-                req,
-                F.col("event_id") % 5,
-            ),
-        )
-        .otherwise(
-            F.format_string("%s ok uid=%d bytes=%d", "event_type", "user_id", by)
-        )
-    )
-    masked = ev.select("user_id", line.alias("line")).select(
+    masked = ev.select("user_id", synth_log_line_expr().alias("line")).select(
         "user_id",
         "line",
-        F.regexp_replace(
-            F.regexp_replace("line", "[0-9a-f]{8,}", "<H>"), "[0-9]+", "<N>"
-        ).alias("template"),
+        mask_log_template("line").alias("template"),
     )
     agg = masked.groupBy("template").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -5957,4 +5972,127 @@ def events_p99_of_user_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p99_of_p95_c").cast("long").alias("p99_of_p95_c"),
             F.expr("cast(sm div n_users as bigint)").alias("mean_user_p95_c"),
         )
+    )
+
+
+@query(
+    "events_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(cast(sum(cast(value AS DECIMAL(14,4))) AS DECIMAL(18,4))
+                  AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    serie AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*)     OVER (PARTITION BY event_type)              AS n
+      FROM daily
+    ),
+    seed AS (
+      SELECT event_type,
+             cast(sum(cast(round(x * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 / 7 AS l0
+      FROM serie WHERE i <= 7 GROUP BY event_type
+    ),
+    sea0 AS (
+      SELECT s.event_type, list(s.x - d.l0 ORDER BY s.i) AS sea
+      FROM serie s JOIN seed d USING (event_type)
+      WHERE s.i <= 7 GROUP BY s.event_type
+    ),
+    state AS (
+      SELECT s.event_type, 7 AS i, s.n, d.l0 AS l,
+             cast(0.0 AS DOUBLE) AS b, s0.sea AS sea
+      FROM seed d
+      JOIN sea0 s0 USING (event_type)
+      JOIN serie s ON s.event_type = d.event_type AND s.i = 7
+      WHERE s.n >= 8
+      UNION ALL
+      SELECT st.event_type, st.i + 1, st.n,
+             0.5 * (s.x - st.sea[1]) + 0.5 * (st.l + st.b) AS l,
+             0.3 * ((0.5 * (s.x - st.sea[1]) + 0.5 * (st.l + st.b))
+                    - st.l) + 0.7 * st.b                   AS b,
+             list_append(st.sea[2:7],
+               0.4 * (s.x - (0.5 * (s.x - st.sea[1])
+                             + 0.5 * (st.l + st.b)))
+                 + 0.6 * st.sea[1])                        AS sea
+      FROM state st
+      JOIN serie s ON s.event_type = st.event_type AND s.i = st.i + 1
+    )
+    SELECT event_type,
+           n::BIGINT                       AS n_days,
+           round(l, 6)                     AS level,
+           round(b, 6)                     AS trend,
+           round(l + b + sea[1], 6)        AS forecast_next
+    FROM state WHERE i = n
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive TRIPLE exponential smoothing (level α=0.5,
+    trend β=0.3, seasonal γ=0.4, period m=7) over each event type's
+    daily series — the seasonality-aware upgrade of
+    ``events_forecast_holt`` that every weekly-cycled ops metric needs
+    (a Holt forecast of weekday-heavy traffic is wrong every Saturday;
+    the seasonal state absorbs the day-of-week shape).  Seed: level =
+    mean of the first week (summed as EXACT 1e-4-scaled integers, so
+    the seed is order-independent and both engines round to the same
+    double), trend 0, seasonal_i = x_i − level; then the textbook
+    recurrence with s_{t−m} carried as a rotating 7-slot list.  The
+    oracle is a RECURSIVE CTE carrying the list (the forecast_holt
+    rule: the recursion pins evaluation order so both engines execute
+    the identical IEEE double ops — intermediate bindings are written
+    OUT in full on both sides); the Spark side is one ``aggregate()``
+    fold per type over the day-sorted array.  Output rounds at 6.
+    Scale: state is (2 doubles + 7-slot list) per type, series are
+    day-grain — calendar-bounded; the corpus-sized work is the
+    partial-aggregated daily rollup."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "cast(cast(sum(cast(value as decimal(14,4))) as decimal(18,4))"
+            " as double)"
+        ).alias("x")
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, x))),"
+                " p -> p.x)"
+            ).alias("xs"),
+        )
+        .filter(F.col("n_days") >= 8)
+    )
+    l0 = (
+        "cast(aggregate(slice(xs, 1, 7), 0L,"
+        " (a, v) -> a + cast(round(v * 10000) as bigint)) as double)"
+        " / 10000 / 7"
+    )
+    sea0 = f"transform(slice(xs, 1, 7), v -> v - ({l0}))"
+    l_new = "0.5 * (x - element_at(st.sea, 1)) + 0.5 * (st.l + st.b)"
+    fold = (
+        f"aggregate(slice(xs, 8, cast(n_days - 7 as int)),"
+        f" named_struct('l', {l0}, 'b', cast(0.0 as double),"
+        f" 'sea', {sea0}),"
+        f" (st, x) -> named_struct("
+        f"'l', {l_new},"
+        f"'b', 0.3 * (({l_new}) - st.l) + 0.7 * st.b,"
+        f"'sea', concat(slice(st.sea, 2, 6),"
+        f" array(0.4 * (x - ({l_new})) + 0.6 * element_at(st.sea, 1)))))"
+    )
+    return arr.select(
+        "event_type",
+        "n_days",
+        F.round(F.expr(f"({fold}).l"), 6).alias("level"),
+        F.round(F.expr(f"({fold}).b"), 6).alias("trend"),
+        F.round(
+            F.expr(
+                f"({fold}).l + ({fold}).b + element_at(({fold}).sea, 1)"
+            ),
+            6,
+        ).alias("forecast_next"),
     )

@@ -432,3 +432,73 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total_rows"),
         )
     )
+
+
+@query(
+    "dq_freshness_completeness",
+    oracle="""
+    WITH g AS (
+      SELECT max(epoch_us(ts)) AS max_us,
+             count(DISTINCT cast(ts AS DATE)) AS n_days_total
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             max(epoch_us(ts))                 AS last_us,
+             count(DISTINCT cast(ts AS DATE))  AS n_days_present,
+             cast(count(*) AS BIGINT)          AS n_rows
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           last_us,
+           g.max_us - last_us                        AS freshness_lag_us,
+           cast(n_days_present AS BIGINT)            AS n_days_present,
+           cast(g.n_days_total AS BIGINT)            AS n_days_total,
+           cast(g.n_days_total - n_days_present
+                AS BIGINT)                           AS n_days_missing,
+           (1000000 * n_days_present) // g.n_days_total
+                                                     AS completeness_ppm,
+           n_rows
+    FROM per_type, g
+    """,
+)
+def dq_freshness_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness + completeness audit per event type — the two
+    pipeline-health numbers every warehouse monitor pages on (is data
+    ARRIVING: lag of the stream's newest row behind the table's global
+    watermark; is data COMPLETE: how many calendar days in the table's
+    span does the stream actually cover), the scheduled-check
+    counterpart of dq_expectations_audit's row-content contract.  The
+    reference ships at-least-once with no such audit (SURVEY §0) —
+    this is the query its operators would have needed the first time a
+    consumer lagged silently.  All exact integers: epoch-micro lags,
+    distinct-day counts, ppm completeness via floor division.  Plan:
+    one partial-agged groupBy over the scan (the distinct-day count
+    expands to a two-phase agg on a bounded type×day grid) plus a
+    1-row global broadcast — no row-expanded stage anywhere."""
+    ev = table(spark, sf_dir, "events")
+    g = F.broadcast(
+        ev.agg(
+            F.max(F.unix_micros("ts")).alias("max_us"),
+            F.count_distinct(F.to_date("ts")).alias("n_days_total"),
+        )
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count_distinct(F.to_date("ts")).alias("n_days_present"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return per_type.crossJoin(g).select(
+        "event_type",
+        "last_us",
+        (F.col("max_us") - F.col("last_us")).alias("freshness_lag_us"),
+        F.col("n_days_present").cast("long").alias("n_days_present"),
+        F.col("n_days_total").cast("long").alias("n_days_total"),
+        (F.col("n_days_total") - F.col("n_days_present"))
+        .cast("long")
+        .alias("n_days_missing"),
+        F.expr("(1000000 * n_days_present) div n_days_total").alias(
+            "completeness_ppm"
+        ),
+        "n_rows",
+    )

@@ -986,3 +986,202 @@ def multimodal_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("neg_slot"),
         "neg_vec_id",
     )
+
+
+# ------------------------------------------------ perceptual image dedup
+
+#: pHash near-dup parameters: DCT input side, low-frequency block side
+#: (8×8 → 64-bit hash), band split for the LSH join (4×16-bit bands —
+#: a ≤10-bit-different pair always agrees on ≥1 band by pigeonhole
+#: when its differing bits hit ≤3 bands; in practice near-dup
+#: perturbations flip ≤4 bits), the Hamming accept threshold, and the
+#: per-bucket candidate cap (the dedup_minhash_lsh mega-bucket rule:
+#: a band value shared by thousands of flat/boilerplate images must
+#: not go quadratic — those buckets are dropped and counted).
+_PHASH_SIDE = 32
+_PHASH_BLOCK = 8
+_PHASH_BANDS = 4
+_PHASH_MAX_HD = 10
+_PHASH_BUCKET_CAP = 1000
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (numpy only; no scipy in the image)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    m = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    t = m * np.sqrt(2.0 / n)
+    t[0] *= 1.0 / np.sqrt(2.0)
+    return t
+
+
+def phash64(buf: bytes) -> int:
+    """Classic pHash over a real BMP payload: decode → grayscale →
+    nearest-neighbor resample to 32×32 → 2D orthonormal DCT (matrix
+    form) → 8×8 low-frequency block → bit i set iff coefficient i
+    exceeds the block median (DC included in the median but the
+    median split keeps the hash DC-robust).  Returns a SIGNED 64-bit
+    int (Spark LongType bit pattern)."""
+    import numpy as np
+
+    px = bmp_pixels(buf)  # (h, w, 3) uint8, raster order
+    h, w = px.shape[0], px.shape[1]
+    img = px.astype(np.float64).mean(axis=2)
+    ys = (np.arange(_PHASH_SIDE) * h) // _PHASH_SIDE
+    xs = (np.arange(_PHASH_SIDE) * w) // _PHASH_SIDE
+    small = img[np.ix_(ys, xs)]
+    t = _dct_matrix(_PHASH_SIDE)
+    coef = t @ small @ t.T
+    block = coef[:_PHASH_BLOCK, :_PHASH_BLOCK].ravel()
+    med = float(np.median(block))
+    bits = 0
+    for i, c in enumerate(block):
+        if float(c) > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:  # two's-complement into LongType
+        bits -= 1 << 64
+    return bits
+
+
+def _synth_neardup_bmp_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per document one REAL BMP; every doc_id ≡ 1 (mod 5) repeats the
+    PREVIOUS doc's image with a 2-pixel perturbation — the planted
+    near-dup pairs (doc_id-1, doc_id) the recall gate checks."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            planted = doc_id % 5 == 1
+            seed = doc_id - 1 if planted else doc_id
+            w, h = 40 + seed % 24, 32 + (seed * 7) % 24
+
+            def px(x, y, s=seed, pl=planted, w=w, h=h):
+                # MIXED hash-noise pixels (multiply-shift avalanche,
+                # not a per-seed XOR constant — an XOR'd constant makes
+                # whole image FAMILIES near-identical in grayscale, a
+                # false-positive factory): distinct seeds give
+                # decorrelated noise whose pHashes differ in ~32 bits,
+                # so only the planted pairs land under the threshold
+                v = (x + 131 * y + 17161 * s) & 0xFFFFFFFF
+                v = (v * 2654435761) & 0xFFFFFFFF
+                v ^= v >> 15
+                v = (v * 2246822519) & 0xFFFFFFFF
+                v ^= v >> 13
+                b, g, r = v % 256, (v >> 8) % 256, (v >> 16) % 256
+                # the perturbation: two pixels nudged, not enough to
+                # move more than a few DCT sign bits
+                if pl and (x, y) in ((0, 0), (w - 1, h - 1)):
+                    b = (b + 8) % 256
+                return (b, g, r)
+
+            out.append(
+                {"doc_id": doc_id, "payload": encode_bmp(w, h, px)}
+            )
+        yield pd.DataFrame(out)
+
+
+def _phash_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash": [
+                    phash64(bytes(p)) for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+@query("multimodal_phash_near_dup")  # rows-only: binary codec + float DCT
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image NEAR-DUP detection end-to-end on REAL
+    image bytes — the image-side twin of dedup_minhash_lsh and the
+    missing rung of the multimodal dedup ladder (byte-identical dedup
+    catches re-uploads; pHash catches re-encodes, slight crops, and
+    pixel-level noise, which dominate scraped image corpora): synth a
+    real BMP per document (docs ≡1 mod 5 repeat the previous doc's
+    image with a 2-pixel perturbation — planted pairs), compute the
+    classic 64-bit DCT pHash in one Arrow map stage (decode →
+    32×32 nearest resample → orthonormal DCT → 8×8 block median
+    bits), then find near pairs with the BANDED join discipline:
+    4×16-bit bands, candidates share ≥1 band value, mega-buckets
+    (> {cap} members — boilerplate/flat images) dropped rather than
+    joined, exact ``bit_count(xor)`` Hamming ≤ {hd} verify on
+    candidates only.  Never all-pairs: pair volume is Σ bucket², with
+    buckets capped — the dedup_minhash_lsh scale shape on the image
+    modality.  Rows-only by design (binary codec + float DCT have no
+    SQL twin); the pytest gate pins planted-pair recall 1.0, no
+    unplanted false positives at the threshold, and determinism.""".format(
+        cap=_PHASH_BUCKET_CAP, hd=_PHASH_MAX_HD
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _synth_neardup_bmp_iter, "doc_id long, payload binary"
+    )
+    from .dedup import materialized
+
+    # materialize: the banded self-join probes this frame from BOTH
+    # sides (and the bucket-cap filter a third time) — without the
+    # persist every path re-runs the Python decode+DCT stage
+    hashes = materialized(
+        payloads.mapInPandas(_phash_iter, "doc_id long, phash long")
+    )
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_i"),
+                        F.expr(
+                            f"(phash >> {16 * i}) & 65535"
+                        ).alias("band_v"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_i", "b.band_v")
+    # mega-bucket guard: a band value shared by too many images would
+    # make the candidate join quadratic in that bucket
+    ok_buckets = (
+        bands.groupBy("band_i", "band_v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _PHASH_BUCKET_CAP)
+        .select("band_i", "band_v")
+    )
+    bands = bands.join(ok_buckets, ["band_i", "band_v"])
+    a = bands.select(
+        "band_i",
+        "band_v",
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("hash_a"),
+    )
+    b = bands.select(
+        "band_i",
+        "band_v",
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hash_b"),
+    )
+    cand = (
+        a.join(b, ["band_i", "band_v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(hash_a ^ hash_b)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HD)
+    )

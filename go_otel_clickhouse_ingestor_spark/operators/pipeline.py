@@ -867,3 +867,114 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, ["epoch"], ["h"], "position", bucket=bucket, n_buckets=n_b
     )
     return ranked.select("epoch", "position", "doc_id")
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             coalesce(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')), 0)
+               AS n_tokens,
+             (text IS NULL OR length(trim(text)) = 0) AS is_empty
+      FROM documents
+    ),
+    tot AS (SELECT cast(count(*) AS BIGINT) AS n_total,
+                   cast(sum(n_tokens) AS BIGINT) AS tok_total FROM d),
+    lang_rank AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM d WHERE lang IS NOT NULL GROUP BY source, lang
+    ),
+    per_source AS (
+      SELECT source,
+             cast(count(*) AS BIGINT)                    AS n_docs,
+             cast(sum(n_chars) AS BIGINT)                AS total_chars,
+             cast(sum(n_tokens) AS BIGINT)               AS total_tokens,
+             cast(count(DISTINCT lang) AS BIGINT)        AS n_langs,
+             cast(sum(CASE WHEN is_empty THEN 1 ELSE 0 END)
+                  AS BIGINT)                             AS n_empty
+      FROM d GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.total_chars, p.total_tokens, p.n_langs,
+           p.n_empty,
+           lr.lang                                        AS top_lang,
+           (1000000 * p.n_docs) // t.n_total              AS docs_share_ppm,
+           (1000000 * p.total_tokens) // t.tok_total      AS token_share_ppm
+    FROM per_source p
+    JOIN lang_rank lr ON lr.source = p.source AND lr.rn = 1
+    CROSS JOIN tot t
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card generation — the per-source summary table every
+    released training corpus ships (the "data statement": volume,
+    token counts, language makeup, share of mixture, junk rate) and
+    every curation run re-derives before changing mixture weights
+    (pipeline_mix_weights decides; THIS is the evidence table it reads
+    from).  Per source: docs, chars, whitespace tokens, distinct
+    languages, dominant language (count-then-lexicographic
+    deterministic mode), empty/null-document count, and exact ppm
+    shares of corpus docs and tokens via floor division.  Plan: one
+    map-linear token-count projection, one partial-agged source
+    groupBy (source domain ≈ 20), a source×lang grid window for the
+    mode, and a 1-row total broadcast — nothing downstream of the
+    scan is corpus-sized."""
+    from .text import tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        (
+            F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+        ).alias("is_empty"),
+    )
+    tot = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("n_tokens").cast("long").alias("tok_total"),
+        )
+    )
+    wlr = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    lang_rank = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wlr))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("is_empty"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+    )
+    return (
+        per_source.join(F.broadcast(lang_rank), "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "n_empty",
+            "top_lang",
+            F.expr("(1000000 * n_docs) div n_total").alias("docs_share_ppm"),
+            F.expr("(1000000 * total_tokens) div tok_total").alias(
+                "token_share_ppm"
+            ),
+        )
+    )

@@ -1019,3 +1019,148 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text_roundtrip"),
         F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_plain"),
     )
+
+
+@query(
+    "fn_ip",
+    oracle="""
+    WITH n AS (
+      SELECT event_id,
+             ('0x' || substring(md5(cast(event_id AS VARCHAR)), 1, 8))::BIGINT
+               AS ip_num
+      FROM events
+    )
+    SELECT event_id,
+           ip_num,
+           cast((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+           cast((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+           cast((ip_num >>  8) & 255 AS VARCHAR) || '.' ||
+           cast( ip_num        & 255 AS VARCHAR)        AS ip,
+           (((ip_num >> 24) & 255) = 10
+             OR (((ip_num >> 24) & 255) = 172
+                 AND ((ip_num >> 16) & 255) BETWEEN 16 AND 31)
+             OR (((ip_num >> 24) & 255) = 192
+                 AND ((ip_num >> 16) & 255) = 168))     AS is_private,
+           ip_num >> 8                                   AS subnet24,
+           cast((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+           cast((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+           cast((ip_num >>  8) & 255 AS VARCHAR) || '.0/24' AS cidr24
+    FROM n
+    """,
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address functions — ClickHouse's IPv4NumToString /
+    IPv4StringToNum / isIPAddressInRange family, which observability
+    schemas lean on constantly (client IPs on every event row) and
+    Spark has no builtins for: numeric⇄dotted-quad conversion, RFC-1918
+    private-range classification (10/8, 172.16/12, 192.168/16), and the
+    /24 subnet key both as a numeric group key (``ip_num >> 8`` — what
+    a top-talkers agg groups on) and CIDR display form.  Addresses are
+    synthesized portably (md5 of the event id → first 8 hex chars →
+    uint32), and every derivation is integer shift/mask arithmetic
+    inside whole-stage codegen — byte-identical in both engines, no
+    Python, no shuffle (pure map over the scan)."""
+    ev = table(spark, sf_dir, "events")
+    n = ev.select(
+        "event_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+            " 16, 10) as bigint)"
+        ).alias("ip_num"),
+    )
+    o = [F.expr(f"(ip_num >> {s}) & 255") for s in (24, 16, 8, 0)]
+    return n.select(
+        "event_id",
+        "ip_num",
+        F.concat_ws(
+            ".", *[x.cast("string") for x in o]
+        ).alias("ip"),
+        (
+            (o[0] == 10)
+            | ((o[0] == 172) & o[1].between(16, 31))
+            | ((o[0] == 192) & (o[1] == 168))
+        ).alias("is_private"),
+        F.expr("ip_num >> 8").alias("subnet24"),
+        F.concat(
+            o[0].cast("string"), F.lit("."),
+            o[1].cast("string"), F.lit("."),
+            o[2].cast("string"), F.lit(".0/24"),
+        ).alias("cidr24"),
+    )
+
+
+#: fn_geo_cell reference point (lat/lon in integer micro-degrees) and
+#: the analysis bounding box (a ~10°×10° window around it).
+_GEO_LAT0_U = 37_774_900
+_GEO_LON0_U = -122_419_400
+_GEO_BBOX = (32_000_000, 42_000_000, -127_000_000, -117_000_000)
+
+
+@query(
+    "fn_geo_cell",
+    oracle=f"""
+    WITH n AS (
+      SELECT event_id,
+             ('0x' || substring(md5(cast(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 180000001 - 90000000  AS lat_u,
+             ('0x' || substring(md5(cast(event_id AS VARCHAR)), 9, 8))::BIGINT
+               % 360000001 - 180000000 AS lon_u
+      FROM events
+    )
+    SELECT event_id, lat_u, lon_u,
+           cast(floor(sqrt(cast(
+                 (lat_u - ({_GEO_LAT0_U})) * (lat_u - ({_GEO_LAT0_U}))
+               + (lon_u - ({_GEO_LON0_U})) * (lon_u - ({_GEO_LON0_U}))
+             AS DOUBLE))) AS BIGINT)                      AS grid_dist_u,
+           cast((lat_u + 90000000) // 1000000 AS VARCHAR) || ':' ||
+           cast((lon_u + 180000000) // 1000000 AS VARCHAR) AS cell_1deg,
+           (lat_u BETWEEN {_GEO_BBOX[0]} AND {_GEO_BBOX[1]}
+            AND lon_u BETWEEN {_GEO_BBOX[2]} AND {_GEO_BBOX[3]}) AS in_bbox
+    FROM n
+    """,
+)
+def fn_geo_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial grid functions — the ClickHouse geoToH3/pointInPolygon
+    class of per-row geo primitives, in the portable-exactness subset:
+    micro-degree integer coordinates (synthesized portably from md5
+    halves), planar grid distance to a reference point via IEEE double
+    sqrt (cast, sqrt, and floor are all correctly-rounded IEEE-754
+    operations, so the result is bit-identical across engines — the one
+    libm-free way to get a distance; great-circle trig would diverge in
+    the last ulp), a 1°×1° cell id for spatial grouping (coordinates
+    shifted non-negative BEFORE the floor division — negative integer
+    division rounds differently across engines), and a bounding-box
+    membership flag.  Pure map-linear codegen over the scan; the cell
+    id is the group key a density/top-cells agg would shuffle on."""
+    ev = table(spark, sf_dir, "events")
+    n = ev.select(
+        "event_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+            " 16, 10) as bigint) % 180000001 - 90000000"
+        ).alias("lat_u"),
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 9, 8),"
+            " 16, 10) as bigint) % 360000001 - 180000000"
+        ).alias("lon_u"),
+    )
+    return n.select(
+        "event_id",
+        "lat_u",
+        "lon_u",
+        F.expr(
+            f"cast(floor(sqrt(cast("
+            f"(lat_u - ({_GEO_LAT0_U})) * (lat_u - ({_GEO_LAT0_U}))"
+            f" + (lon_u - ({_GEO_LON0_U})) * (lon_u - ({_GEO_LON0_U}))"
+            f" as double))) as bigint)"
+        ).alias("grid_dist_u"),
+        F.concat(
+            F.expr("cast((lat_u + 90000000) div 1000000 as string)"),
+            F.lit(":"),
+            F.expr("cast((lon_u + 180000000) div 1000000 as string)"),
+        ).alias("cell_1deg"),
+        (
+            F.col("lat_u").between(_GEO_BBOX[0], _GEO_BBOX[1])
+            & F.col("lon_u").between(_GEO_BBOX[2], _GEO_BBOX[3])
+        ).alias("in_bbox"),
+    )

@@ -1292,3 +1292,140 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 5).alias("cos_sim"),
         )
     )
+
+
+#: Binary-quantization recall eval: query count and k, embedding width.
+_BQ_QUERIES = 20
+_BQ_K = 10
+_BQ_DIM = 64
+
+
+def _signpack_expr(col: str, dim: int) -> str:
+    """Unrolled 64-term sign-bit packing expression (codegen; the
+    interpreted-HOF cliff rule from :func:`dot`): bit i set iff
+    element i+1 is strictly positive.  Bits are OR-ed via XOR of
+    disjoint shiftleft masks (a 2^63 LITERAL overflows bigint; the
+    shift wraps to the sign bit, which is exactly the top-bit pattern
+    XOR/popcount arithmetic needs)."""
+    expr = f"IF({col}[0] > 0, 1L, 0L)"
+    for i in range(1, dim):
+        expr += f" ^ IF({col}[{i}] > 0, shiftleft(1L, {i}), 0L)"
+    return expr
+
+
+@query(
+    "emb_binary_quantize_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, emb AS qemb FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_BQ_QUERIES}
+    ),
+    ham AS (
+      SELECT q.qid, e.vec_id,
+             cast(list_sum(list_transform(range(1, {_BQ_DIM} + 1),
+               i -> CASE WHEN (qemb[i] > 0) <> (emb[i] > 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hd
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    htop AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY hd ASC, vec_id ASC) AS rn
+        FROM ham) t
+      WHERE rn <= {_BQ_K}
+    ),
+    ctop AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(qemb, emb)
+                       / (sqrt(list_dot_product(qemb, qemb))
+                          * sqrt(list_dot_product(emb, emb))), 5) DESC,
+                 e.vec_id ASC) AS rn
+        FROM q JOIN e ON e.vec_id <> q.qid) t
+      WHERE rn <= {_BQ_K}
+    )
+    SELECT h.qid,
+           cast(count(c.vec_id) AS BIGINT)          AS n_hit,
+           round(count(c.vec_id) / {_BQ_K}.0, 4)    AS recall
+    FROM htop h LEFT JOIN ctop c
+      ON c.qid = h.qid AND c.vec_id = h.vec_id
+    GROUP BY h.qid
+    """,
+)
+def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization retrieval quality: top-10
+    recall of Hamming-distance search over sign-packed vectors against
+    the exact-cosine ranking — the measurement behind the 32×-memory
+    binary-embedding serving pattern (pack 64 floats into one int64,
+    prefilter by popcount, rerank survivors in float; the emb family's
+    1-bit rung below int8 ``emb_quantize_int8`` and 4-bit
+    ``sim_ann_pq``).  The Spark side executes the REAL serving
+    kernel: one unrolled 64-term sign-pack projection per vector
+    (whole-stage codegen — never an interpreted HOF, per the
+    :func:`dot` rule), then Hamming = ``bit_count(q ^ v)`` on packed
+    longs.  The DuckDB twin never packs — it counts sign disagreements
+    element-wise — so the two derivations are independent and an exact
+    hash match proves the bit arithmetic.  Integer distances make the
+    top-k fully deterministic (ties on vec_id); the one float surface
+    (the cosine truth ranking) follows the matryoshka rounding
+    discipline (round 5 before ranking).  Eval cost is Q·N with
+    constant Q=20 — the bounded-eval shape, not the production ANN
+    path."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    packed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_signpack_expr("embedding", _BQ_DIM)).alias("sig"),
+    )
+    q = F.broadcast(
+        packed.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_BQ_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qemb"),
+            F.col("sig").alias("qsig"),
+        )
+    )
+    pairs = packed.crossJoin(q).filter(F.col("vec_id") != F.col("qid"))
+    wh = Window.partitionBy("qid").orderBy(
+        F.col("hd").asc(), F.col("vec_id").asc()
+    )
+    htop = (
+        pairs.select(
+            "qid",
+            "vec_id",
+            F.expr("bit_count(sig ^ qsig)").cast("long").alias("hd"),
+        )
+        .withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= _BQ_K)
+        .select("qid", "vec_id")
+    )
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("vec_id").asc()
+    )
+    ctop = (
+        pairs.select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine(F.col("qemb"), F.col("embedding"), _BQ_DIM), 5
+            ).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _BQ_K)
+        .select(F.col("qid").alias("cqid"), F.col("vec_id").alias("cvec"))
+    )
+    return (
+        htop.join(
+            F.broadcast(ctop),
+            (F.col("qid") == F.col("cqid")) & (F.col("vec_id") == F.col("cvec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("cvec").cast("long").alias("n_hit"),
+            F.round(F.count("cvec") / float(_BQ_K), 4).alias("recall"),
+        )
+    )

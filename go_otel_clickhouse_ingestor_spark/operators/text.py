@@ -2173,3 +2173,4 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         F.row_number().over(wr).cast("long").alias("rn"),
     )
+

@@ -1,0 +1,318 @@
+"""Trace-tree analytics over OTel-shaped span trees.
+
+The reference is an OTel ingestor that EMITS spans about itself (A15,
+``internal/tracing/tracing.go``: generateEvent / insertToClickHouse
+spans per message) but never analyzes them — the queries its span
+tables exist for live downstream.  This module supplies the two core
+trace-table queries every tracing backend ships: per-service self-time
+rollup (where does wall time actually go, after subtracting child
+spans — the flame-graph aggregation) and the service dependency graph
+(who calls whom, how often, how slow — the service-map edge table).
+
+The fixture corpus has no span landing zone, so both queries derive a
+deterministic span TREE from the events table (the
+``source_otlp_spans_parse`` discipline: synthesis is explicit integer
+arithmetic, byte-identical in both engines): each user's events in
+(ts, event_id) order become spans 1..n of one trace, and span i's
+parent is span i//2 — the binary-heap layout, which makes the tree
+shape exact and the DEPTH a closed form (bit_length(i) - 1) instead of
+a recursive traversal.  That closed form is the scale trick: depth and
+parent attribution need no iterative joins, so the whole analysis is
+one user-keyed window + one co-partitioned self-join, linear in spans.
+
+Scale shape (100 TB): spans shuffle once on trace key (user_id); the
+parent join is key-aligned on the same shuffle (no second exchange of
+the big side); outputs are service-domain-bounded grids (5 rows / ≤25
+edges).  Per-trace span counts are session-bounded (the join_asof
+discipline), so no window partition is ever traffic-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+
+#: Shared DuckDB CTE deriving the deterministic span tree (kept as one
+#: string so both oracles parse the identical synthesis).
+_SPANS_CTE = """
+    spans AS (
+      SELECT user_id,
+             event_id,
+             cast(row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS idx,
+             abs(cast(round(value * 1000) AS BIGINT)) * 1000 AS dur_us,
+             'svc-' || cast(event_id % 5 AS VARCHAR) AS service
+      FROM events
+    )
+"""
+
+
+def _span_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heap-layout span tree from the events table:
+    trace = user, span order = (ts, event_id), parent(i) = i // 2,
+    duration = |value| in exact micro units, service = event_id % 5."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (
+                F.abs(F.expr("cast(round(value * 1000) as bigint)")) * 1000
+            ).alias("dur_us"),
+            F.concat(
+                F.lit("svc-"), (F.col("event_id") % 5).cast("string")
+            ).alias("service"),
+        )
+        .withColumn("idx", F.row_number().over(w).cast("long"))
+        .drop("ts_us")
+    )
+
+
+@query(
+    "spans_self_time_rollup",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    child AS (
+      SELECT user_id, idx // 2 AS pidx, sum(dur_us) AS child_us
+      FROM spans WHERE idx > 1
+      GROUP BY user_id, idx // 2
+    ),
+    per_span AS (
+      SELECT s.service,
+             s.idx,
+             s.dur_us,
+             greatest(0, s.dur_us - coalesce(c.child_us, 0)) AS self_us,
+             cast(length(printf('%b', s.idx)) - 1 AS BIGINT) AS depth
+      FROM spans s
+      LEFT JOIN child c ON c.user_id = s.user_id AND c.pidx = s.idx
+    )
+    SELECT service,
+           cast(count(*) AS BIGINT)                          AS n_spans,
+           cast(sum(CASE WHEN idx = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_roots,
+           cast(sum(dur_us) AS BIGINT)                       AS total_dur_us,
+           cast(sum(self_us) AS BIGINT)                      AS total_self_us,
+           max(depth)                                        AS max_depth
+    FROM per_span GROUP BY service
+    """,
+)
+def spans_self_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service SELF-TIME rollup — the flame-graph aggregation every
+    tracing backend runs over span tables like the ones the reference's
+    self-tracing feeds (A15, ``internal/tracing/tracing.go``): a span's
+    self time is its duration minus its direct children's durations
+    (clamped at 0 — clock skew makes child sums exceed parents in real
+    traces too), so summing self time per service says where wall time
+    is actually SPENT, which total duration double-counts at every
+    level of the tree.  Depth is the heap closed form bit_length(idx)−1
+    — exact integer bit arithmetic (the events_exp_histogram
+    discipline), no recursive traversal.  Plan: one user-keyed window
+    to index spans, one co-partitioned self-aggregate join (child sums
+    group on the SAME user key — no extra exchange of the span
+    stream), then a 5-row service agg.  All integers; no float
+    anywhere."""
+    s = _span_tree(spark, sf_dir)
+    child = (
+        s.filter(F.col("idx") > 1)
+        .groupBy("user_id", F.expr("idx div 2").alias("pidx"))
+        .agg(F.sum("dur_us").alias("child_us"))
+    )
+    per_span = (
+        s.join(
+            child,
+            (s.user_id == child.user_id) & (child.pidx == s.idx),
+            "left",
+        )
+        .select(
+            "service",
+            "idx",
+            "dur_us",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("dur_us") - F.coalesce("child_us", F.lit(0)),
+            ).alias("self_us"),
+            (F.length(F.bin("idx")) - 1).cast("long").alias("depth"),
+        )
+    )
+    return per_span.groupBy("service").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("idx") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_roots"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+        F.sum("self_us").cast("long").alias("total_self_us"),
+        F.max("depth").alias("max_depth"),
+    )
+
+
+@query(
+    "spans_service_dependency",
+    oracle=f"""
+    WITH {_SPANS_CTE}
+    SELECT p.service AS parent_service,
+           s.service AS child_service,
+           cast(count(*) AS BIGINT)                 AS n_calls,
+           cast(count(DISTINCT s.user_id) AS BIGINT) AS n_traces,
+           cast(sum(s.dur_us) AS BIGINT)            AS total_child_dur_us
+    FROM spans s
+    JOIN spans p ON p.user_id = s.user_id AND p.idx = s.idx // 2
+    WHERE s.idx > 1
+    GROUP BY p.service, s.service
+    """,
+)
+def spans_service_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service dependency graph from parent→child span edges — the
+    service-map table (Jaeger/Tempo's dependency view; ClickHouse
+    deployments materialize exactly this from the span table the
+    reference-shaped ingestor feeds): per (calling service, called
+    service) edge, call count, distinct traces touched, and total time
+    spent in the callee.  Plan: the parent lookup is a self-join
+    key-aligned on the trace key (both sides come out of the same
+    user-keyed shuffle — Catalyst reuses the exchange), and the output
+    is the ≤|services|² edge grid (25 cells), so nothing downstream of
+    the scan is traffic-sized.  The distinct-trace count rides the
+    same grid agg (Spark expands it to a two-phase distinct — still
+    one pass)."""
+    s = _span_tree(spark, sf_dir)
+    child = s.filter(F.col("idx") > 1).select(
+        "user_id",
+        F.expr("idx div 2").alias("pidx"),
+        F.col("service").alias("child_service"),
+        "dur_us",
+    )
+    parent = s.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("idx").alias("p_idx"),
+        F.col("service").alias("parent_service"),
+    )
+    edges = child.join(
+        parent,
+        (child.user_id == parent.p_user_id) & (child.pidx == parent.p_idx),
+    )
+    return edges.groupBy("parent_service", "child_service").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.count_distinct("user_id").cast("long").alias("n_traces"),
+        F.sum("dur_us").cast("long").alias("total_child_dur_us"),
+    )
+
+
+@query(
+    "spans_critical_path",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    sized AS (
+      SELECT s.*, count(*) OVER (PARTITION BY user_id) AS n_spans
+      FROM spans s
+    ),
+    leaves AS (
+      SELECT user_id, idx AS leaf_idx, n_spans
+      FROM sized WHERE 2 * idx > n_spans
+    ),
+    anc AS (
+      SELECT l.user_id, l.leaf_idx,
+             l.leaf_idx >> cast(j.j AS BIGINT) AS anc_idx
+      FROM leaves l,
+           LATERAL (SELECT unnest(range(0,
+             cast(length(printf('%b', l.leaf_idx)) AS BIGINT))) AS j) j
+    ),
+    paths AS (
+      SELECT a.user_id, a.leaf_idx,
+             cast(sum(s.dur_us) AS BIGINT) AS path_us,
+             cast(count(*) AS BIGINT)      AS path_len
+      FROM anc a JOIN spans s
+        ON s.user_id = a.user_id AND s.idx = a.anc_idx
+      GROUP BY a.user_id, a.leaf_idx
+    ),
+    best AS (
+      SELECT user_id, leaf_idx, path_us, path_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY path_us DESC, leaf_idx) AS rn
+      FROM paths
+    )
+    SELECT b.user_id AS trace_id,
+           cast(max(s.n_spans) AS BIGINT)  AS n_spans,
+           cast((SELECT count(*) FROM leaves l
+                 WHERE l.user_id = b.user_id) AS BIGINT) AS n_leaves,
+           max(CASE WHEN b.rn = 1 THEN b.path_us END)  AS critical_us,
+           max(CASE WHEN b.rn = 1 THEN b.path_len END) AS critical_depth,
+           max(CASE WHEN b.rn = 1 THEN b.leaf_idx END) AS critical_leaf_idx
+    FROM best b JOIN sized s ON s.user_id = b.user_id
+    GROUP BY b.user_id
+    """,
+)
+def spans_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace CRITICAL PATH — the longest root-to-leaf duration sum,
+    the number a trace viewer prints first (the path that bounds how
+    fast the request could possibly have been; optimizing any span off
+    it changes nothing).  General span DAGs need an iterative
+    longest-path pass; the heap layout makes every ancestor chain a
+    CLOSED FORM (leaf >> j for j = 0..bit_length−1), so the whole
+    computation is one log-factor explode + one co-partitioned
+    self-join — linear×log in spans with NO recursion, the same
+    bit-arithmetic trick as the depth column in
+    ``spans_self_time_rollup``.  Ties break to the lowest leaf index
+    (deterministic).  Plan: spans shuffle once on the trace key; the
+    ancestor join and both windows reuse that partitioning; output is
+    one row per trace."""
+    s = _span_tree(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    sized = s.withColumn("n_spans", F.count(F.lit(1)).over(w).cast("long"))
+    leaves = sized.filter(2 * F.col("idx") > F.col("n_spans")).select(
+        "user_id", F.col("idx").alias("leaf_idx"), "n_spans"
+    )
+    anc = leaves.select(
+        "user_id",
+        "leaf_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.length(F.bin("leaf_idx")) - 1).cast("long"),
+            )
+        ).alias("j"),
+    ).select(
+        "user_id", "leaf_idx", F.expr("leaf_idx >> j").alias("anc_idx")
+    )
+    paths = (
+        anc.join(
+            s.select("user_id", "idx", "dur_us").withColumnRenamed(
+                "user_id", "s_user_id"
+            ),
+            (anc.user_id == F.col("s_user_id"))
+            & (anc.anc_idx == F.col("idx")),
+        )
+        .groupBy("user_id", "leaf_idx")
+        .agg(
+            F.sum("dur_us").cast("long").alias("path_us"),
+            F.count(F.lit(1)).cast("long").alias("path_len"),
+        )
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("path_us").desc(), F.col("leaf_idx")
+    )
+    best = paths.withColumn("rn", F.row_number().over(wb))
+    n_leaves = leaves.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaves")
+    )
+    n_spans = sized.groupBy("user_id").agg(
+        F.max("n_spans").alias("n_spans")
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .join(n_leaves, "user_id")
+        .join(n_spans, "user_id")
+        .select(
+            F.col("user_id").alias("trace_id"),
+            "n_spans",
+            "n_leaves",
+            F.col("path_us").alias("critical_us"),
+            F.col("path_len").alias("critical_depth"),
+            F.col("leaf_idx").alias("critical_leaf_idx"),
+        )
+    )

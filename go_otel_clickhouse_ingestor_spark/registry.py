@@ -56,6 +56,13 @@ _DRIVER_PRIORITY: list[str] = [
     # round-10 window part 1: the last 2 oracle-backed queries with no
     # driver row (displaced from round 9's exactly-full window)
     "emb_mutual_knn_graph", "events_p99_of_user_p95",
+    # round-10 window part 1b: this round's oracle-backed additions
+    # (hash evidence outranks rows-only slots — the ordering rule
+    # test_registry enforces)
+    "spans_self_time_rollup", "spans_service_dependency",
+    "spans_critical_path", "fn_ip", "fn_geo_cell",
+    "emb_binary_quantize_recall", "dq_freshness_completeness",
+    "events_holt_winters", "pipeline_dataset_card",
     # round-10 window part 2: the 16 rows-only names with no driver row
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
@@ -64,6 +71,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_bpe_train", "text_bpe_tokenize_trained",
     "multimodal_decode_codecs", "multimodal_resize_codecs",
     "multimodal_audio_features_codecs",
+    # round-10 rows-only addition (real-BMP perceptual-hash dedup)
+    "multimodal_phash_near_dup",
     # round-10 additions land here via driver_priority_append(), filling
     # the window's remaining 32 slots in registration order.
 ]
@@ -127,6 +136,7 @@ def load_all() -> dict[str, Query]:
         skew,
         text,
         tpch,
+        traces,
         udfs,
         windows,
     )

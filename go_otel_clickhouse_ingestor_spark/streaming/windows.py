@@ -199,3 +199,34 @@ def exp_histogram_windowed(
         .groupBy(F.window("ts", width), "event_type", "spectrum", "bucket_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def log_templates_windowed(
+    lines: DataFrame, width: str = "1 day", delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-window log-template mining — the streaming face of the
+    batch ``events_log_templates`` query, because template mining is
+    an ONLINE operator in every real log stack (new templates page the
+    on-call; a template's volume spike IS the incident signal): mask
+    each arriving line's variable fields with the shared Drain-lite
+    formula (``operators.analytics.mask_log_template`` — one formula,
+    so window grids merge into the batch grid exactly, the
+    exp-histogram mergeability discipline) and count per (window,
+    template).  Emits (window, template, n_lines, sample_line); the
+    deterministic min-line exemplar survives streaming aggregation
+    (F.min is a streaming-safe agg; exact count-distinct users is not
+    — the batch face keeps that column).  State is one counter + one
+    exemplar per (window, template): template cardinality is ~10^3 at
+    100 TB (Drain's premise) and windows are watermark-bounded, so the
+    state store stays tiny no matter the line rate."""
+    from ..operators.analytics import mask_log_template
+
+    return (
+        lines.withWatermark("ts", delay)
+        .select("ts", mask_log_template("line").alias("template"), "line")
+        .groupBy(F.window("ts", width), "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("line").alias("sample_line"),
+        )
+    )

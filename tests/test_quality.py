@@ -1317,3 +1317,69 @@ def test_audio_features_query_grid_matches_oracle_formula(spark, sf_dir):
         n = 320 + (int(d) * 13) % 512
         assert n_frames == 1 + (n - 160) // 80
     assert ((pdf.rms >= 0) & (pdf.rms <= 1) & (pdf.zcr >= 0) & (pdf.zcr <= 1)).all()
+
+
+def test_phash_near_dup_planted_pairs(spark, sf_dir):
+    """multimodal_phash_near_dup: every planted 2-pixel-perturbed pair
+    (doc_id ≡ 1 mod 5 repeats doc_id−1's image) is recovered (recall
+    1.0) at Hamming ≤ 2, NO unplanted pair passes the threshold
+    (precision 1.0 on decorrelated noise images), and the whole
+    pipeline — real BMP encode → decode → DCT pHash → banded join →
+    popcount verify — is rerun-deterministic."""
+    import duckdb
+
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    fn = load_all()["multimodal_phash_near_dup"].fn
+    rows = fn(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    want = {(i - 1, i) for i in range(n_docs) if i % 5 == 1}
+    assert want, "fixture too small to plant pairs"
+    assert set(pairs) == want, (
+        f"recall {len(set(pairs) & want)}/{len(want)}, "
+        f"false positives {sorted(set(pairs) - want)[:5]}"
+    )
+    assert max(pairs.values()) <= 2, "perturbation moved too many bits"
+    rows2 = fn(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in rows2} == {
+        (r.doc_a, r.doc_b, r.hamming) for r in rows
+    }
+
+
+def test_phash_kernel_properties():
+    """phash64 unit properties on hand-built BMPs: identical images
+    hash identically; a 2-pixel nudge moves ≤ 4 bits; inverting the
+    image moves ~half the bits (the hash actually depends on content)."""
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        encode_bmp,
+        phash64,
+    )
+
+    def noise(x, y):
+        v = (x + 131 * y) & 0xFFFFFFFF
+        v = (v * 2654435761) & 0xFFFFFFFF
+        v ^= v >> 15
+        return (v % 256, (v >> 8) % 256, (v >> 16) % 256)
+
+    base = encode_bmp(48, 40, noise)
+    assert phash64(base) == phash64(encode_bmp(48, 40, noise))
+
+    def nudged(x, y):
+        b, g, r = noise(x, y)
+        if (x, y) in ((0, 0), (47, 39)):
+            b = (b + 8) % 256
+        return (b, g, r)
+
+    m = (1 << 64) - 1
+    d_small = bin((phash64(base) ^ phash64(encode_bmp(48, 40, nudged))) & m).count("1")
+    assert d_small <= 4
+
+    def inverted(x, y):
+        b, g, r = noise(x, y)
+        return (255 - b, 255 - g, 255 - r)
+
+    d_big = bin((phash64(base) ^ phash64(encode_bmp(48, 40, inverted))) & m).count("1")
+    assert d_big >= 16

@@ -470,3 +470,63 @@ def test_token_bucket_state_survives_query_restart(spark, sf_dir, tmp_path):
     got = run_instance()  # cumulative parquet: batch one + batch two
 
     assert got == want
+
+
+def test_log_templates_stream_merges_to_batch_grid(spark, sf_dir, tmp_path):
+    """log_templates_windowed == events_log_templates' template grid
+    after merging windows: the shared mask (mask_log_template) makes
+    per-(window, template) counts a partial-aggregable map, so the
+    per-day streaming grids — fed across TWO micro-batches at an
+    arbitrary row split — must sum to the batch counts on the same
+    rows, and the deterministic min-line exemplar must survive the
+    merge (min is associative)."""
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        mask_log_template,
+        synth_log_line_expr,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        log_templates_windowed,
+    )
+
+    ev = table(spark, sf_dir, "events").orderBy("event_id").limit(3000)
+    rows = [
+        {"ts": r.ts.isoformat(sep=" "), "line": r.line}
+        for r in ev.select("ts", synth_log_line_expr().alias("line")).collect()
+    ]
+    sub = spark.createDataFrame(
+        [(r["ts"], r["line"]) for r in rows], "ts string, line string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "line")
+    want = {
+        r.template: (r.n_lines, r.sample_line)
+        for r in sub.select(mask_log_template("line").alias("template"), "line")
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("line").alias("sample_line"),
+        )
+        .collect()
+    }
+    assert len(want) >= 10, "fixture too small for a meaningful grid"
+
+    name = f"logtpl_{uuid.uuid4().hex[:8]}"
+    stream = _two_batch_feed(
+        spark, tmp_path, rows, "logtpl_feed", "ts timestamp, line string"
+    )
+    q = (
+        log_templates_windowed(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got: dict = {}
+    for r in spark.table(name).collect():
+        n, s = got.get(r.template, (0, None))
+        got[r.template] = (
+            n + r.n_lines,
+            r.sample_line if s is None else min(s, r.sample_line),
+        )
+    assert got == want
