@@ -6096,3 +6096,223 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_next"),
     )
+
+
+@query(
+    "stat_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(round(cast(sum(cast(value AS DECIMAL(14,4)))
+                             AS DECIMAL(18,4)) * 10000) AS BIGINT) AS x_u
+      FROM events GROUP BY 1, 2
+    ),
+    serie AS (
+      SELECT event_type, x_u,
+             cast(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             ((b.x_u - a.x_u) * 100) // (b.i - a.i) AS slope_u,
+             a.i AS i, b.i AS j
+      FROM serie a JOIN serie b
+        ON a.event_type = b.event_type AND b.i > a.i
+    ),
+    ranked AS (
+      SELECT event_type, slope_u,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_u, i, j) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    )
+    SELECT r.event_type,
+           cast(max(s.i) AS BIGINT)       AS n_days,
+           cast(r.n_pairs AS BIGINT)      AS n_pairs,
+           r.slope_u                      AS slope_micro,
+           CASE WHEN r.slope_u > 0 THEN 'up'
+                WHEN r.slope_u < 0 THEN 'down'
+                ELSE 'flat' END           AS trend
+    FROM ranked r JOIN serie s ON s.event_type = r.event_type
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    GROUP BY r.event_type, r.n_pairs, r.slope_u
+    """,
+)
+def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise day-slopes, the slope estimator ops dashboards should use
+    instead of least squares (agg_linear_regression) when a single
+    outlier day would otherwise swing the fit: breakdown point 29%,
+    no distributional assumptions.  Exactness: daily totals land as
+    1e-4-scaled integers (exact DECIMAL sum), each pairwise slope is
+    one truncating integer division (identical in Spark ``div`` and
+    DuckDB ``//`` — probed, both round toward zero on negatives), and
+    the LOWER MEDIAN is picked by deterministic rank (slope, i, j) —
+    zero float anywhere.  Scale: the quadratic lives in CALENDAR space
+    (day pairs per type — the stat_kendall_tau rule), never row space;
+    the corpus-sized work is the partial-agged daily rollup, and the
+    pair join + rank all shuffle on the 5-value type key."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "cast(round(cast(sum(cast(value as decimal(14,4)))"
+            " as decimal(18,4)) * 10000) as bigint)"
+        ).alias("x_u")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    serie = daily.select(
+        "event_type", "x_u", F.row_number().over(w).cast("long").alias("i")
+    )
+    a = serie.select(
+        "event_type", F.col("x_u").alias("xa"), F.col("i").alias("i")
+    )
+    b = serie.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x_u").alias("xb"),
+        F.col("i").alias("j"),
+    )
+    slopes = a.join(
+        b, (a.event_type == b.et_b) & (F.col("j") > F.col("i"))
+    ).select(
+        "event_type",
+        F.expr("((xb - xa) * 100) div (j - i)").alias("slope_u"),
+        "i",
+        "j",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_u", "i", "j")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_u",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    ).filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    n_days = serie.groupBy("event_type").agg(F.max("i").alias("n_days"))
+    return ranked.join(n_days, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_u").alias("slope_micro"),
+        F.when(F.col("slope_u") > 0, "up")
+        .when(F.col("slope_u") < 0, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )
+
+
+@query(
+    "stat_cross_correlation",
+    oracle="""
+    WITH days AS (SELECT DISTINCT cast(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, d.day, coalesce(c.c, 0) AS c
+      FROM types t CROSS JOIN days d
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.day = d.day
+    ),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag_k),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_k,
+             a.c AS x, b.c AS y
+      FROM spine a
+      JOIN lags l ON TRUE
+      JOIN spine b
+        ON b.day = a.day + to_days(l.lag_k)
+       AND b.event_type > a.event_type
+    ),
+    s AS (
+      SELECT type_a, type_b, lag_k,
+             cast(count(*) AS BIGINT)   AS n,
+             cast(sum(x) AS BIGINT)     AS sx,
+             cast(sum(y) AS BIGINT)     AS sy,
+             cast(sum(x * y) AS BIGINT) AS sxy,
+             cast(sum(x * x) AS BIGINT) AS sxx,
+             cast(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, cast(lag_k AS BIGINT) AS lag_k, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(cast(n * syy - sy * sy AS DOUBLE))), 6)
+             AS xcorr
+    FROM s
+    """,
+)
+def stat_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between every pair of event types
+    (lags −3..+3 days) — the lead/lag detector incident analysis runs
+    after events_correlated_anomalies says types move together ("do
+    errors LEAD purchases dropping, and by how many days?"), and the
+    cross-series complement of stat_autocorr_lag.  Series are daily
+    COUNTS on a zero-filled day spine (absence is signal — leaving
+    missing days out would bias every covariance toward co-presence),
+    so ALL five Pearson moment sums are exact BIGINT integer
+    arithmetic; the single float op is the final normalize, rounded
+    at 6.  Scale: one corpus-sized agg to the type×day grid;
+    everything after lives in |types|²·|days|·|lags| calendar space
+    (the stat_kendall_tau rule), co-partitioned day-shifted equi-joins,
+    no ordered window anywhere."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spine = (
+        types.crossJoin(days)
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    lags = spark.createDataFrame([(k,) for k in range(-3, 4)], "lag_k int")
+    a = spine.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("c").alias("x"),
+    )
+    b = spine.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("y"),
+    )
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (
+                F.col("day_b")
+                == F.col("day_a") + F.col("lag_k") * F.expr("INTERVAL 1 DAY")
+            )
+            & (F.col("type_b") > F.col("type_a")),
+        )
+        .select("type_a", "type_b", "lag_k", "x", "y")
+    )
+    s = pairs.groupBy("type_a", "type_b", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("lag_k").cast("long").alias("lag_k"),
+        "n",
+        F.round(num / den, 6).alias("xcorr"),
+    )

@@ -1185,3 +1185,148 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PHASH_MAX_HD)
     )
+
+
+# ------------------------------------------------ energy VAD on real WAV
+
+#: VAD geometry and thresholds: 20 ms frames, 10 ms hop at 8 kHz (the
+#: _AF_FRAME/_AF_HOP grid), enter/exit mean-square energies with
+#: hysteresis (enter high, exit low — the events_hysteresis_alerts
+#: rule applied to audio frames).
+_VAD_ENTER = 1_000_000.0
+_VAD_EXIT = 100_000.0
+
+
+def vad_segments(samples) -> list:
+    """Sequential energy VAD over int16 samples: frame mean-square
+    energy on the 160/80 grid, two-threshold hysteresis (enter above
+    _VAD_ENTER, leave below _VAD_EXIT), emitted as (start_frame,
+    end_frame_exclusive, n_frames, peak_energy) segments.  Pure-python
+    reference semantics; the Arrow kernel must match it exactly
+    (pinned in tests/test_quality.py)."""
+    segs = []
+    in_speech = False
+    start = 0
+    peak = 0.0
+    n_frames = max(0, (len(samples) - _AF_FRAME) // _AF_HOP + 1)
+    for f in range(n_frames):
+        w = samples[f * _AF_HOP : f * _AF_HOP + _AF_FRAME]
+        e = sum(int(s) * int(s) for s in w) / len(w)
+        if not in_speech and e > _VAD_ENTER:
+            in_speech, start, peak = True, f, e
+        elif in_speech:
+            peak = max(peak, e)
+            if e < _VAD_EXIT:
+                segs.append((start, f, f - start, peak))
+                in_speech = False
+    if in_speech:
+        segs.append((start, n_frames, n_frames - start, peak))
+    return segs
+
+
+def _synth_speech_wav_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per document one REAL WAV with planted speech bursts: quiet
+    ±100 square-wave 'silence' with (doc_id % 3) loud ±8000 bursts at
+    frame-aligned positions — docs ≡ 0 (mod 3) are all-silence."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n_bursts = doc_id % 3
+            n_frames = 40 + doc_id % 10
+            n = n_frames * _AF_HOP + _AF_FRAME
+            samples = [100 if i % 2 == 0 else -100 for i in range(n)]
+            for k in range(n_bursts):
+                s_f = 5 + k * 15 + doc_id % 4  # frame-aligned start
+                for i in range(s_f * _AF_HOP, (s_f + 6) * _AF_HOP):
+                    samples[i] = 8000 if i % 2 == 0 else -8000
+            out.append(
+                {"doc_id": doc_id, "payload": encode_wav(8000, samples)}
+            )
+        yield pd.DataFrame(out)
+
+
+def _vad_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = wav_samples(bytes(payload))
+            x = np.asarray(samples, dtype=np.float64)
+            n_frames = max(0, (len(x) - _AF_FRAME) // _AF_HOP + 1)
+            if n_frames > 0:
+                idx = (
+                    np.arange(n_frames)[:, None] * _AF_HOP
+                    + np.arange(_AF_FRAME)[None, :]
+                )
+                e = (x[idx] ** 2).mean(axis=1)
+            else:
+                e = np.empty(0)
+            in_speech, start, peak = False, 0, 0.0
+            for f in range(n_frames):
+                if not in_speech and e[f] > _VAD_ENTER:
+                    in_speech, start, peak = True, f, float(e[f])
+                elif in_speech:
+                    peak = max(peak, float(e[f]))
+                    if e[f] < _VAD_EXIT:
+                        out.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "seg_start": start,
+                                "seg_end": f,
+                                "n_frames": f - start,
+                                "peak_energy": round(peak, 4),
+                            }
+                        )
+                        in_speech = False
+            if in_speech:
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "seg_start": start,
+                        "seg_end": n_frames,
+                        "n_frames": n_frames - start,
+                        "peak_energy": round(peak, 4),
+                    }
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "seg_start", "seg_end", "n_frames", "peak_energy",
+            ],
+        )
+
+
+@query("multimodal_wav_vad")  # rows-only: binary codec, sequential state
+def multimodal_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over REAL WAV payloads — the audio
+    curation primitive that decides which stretches of a recording are
+    worth transcribing/training on (dead air dominates raw audio the
+    way boilerplate dominates raw HTML): decode PCM16, frame on the
+    standard 20 ms/10 ms grid, mean-square energy per frame, and a
+    TWO-THRESHOLD hysteresis state machine (enter loud, exit only when
+    quiet — single-threshold VAD chatters on boundary frames; this is
+    events_hysteresis_alerts' rule on the audio axis) emitting speech
+    segments with frame bounds and peak energy.  Docs carry planted
+    frame-aligned bursts (doc_id % 3 of them), so the pytest gate
+    checks exact segment recovery and pins the Arrow kernel against
+    the sequential pure-python reference ``vad_segments``.  Plan: two
+    zero-shuffle Arrow map stages (synth, then decode+VAD); per-doc
+    state is one (in_speech, start, peak) triple — embarrassingly
+    parallel at any corpus size."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _synth_speech_wav_iter, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _vad_iter,
+        "doc_id long, seg_start int, seg_end int, n_frames int, "
+        "peak_energy double",
+    )

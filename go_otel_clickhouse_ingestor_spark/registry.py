@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "spans_critical_path", "fn_ip", "fn_geo_cell",
     "emb_binary_quantize_recall", "dq_freshness_completeness",
     "events_holt_winters", "pipeline_dataset_card",
+    "graph_hits_scores", "stat_theil_sen_trend", "stat_cross_correlation",
     # round-10 window part 2: the 16 rows-only names with no driver row
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
@@ -71,8 +72,9 @@ _DRIVER_PRIORITY: list[str] = [
     "text_bpe_train", "text_bpe_tokenize_trained",
     "multimodal_decode_codecs", "multimodal_resize_codecs",
     "multimodal_audio_features_codecs",
-    # round-10 rows-only addition (real-BMP perceptual-hash dedup)
-    "multimodal_phash_near_dup",
+    # round-10 rows-only additions (real-BMP perceptual-hash dedup,
+    # real-WAV energy VAD)
+    "multimodal_phash_near_dup", "multimodal_wav_vad",
     # round-10 additions land here via driver_priority_append(), filling
     # the window's remaining 32 slots in registration order.
 ]

@@ -20,10 +20,14 @@ are stable, and at-least-once semantics can be asserted exactly.
 Scale/parallelism: the batch reader splits the offset range into
 ``partitions`` input partitions read independently by executors —
 the same partition-parallel shape as Kafka topic partitions.  The
-stream reader is a ``SimpleDataSourceStreamReader`` advancing
-``batch_size`` offsets per micro-batch (prototype-scale by design: the
-simple reader routes records through the driver; a partition-planned
-``DataSourceStreamReader`` is the jump to broker-scale).
+stream reader comes in BOTH API shapes: ``cdc_feed`` uses a
+``SimpleDataSourceStreamReader`` advancing ``batch_size`` offsets per
+micro-batch (prototype-scale by design: the simple reader routes
+records through the driver), and ``cdc_feed_part`` is the
+partition-planned ``DataSourceStreamReader`` — Kafka-shaped
+per-partition offset maps, driver plans ranges, reads execute on
+executors — the broker-scale shape, checkpoint-restart-proven in
+tests/test_streaming.py.
 
 Reference: internal/ingestion/cdc.go:36-55 (reader loop),
 internal/model/cdc.go:7-30 (envelope shape).
@@ -81,7 +85,10 @@ def envelope_at(offset: int) -> tuple[bytes, bytes]:
     return key, value.encode()
 
 
-def _row(offset: int, partition: int):
+def _row(offset: int, partition: int, offset_col: int | None = None):
+    """Wire row for envelope ``offset``; ``offset_col`` overrides the
+    row's offset column (the partitioned reader emits per-partition
+    offsets while the envelope index stays global)."""
     key, value = envelope_at(offset)
     # timestamp as naive-UTC datetime; Spark converts via session tz
     import datetime as dt
@@ -89,13 +96,22 @@ def _row(offset: int, partition: int):
     ts = dt.datetime.fromtimestamp(
         (_TS0_US + offset * 1_000_000) / 1e6, dt.timezone.utc
     ).replace(tzinfo=None)
-    return (key, value, "pg.app.users", partition, offset, ts, 0)
+    return (
+        key,
+        value,
+        "pg.app.users",
+        partition,
+        offset if offset_col is None else offset_col,
+        ts,
+        0,
+    )
 
 
 try:  # pragma: no cover - import guard mirrors the repo convention
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
         SimpleDataSourceStreamReader,
     )
@@ -149,6 +165,68 @@ try:  # pragma: no cover - import guard mirrors the repo convention
         def commit(self, end):
             pass  # offsets are derivable; nothing to clean up
 
+    class CDCFeedPartStreamReader(DataSourceStreamReader):
+        """PARTITION-PLANNED stream reader — the broker-scale rung the
+        simple reader's docstring names: offsets are a per-partition
+        map (exactly Kafka's (topic-partition → offset) shape), the
+        driver only PLANS ranges, and ``read`` runs ON EXECUTORS, one
+        task per partition — records never route through the driver.
+        Partition p's offset i carries the deterministic envelope at
+        global index ``i * n_parts + p``, so partition streams are
+        disjoint and the union is exactly the single-stream corpus."""
+
+        def __init__(self, options):
+            self.n_parts = int(options.get("partitions", 4))
+            self.available = int(options.get("available", 100))
+
+        def initialOffset(self):
+            return {str(p): 0 for p in range(self.n_parts)}
+
+        def latestOffset(self):
+            # what has ARRIVED per partition — the broker's high-water
+            # mark.  An external fact (a real reader asks the broker),
+            # so it is an option, not reader state: restarts resume
+            # from the CHECKPOINTED start offset and drain up to here,
+            # exactly the produce-then-drain integration-test shape.
+            return {str(p): self.available for p in range(self.n_parts)}
+
+        def partitions(self, start, end):
+            return [
+                _RangePartition(p, start[str(p)], end[str(p)])
+                for p in range(self.n_parts)
+                if end[str(p)] > start[str(p)]
+            ]
+
+        def read(self, partition):
+            # executor-side: this generator runs in the task, not on
+            # the driver — the scale difference from the simple reader
+            for off in range(partition.start, partition.end):
+                yield _row(
+                    off * self.n_parts + partition.index,
+                    partition.index,
+                    offset_col=off,
+                )
+
+        def commit(self, end):
+            pass  # offsets are derivable; nothing to clean up
+
+    class CDCFeedPartDataSource(DataSource):
+        """``format("cdc_feed_part")`` — the partition-planned
+        streaming variant; options: partitions, available."""
+
+        @classmethod
+        def name(cls):
+            return "cdc_feed_part"
+
+        def schema(self):
+            return CDC_FEED_SCHEMA
+
+        def reader(self, schema):
+            return CDCFeedBatchReader(self.options)
+
+        def streamReader(self, schema):
+            return CDCFeedPartStreamReader(self.options)
+
     class CDCFeedDataSource(DataSource):
         """``format("cdc_feed")`` — options: rows, partitions (batch);
         batch_size, max_offset (streaming)."""
@@ -172,7 +250,8 @@ except ImportError:  # pragma: no cover
 
 
 def register(spark) -> None:
-    """Register the source on this session (idempotent)."""
+    """Register both sources on this session (idempotent)."""
     if not HAVE_DATASOURCE_API:
         raise RuntimeError("pyspark.sql.datasource API unavailable")
     spark.dataSource.register(CDCFeedDataSource)
+    spark.dataSource.register(CDCFeedPartDataSource)

@@ -1383,3 +1383,45 @@ def test_phash_kernel_properties():
 
     d_big = bin((phash64(base) ^ phash64(encode_bmp(48, 40, inverted))) & m).count("1")
     assert d_big >= 16
+
+
+def test_wav_vad_matches_sequential_reference(spark, sf_dir):
+    """multimodal_wav_vad: the Arrow kernel's segments equal the
+    pure-python sequential reference (vad_segments) run on the same
+    decoded samples, every doc recovers exactly doc_id % 3 planted
+    bursts, and all-silence docs emit nothing."""
+    from collections import Counter
+
+    import duckdb
+
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        _synth_speech_wav_iter,
+        vad_segments,
+        wav_samples,
+    )
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    rows = load_all()["multimodal_wav_vad"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.seg_start, r.seg_end, r.n_frames, r.peak_energy)
+        )
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    per_doc = Counter(r.doc_id for r in rows)
+    assert all(per_doc.get(d, 0) == d % 3 for d in range(n_docs))
+
+    import pandas as pd
+
+    sample_ids = [0, 1, 2, 7, 11, 29, 100, 101, 102]
+    pdf = pd.DataFrame({"doc_id": [d for d in sample_ids if d < n_docs]})
+    for out in _synth_speech_wav_iter(iter([pdf])):
+        for doc_id, payload in zip(out["doc_id"], out["payload"]):
+            _, samples = wav_samples(bytes(payload))
+            want = [
+                (s, e, n, round(p, 4))
+                for s, e, n, p in vad_segments(samples.astype(int).tolist())
+            ]
+            assert got.get(int(doc_id), []) == want, f"doc {doc_id}"
