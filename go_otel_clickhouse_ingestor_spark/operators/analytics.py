@@ -6316,3 +6316,139 @@ def stat_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("xcorr"),
     )
+
+
+@query(
+    "orders_herfindahl_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             cast(round(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - cast(l.l_discount AS DECIMAL(4,2))))
+                        * 100) AS BIGINT) AS rev_c
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT nationkey, suppkey,
+             (1000000 * rev_c) // cast(sum(rev_c) OVER
+               (PARTITION BY nationkey) AS BIGINT) AS share_ppm
+      FROM rev
+    )
+    SELECT n.n_name AS nation,
+           cast(count(*) AS BIGINT) AS n_suppliers,
+           cast(sum(share_ppm * share_ppm) // 1000000 AS BIGINT)
+             AS hhi_ppm,
+           max(share_ppm) AS top_share_ppm
+    FROM shares s JOIN nation n ON n.n_nationkey = s.nationkey
+    GROUP BY n.n_name
+    """,
+)
+def orders_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the procurement-risk number (HHI > 0.25 ≈ one failure takes out
+    the supply line) beside orders_abc_class's volume ranking:
+    supplier revenue shares within each nation in exact ppm (DECIMAL
+    money → centi-int revenue → floor-div shares — the money
+    discipline), HHI = Σ share² scaled back to ppm by integer
+    division.  Plan: one supplier-keyed revenue agg over lineitem
+    (supplier dim joins co-partitioned, nation dim broadcast), a
+    nation-partitioned no-sort window for the share normalizer, and a
+    25-row output grid."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(4,2)))) * 100)"
+                " as bigint)"
+            ).alias("rev_c")
+        )
+    )
+    wn = Window.partitionBy("nationkey")
+    shares = rev.withColumn("tot", F.sum("rev_c").over(wn)).select(
+        "nationkey",
+        "suppkey",
+        F.expr("(1000000 * rev_c) div tot").alias("share_ppm"),
+    )
+    return (
+        shares.join(F.broadcast(n), shares.nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.expr(
+                "cast(sum(share_ppm * share_ppm) div 1000000 as bigint)"
+            ).alias("hhi_ppm"),
+            F.max("share_ppm").alias("top_share_ppm"),
+        )
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT event_type, user_id,
+             ('0x' || substring(md5(cast(user_id AS VARCHAR)), 1, 1))::BIGINT
+               % 2 AS arm
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+    ),
+    counts AS (
+      SELECT event_type,
+             cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+             AS chi2_micro,
+           ((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b))
+             > 3841459 AS srm_flag
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the FIRST gate of every A/B
+    analysis (a 50/50 hash split whose arms differ beyond chance means
+    the assignment or logging pipeline is broken, and every downstream
+    metric comparison is garbage): users assigned by md5 parity (the
+    sample_hash_deterministic discipline — rerun-stable, no RNG), the
+    one-degree-of-freedom chi-square (n_a−n_b)²/(n_a+n_b) computed in
+    exact integer micro-units, flagged against the p=0.05 critical
+    value 3.841459 as an INTEGER threshold (the multiply-out rule: no
+    libm near the decision).  Per event type, so a mismatch localizes
+    to the logging path that drops one arm.  Plan: one distinct
+    (type, user) agg, then a type-bounded grid."""
+    ev = table(spark, sf_dir, "events")
+    assign = ev.select("event_type", "user_id").distinct().select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 1),"
+            " 16, 10) as bigint) % 2"
+        ).alias("arm"),
+    )
+    counts = assign.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    chi2 = "(1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(chi2).alias("chi2_micro"),
+        F.expr(f"({chi2}) > 3841459").alias("srm_flag"),
+    )

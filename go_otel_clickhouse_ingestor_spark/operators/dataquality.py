@@ -502,3 +502,96 @@ def dq_freshness_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     )
+
+
+@query(
+    "dq_null_profile",
+    oracle="""
+    WITH ev AS (
+      SELECT 'events' AS tbl, col, n_rows, n_null, n_distinct
+      FROM (
+        SELECT 'event_type' AS col, count(*) AS n_rows,
+               count(*) - count(event_type) AS n_null,
+               count(DISTINCT event_type) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value),
+               count(DISTINCT value) FROM events
+        UNION ALL
+        SELECT 'props', count(*), count(*) - count(props),
+               count(DISTINCT props) FROM events
+      )
+    ),
+    dc AS (
+      SELECT 'documents' AS tbl, col, n_rows, n_null, n_distinct
+      FROM (
+        SELECT 'text' AS col, count(*) AS n_rows,
+               count(*) - count(text) AS n_null,
+               count(DISTINCT text) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang),
+               count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source),
+               count(DISTINCT source) FROM documents
+      )
+    )
+    SELECT tbl, col,
+           cast(n_rows AS BIGINT)     AS n_rows,
+           cast(n_null AS BIGINT)     AS n_null,
+           cast(n_distinct AS BIGINT) AS n_distinct,
+           (1000000 * n_null) // n_rows AS null_ppm,
+           (1000000 * n_distinct) // n_rows AS distinct_ppm
+    FROM (SELECT * FROM ev UNION ALL SELECT * FROM dc)
+    """,
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the null/cardinality summary every warehouse
+    profiler (dbt source freshness tests, Deequ analyzers) computes
+    before trusting a new feed: per (table, column), row count, null
+    count, EXACT distinct count, and ppm null/distinct rates via floor
+    division.  The profile is the input to the audits downstream of it
+    (a column going 100% null or collapsing to one distinct value is
+    the classic silent-upstream-change signature that
+    dq_expectations_audit's fixed contract can't catch).  Plan: ONE
+    pass per table — all per-column null counts fuse into a single
+    partial agg, and Spark expands the multi-column exact DISTINCTs
+    via expand+two-phase agg (the events_label_cardinality_audit
+    shape); output is columns×tables-bounded."""
+    ev = table(spark, sf_dir, "events")
+    dc = table(spark, sf_dir, "documents")
+
+    def profile(df: DataFrame, tbl: str, cols: list) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"null_{c}")
+            )
+            aggs.append(F.count_distinct(c).cast("long").alias(f"dist_{c}"))
+        one = df.agg(*aggs)
+        parts = None
+        for c in cols:
+            row = one.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(c).alias("col"),
+                "n_rows",
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            parts = row if parts is None else parts.unionAll(row)
+        return parts
+
+    prof = profile(ev, "events", ["event_type", "user_id", "value", "props"]).unionAll(
+        profile(dc, "documents", ["text", "lang", "source"])
+    )
+    return prof.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.expr("(1000000 * n_null) div n_rows").alias("null_ppm"),
+        F.expr("(1000000 * n_distinct) div n_rows").alias("distinct_ppm"),
+    )

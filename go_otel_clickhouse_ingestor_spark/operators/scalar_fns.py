@@ -1164,3 +1164,131 @@ def fn_geo_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("lon_u").between(_GEO_BBOX[2], _GEO_BBOX[3])
         ).alias("in_bbox"),
     )
+
+
+@query(
+    "fn_unit_format",
+    oracle="""
+    WITH v AS (
+      SELECT event_id,
+             abs(cast(round(value * 1000000) AS BIGINT)) AS n_bytes,
+             abs(cast(round(value * 1000) AS BIGINT))    AS n_seconds
+      FROM events
+    )
+    SELECT event_id, n_bytes, n_seconds,
+           CASE
+             WHEN n_bytes >= 1073741824 THEN
+               cast(n_bytes // 1073741824 AS VARCHAR) || '.' ||
+               cast((n_bytes % 1073741824) * 100 // 1073741824 AS VARCHAR)
+               || ' GiB'
+             WHEN n_bytes >= 1048576 THEN
+               cast(n_bytes // 1048576 AS VARCHAR) || '.' ||
+               cast((n_bytes % 1048576) * 100 // 1048576 AS VARCHAR)
+               || ' MiB'
+             WHEN n_bytes >= 1024 THEN
+               cast(n_bytes // 1024 AS VARCHAR) || '.' ||
+               cast((n_bytes % 1024) * 100 // 1024 AS VARCHAR) || ' KiB'
+             ELSE cast(n_bytes AS VARCHAR) || ' B'
+           END AS bytes_readable,
+           cast(n_seconds // 3600 AS VARCHAR) || 'h' ||
+           cast((n_seconds % 3600) // 60 AS VARCHAR) || 'm' ||
+           cast(n_seconds % 60 AS VARCHAR) || 's' AS duration_readable
+    FROM v
+    """,
+)
+def fn_unit_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable unit formatting — ClickHouse's
+    formatReadableSize / formatReadableTimeDelta parity, which Spark
+    has no builtin for and every ops report reaches for: bytes to the
+    largest binary unit with TWO exact decimal digits (the fraction is
+    integer arithmetic — ``rem * 100 // unit`` — never a float
+    format, so both engines emit byte-identical strings, including the
+    truncation direction), and seconds to h/m/s fields via pure
+    integer div/mod.  Map-linear codegen over the scan; no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.expr("abs(cast(round(value * 1000000) as bigint))").alias("n_bytes"),
+        F.expr("abs(cast(round(value * 1000) as bigint))").alias("n_seconds"),
+    )
+
+    def unit(n: str, size: int, label: str) -> str:
+        return (
+            f"concat(cast({n} div {size} as string), '.', "
+            f"cast(({n} % {size}) * 100 div {size} as string), ' {label}')"
+        )
+
+    return v.select(
+        "event_id",
+        "n_bytes",
+        "n_seconds",
+        F.expr(
+            "CASE "
+            f"WHEN n_bytes >= 1073741824 THEN {unit('n_bytes', 1073741824, 'GiB')} "
+            f"WHEN n_bytes >= 1048576 THEN {unit('n_bytes', 1048576, 'MiB')} "
+            f"WHEN n_bytes >= 1024 THEN {unit('n_bytes', 1024, 'KiB')} "
+            "ELSE concat(cast(n_bytes as string), ' B') END"
+        ).alias("bytes_readable"),
+        F.expr(
+            "concat(cast(n_seconds div 3600 as string), 'h', "
+            "cast((n_seconds % 3600) div 60 as string), 'm', "
+            "cast(n_seconds % 60 as string), 's')"
+        ).alias("duration_readable"),
+    )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT event_id,
+             md5('evt:' || cast(event_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-' ||
+           '5' || substring(hx, 14, 3) || '-' ||
+           CASE cast(('0x' || substring(hx, 17, 1))::BIGINT % 4 AS VARCHAR)
+             WHEN '0' THEN '8' WHEN '1' THEN '9'
+             WHEN '2' THEN 'a' ELSE 'b' END
+           || substring(hx, 18, 3) || '-' || substring(hx, 21, 12)
+             AS uuid5,
+           cast(('0x' || substring(hx, 1, 15))::BIGINT AS BIGINT)
+             AS shard_key
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUIDs (RFC-4122 version-5 LAYOUT over
+    an md5 name hash) — the idempotent-id primitive replacing the
+    reference's random ``uuid.New()`` per generated event
+    (``internal/generator/generator.go``): random ids make replays
+    produce NEW rows; name-based ids make the same logical event hash
+    to the same id on every replay, which is what lets the at-least-
+    once sink (A13) dedupe.  Version nibble pinned to 5, variant
+    nibble folded into 8/9/a/b per the RFC bit layout, all by string
+    arithmetic on the md5 hex — byte-identical across engines — plus
+    a 60-bit shard key from the leading hex (the id a partitioner
+    would route on).  Map-linear codegen; no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_id",
+        F.md5(F.concat(F.lit("evt:"), F.col("event_id").cast("string"))).alias(
+            "hx"
+        ),
+    )
+    variant = (
+        "CASE cast(conv(substring(hx, 17, 1), 16, 10) as bigint) % 4 "
+        "WHEN 0 THEN '8' WHEN 1 THEN '9' WHEN 2 THEN 'a' ELSE 'b' END"
+    )
+    return h.select(
+        "event_id",
+        F.expr(
+            "concat(substring(hx, 1, 8), '-', substring(hx, 9, 4), '-', "
+            f"'5', substring(hx, 14, 3), '-', {variant}, "
+            "substring(hx, 18, 3), '-', substring(hx, 21, 12))"
+        ).alias("uuid5"),
+        F.expr(
+            "cast(conv(substring(hx, 1, 15), 16, 10) as bigint)"
+        ).alias("shard_key"),
+    )

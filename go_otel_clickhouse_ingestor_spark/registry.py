@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_binary_quantize_recall", "dq_freshness_completeness",
     "events_holt_winters", "pipeline_dataset_card",
     "graph_hits_scores", "stat_theil_sen_trend", "stat_cross_correlation",
+    "fn_unit_format", "fn_uuid_deterministic", "dq_null_profile",
+    "orders_herfindahl_concentration", "events_ab_srm_check",
     # round-10 window part 2: the 16 rows-only names with no driver row
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",

@@ -138,6 +138,10 @@ def build_scaled(spark, n: int) -> str:
         # fact⋈dim join population scales by n with per-copy join
         # selectivity unchanged
         ("customer", ["c_custkey"]),
+        # supplier offsets match lineitem's l_suppkey offsets; the
+        # nation key is NOT offset (a fixed country domain at any
+        # scale), so per-nation rollups aggregate n× suppliers each
+        ("supplier", ["s_suppkey"]),
     ):
         if os.path.exists(f"{out}/{tbl}.parquet/_SUCCESS"):
             continue
@@ -151,6 +155,13 @@ def build_scaled(spark, n: int) -> str:
         _union_copies(copies).repartition(max(n, 4)).write.mode("overwrite").parquet(
             f"{out}/{tbl}.parquet"
         )
+    # fixed-domain dimensions: copied unscaled (a 100 TB warehouse
+    # still has 25 nations)
+    for tbl in ("nation", "region", "part"):
+        if not os.path.exists(f"{out}/{tbl}.parquet/_SUCCESS"):
+            spark.read.parquet(f"{BASE_SF}/{tbl}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/{tbl}.parquet")
     return out
 
 
