@@ -1112,15 +1112,14 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     32×32 nearest resample → orthonormal DCT → 8×8 block median
     bits), then find near pairs with the BANDED join discipline:
     4×16-bit bands, candidates share ≥1 band value, mega-buckets
-    (> {cap} members — boilerplate/flat images) dropped rather than
-    joined, exact ``bit_count(xor)`` Hamming ≤ {hd} verify on
+    (> _PHASH_BUCKET_CAP members — boilerplate/flat images) dropped
+    rather than joined, exact ``bit_count(xor)`` Hamming ≤
+    _PHASH_MAX_HD verify on
     candidates only.  Never all-pairs: pair volume is Σ bucket², with
     buckets capped — the dedup_minhash_lsh scale shape on the image
     modality.  Rows-only by design (binary codec + float DCT have no
     SQL twin); the pytest gate pins planted-pair recall 1.0, no
-    unplanted false positives at the threshold, and determinism.""".format(
-        cap=_PHASH_BUCKET_CAP, hd=_PHASH_MAX_HD
-    )
+    unplanted false positives at the threshold, and determinism."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(
         _synth_neardup_bmp_iter, "doc_id long, payload binary"
