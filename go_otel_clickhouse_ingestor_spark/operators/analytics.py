@@ -6452,3 +6452,150 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(chi2).alias("chi2_micro"),
         F.expr(f"({chi2}) > 3841459").alias("srm_flag"),
     )
+
+
+@query(
+    "orders_abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             cast(sum(cast(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(18,4))
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+      SELECT l_partkey AS part,
+             revenue,
+             CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                  WHEN cum * 10 <= tot * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM (
+        SELECT l_partkey, revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(revenue) OVER ()                         AS tot
+        FROM rev)
+    ),
+    weekly AS (
+      SELECT l.l_partkey AS part,
+             date_trunc('week', o.o_orderdate) AS wk,
+             cast(sum(cast(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT part,
+             CASE WHEN 4 * n_weeks * (n_weeks * s2 - s1 * s1)
+                       < cast((n_weeks - 1) AS HUGEINT) * s1 * s1 THEN 'X'
+                  WHEN n_weeks * (n_weeks * s2 - s1 * s1)
+                       < cast((n_weeks - 1) AS HUGEINT) * s1 * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM (
+        SELECT part, count(*) AS n_weeks,
+               sum(cast(q AS HUGEINT)) AS s1,
+               sum(cast(q AS HUGEINT) * q) AS s2
+        FROM weekly GROUP BY part)
+      WHERE n_weeks >= 2 AND s1 > 0
+    ),
+    tot AS (
+      SELECT cast(round(sum(revenue) * 10000) AS HUGEINT) AS trev_u
+      FROM rev
+    )
+    SELECT a.abc_class, x.xyz_class,
+           cast(count(*) AS BIGINT) AS n_parts,
+           cast((1000000 * cast(round(sum(a.revenue) * 10000) AS HUGEINT))
+                // (SELECT trev_u FROM tot) AS BIGINT)
+             AS revenue_share_ppm
+    FROM abc a JOIN xyz x ON x.part = a.part
+    GROUP BY a.abc_class, x.xyz_class
+    """,
+)
+def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC×XYZ planning matrix — the 9-cell grid inventory policy
+    actually reads (orders_abc_class says how much VALUE a part
+    carries; orders_xyz_class says how PREDICTABLE its demand is; the
+    policy lives in the cross: AX = automate tight, CZ = don't stock):
+    per cell, part count and exact-ppm revenue share.  Both class
+    systems are re-derived with their originals' exact-arithmetic
+    rules (DECIMAL cross-multiplied ABC cuts; integer multiply-out CV
+    thresholds), joined part-keyed, aggregated to the bounded grid.
+    Plan: two partial-agged passes over lineitem (revenue by part;
+    weekly demand moments by part), one part-keyed join, a ≤9-row
+    output."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(14,4)))"
+            " as decimal(18,4))"
+        ).alias("revenue")
+    )
+    wcum = Window.orderBy(F.col("revenue").desc(), F.col("part")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    abc = rev.select(
+        "part",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum"),
+        F.sum("revenue").over(wall).alias("tot"),
+    ).select(
+        "part",
+        "revenue",
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    weekly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+        )
+        .agg(
+            F.expr("cast(sum(cast(round(l_quantity) as bigint)) as bigint)")
+            .alias("q")
+        )
+    )
+    m = weekly.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.expr("sum(cast(q as decimal(38,0)))").alias("s1"),
+        F.expr("sum(cast(q as decimal(38,0)) * q)").alias("s2"),
+    ).filter((F.col("n_weeks") >= 2) & (F.col("s1") > 0))
+    xyz = m.select(
+        "part",
+        F.when(
+            4 * F.col("n_weeks") * (F.col("n_weeks") * F.col("s2")
+                                    - F.col("s1") * F.col("s1"))
+            < (F.col("n_weeks") - 1) * F.col("s1") * F.col("s1"),
+            "X",
+        )
+        .when(
+            F.col("n_weeks") * (F.col("n_weeks") * F.col("s2")
+                                - F.col("s1") * F.col("s1"))
+            < (F.col("n_weeks") - 1) * F.col("s1") * F.col("s1"),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    trev = F.broadcast(
+        rev.agg(
+            F.expr(
+                "cast(round(sum(revenue) * 10000) as decimal(38,0))"
+            ).alias("trev_u")
+        )
+    )
+    return (
+        abc.join(xyz, "part")
+        .crossJoin(trev)
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr(
+                "cast((1000000 * cast(round(sum(revenue) * 10000)"
+                " as decimal(38,0))) div max(trev_u) as bigint)"
+            ).alias("revenue_share_ppm"),
+        )
+    )

@@ -316,3 +316,81 @@ def spans_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("leaf_idx").alias("critical_leaf_idx"),
         )
     )
+
+
+@query(
+    "spans_exemplar_slow_traces",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    per_trace AS (
+      SELECT s.user_id AS trace_id,
+             cast(count(*) AS BIGINT)      AS n_spans,
+             cast(sum(s.dur_us) AS BIGINT) AS total_us,
+             cast(max(s.dur_us) AS BIGINT) AS max_span_us,
+             min(CASE WHEN s.idx = 1 THEN s.service END) AS root_service
+      FROM spans s GROUP BY s.user_id
+    ),
+    slowest AS (
+      SELECT user_id AS trace_id, service AS slowest_service
+      FROM (
+        SELECT user_id, service,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY dur_us DESC, idx) AS rn
+        FROM spans) t
+      WHERE rn = 1
+    )
+    SELECT p.trace_id, p.root_service, sl.slowest_service,
+           p.n_spans, p.total_us, p.max_span_us,
+           cast(row_number() OVER (ORDER BY p.total_us DESC, p.trace_id)
+                AS BIGINT) AS rn
+    FROM per_trace p JOIN slowest sl ON sl.trace_id = p.trace_id
+    ORDER BY rn LIMIT 20
+    """,
+)
+def spans_exemplar_slow_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-trace exemplars — the "show me the 20 worst traces" query
+    every trace UI opens with, and the navigation layer above the
+    aggregates (``spans_self_time_rollup`` says WHERE time goes
+    fleet-wide; this says WHICH traces to open): per trace, total span
+    time, the single largest span, the root's service, and the
+    service owning the slowest span (deterministic argmax: duration
+    desc, heap index asc).  Plan: one trace-keyed agg + one
+    trace-keyed argmax window on the SAME shuffle, then
+    ``orderBy().limit(20)`` — TakeOrderedAndProject, so the global
+    sort never materializes (the vocab-coverage discipline); the rank
+    window runs over 20 rows only."""
+    s = _span_tree(spark, sf_dir)
+    per_trace = s.groupBy(F.col("user_id").alias("trace_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+        F.max("dur_us").cast("long").alias("max_span_us"),
+        F.min(F.when(F.col("idx") == 1, F.col("service"))).alias(
+            "root_service"
+        ),
+    )
+    wsl = Window.partitionBy("user_id").orderBy(
+        F.col("dur_us").desc(), F.col("idx")
+    )
+    slowest = (
+        s.withColumn("rn", F.row_number().over(wsl))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("trace_id"),
+            F.col("service").alias("slowest_service"),
+        )
+    )
+    top = (
+        per_trace.join(slowest, "trace_id")
+        .orderBy(F.col("total_us").desc(), F.col("trace_id"))
+        .limit(20)
+    )
+    wr = Window.orderBy(F.col("total_us").desc(), F.col("trace_id"))
+    return top.select(
+        "trace_id",
+        "root_service",
+        "slowest_service",
+        "n_spans",
+        "total_us",
+        "max_span_us",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    )

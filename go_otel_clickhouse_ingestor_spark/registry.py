@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_hits_scores", "stat_theil_sen_trend", "stat_cross_correlation",
     "fn_unit_format", "fn_uuid_deterministic", "dq_null_profile",
     "orders_herfindahl_concentration", "events_ab_srm_check",
+    "orders_abc_xyz_matrix", "spans_exemplar_slow_traces",
     # round-10 window part 2: the 16 rows-only names with no driver row
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
