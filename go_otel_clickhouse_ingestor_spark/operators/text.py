@@ -2174,3 +2174,69 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("long").alias("rn"),
     )
 
+
+
+@query(
+    "text_dedup_line_level",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents)
+      WHERE trim(l) <> ''
+    ),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           cast(count(*) AS BIGINT) AS n_lines,
+           cast(sum(CASE WHEN f.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           cast((1000000 * sum(CASE WHEN f.n_docs >= 3 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS boilerplate_ppm
+    FROM lines l JOIN freq f ON f.line = l.line
+    GROUP BY l.doc_id
+    """,
+)
+def text_dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE dedup audit — the C4 rule (Raffel et al. 2020:
+    discard any line occurring more than once in the corpus; the
+    single most effective boilerplate filter in the C4 ablations) in
+    its audit form: a trimmed non-empty line appearing in ≥3 distinct
+    documents is boilerplate (nav bars, cookie banners, licence
+    footers), and each document reports its line count, boilerplate
+    line count, and exact-ppm boilerplate rate — the per-doc removal
+    plan the curation pass executes.  Sits between
+    text_dup_line_fraction (WITHIN-doc repetition) and
+    dedup_repeated_passages (5-token passages): the unit here is the
+    whole line, corpus-wide.  Plan: one explode → line-keyed distinct
+    agg (Heaps-bounded like any text key — NO broadcast hint, the
+    round-10 gate's rule: the join back is line-keyed on both sides,
+    co-partitioned) → per-doc agg.  All counts exact integers."""
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.explode(F.split("text", "\n")).alias("l"),
+    ).select("doc_id", F.trim("l").alias("line")).filter(F.col("line") != "")
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("n_docs") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boilerplate",
+            F.expr("(1000000 * n_boilerplate) div n_lines").alias(
+                "boilerplate_ppm"
+            ),
+        )
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_unit_format", "fn_uuid_deterministic", "dq_null_profile",
     "orders_herfindahl_concentration", "events_ab_srm_check",
     "orders_abc_xyz_matrix", "spans_exemplar_slow_traces",
+    "text_dedup_line_level",
     # round-10 window part 2: the 16 rows-only names with no driver row
     "sim_ann_pq", "dedup_near_e2e",
     "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
