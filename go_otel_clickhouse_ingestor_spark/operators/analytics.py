@@ -4507,6 +4507,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.select(
         F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    # bounded: path domain <= |event_types|^3 (tiny forever, per docstring)
     wr = Window.orderBy(F.col("n").desc(), F.col("path"))
     return (
         paths.withColumn("rn", F.row_number().over(wr).cast("long"))

@@ -131,6 +131,9 @@ def two_phase_row_number(
 
     keys = [*part_cols, _BUCKET]
     counts = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("__tpr_n"))
+    # bounded: the offsets window runs over the bucket-COUNT frame (one
+    # row per bucket), never the data frame — bucket count is the
+    # caller-fixed fan-out, not a data-growing domain.
     w_off = (
         Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
     ).orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)

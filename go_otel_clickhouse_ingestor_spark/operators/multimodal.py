@@ -164,6 +164,42 @@ def decode_wav(buf: bytes) -> tuple:
     return rate, len(samples), rms, zc
 
 
+def _try_pil():
+    """Optional-dependency hook: Pillow when importable, else None —
+    the ``SPARK_GRAFT_KAFKA_BROKERS`` pattern applied to codecs (the
+    capability self-arms where the environment provides it; the
+    dependency-free BMP/WAV path stays the default and the tests
+    skip cleanly where Pillow is absent)."""
+    try:  # pragma: no cover - depends on the container
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_pil(buf: bytes) -> tuple:
+    """REAL decode of a JPEG/PNG payload via Pillow (only called when
+    ``_try_pil()`` found it): same contract as ``decode_bmp`` —
+    (width, height, mean_b, mean_g, mean_r, brightness)."""
+    import io
+
+    import numpy as np
+
+    img = _try_pil().open(io.BytesIO(buf)).convert("RGB")
+    px = np.asarray(img).astype("float64")  # (h, w, RGB)
+    height, width = px.shape[:2]
+    mean_r, mean_g, mean_b = (float(px[..., c].mean()) for c in range(3))
+    return (
+        width,
+        height,
+        mean_b / 255.0,
+        mean_g / 255.0,
+        mean_r / 255.0,
+        (mean_b + mean_g + mean_r) / (3 * 255.0),
+    )
+
+
 def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Decode one Arrow batch of media payloads.
 
@@ -175,17 +211,20 @@ def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
       features) that keeps plumbing testable for payloads with no
       dependency-free codec
 
-    Formats that genuinely need external libraries (JPEG/PNG need PIL,
-    video needs pyav) raise ``NotImplementedError`` so the gap stays
-    explicit.  All codecs emit the same ``DECODE_SCHEMA`` row: for bmp,
-    (width, height) are the real header dimensions and f0..f3 =
-    (mean_b, mean_g, mean_r, brightness); for wav, width=sample_rate,
-    height=n_samples and f0..f1 = (rms, zero-crossing rate).
+    plus ``jpeg``/``png`` WHEN Pillow is importable (``_try_pil``) —
+    the optional-dependency opt-in; where it is absent those types
+    still raise ``NotImplementedError`` so the gap stays explicit
+    (video always does: pyav).  All codecs emit the same
+    ``DECODE_SCHEMA`` row: for bmp/jpeg/png, (width, height) are the
+    real decoded dimensions and f0..f3 = (mean_b, mean_g, mean_r,
+    brightness); for wav, width=sample_rate, height=n_samples and
+    f0..f1 = (rms, zero-crossing rate).
     """
     import hashlib
 
     known = {"fake", "bmp", "wav"}
-    unknown = set(pdf["media_type"]) - known
+    pil_types = {"jpeg", "png"} if _try_pil() is not None else set()
+    unknown = set(pdf["media_type"]) - known - pil_types
     if unknown:  # pragma: no cover - real codecs absent
         raise NotImplementedError(
             f"media types {sorted(unknown)} need external codecs "
@@ -198,6 +237,9 @@ def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         buf = bytes(payload)
         if media == "bmp":
             w, h, f0, f1, f2, f3 = decode_bmp(buf)
+            row = dict(width=w, height=h, f0=f0, f1=f1, f2=f2, f3=f3)
+        elif media in pil_types:  # pragma: no cover - Pillow-only path
+            w, h, f0, f1, f2, f3 = decode_pil(buf)
             row = dict(width=w, height=h, f0=f0, f1=f1, f2=f2, f3=f3)
         elif media == "wav":
             rate, n, rms, zc = decode_wav(buf)
@@ -947,24 +989,31 @@ def multimodal_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run builds the identical pair table with no RNG state (the
     pipeline_epoch_shuffle rule applied to negative sampling).  The
     ``+1 + hash %% (n-1)`` form makes the offset nonzero, so a negative
-    can never alias the anchor.  Plan: one window builds the dense
-    index (rank-once, reuse per epoch in production), anchors and
-    negatives resolve by two joins on that index — at 100 TB the index
-    is the embedding table's own sorted identity, the stride fan-out is
-    a broadcast {_CONTRASTIVE_NEGS}-row spine, and both joins shuffle
-    on the integer index (AQE-skew-safe; no hot key exists by
-    construction)."""
+    can never alias the anchor.  Plan: the dense index comes from the
+    two-phase distributed rank (quantile-bucketed ``row_number`` — no
+    single-reducer window over the data-growing embedding table; the
+    old global ``Window.orderBy`` form is exactly the class
+    verify_round now gates), the row total is a 1-row aggregate
+    broadcast back, the stride fan-out is a broadcast
+    {_CONTRASTIVE_NEGS}-row spine, and both index joins shuffle on the
+    integer index (AQE-skew-safe; no hot key exists by
+    construction).  Rank-once, reuse per epoch in production."""
+    from .dedup import materialized
+    from .distrank import two_phase_row_number
+
     e = table(spark, sf_dir, "embeddings").select("vec_id")
     d = table(spark, sf_dir, "documents").select("doc_id")
-    g = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    idx = materialized(
+        two_phase_row_number(e, [], ["vec_id"], "_rn").select(
+            "vec_id", (F.col("_rn") - 1).alias("ix")
+        )
     )
-    idx = e.select(
-        "vec_id",
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("ix"),
-        F.count(F.lit(1)).over(g).alias("n"),
+    tot = idx.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        d.join(idx, d.doc_id == idx.vec_id)
+        .join(F.broadcast(tot))
+        .select("doc_id", "ix", "n")
     )
-    anchors = d.join(idx, d.doc_id == idx.vec_id).select("doc_id", "ix", "n")
     spine = spark.range(1, _CONTRASTIVE_NEGS + 1).select(F.col("id").alias("j"))
     negpick = anchors.crossJoin(F.broadcast(spine)).select(
         "doc_id",

@@ -713,6 +713,7 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # bounded: window ranks the 100-row limit output only
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return o.select(F.row_number().over(w).cast("long").alias("rn"), "o_orderkey", "o_totalprice")
 

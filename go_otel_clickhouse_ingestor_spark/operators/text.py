@@ -1761,10 +1761,16 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
-    top = stats.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _BURST_TOPK
+    # Take the top-k FIRST (TakeOrderedAndProject: per-partition top-k,
+    # one tiny merge task), then rank within the k-row frame — the old
+    # row_number-then-filter form funneled the Heaps-unbounded vocab
+    # through ONE window task (the class verify_round now gates).
+    top = stats.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(
+        _BURST_TOPK
     )
+    # bounded: window ranks the <= _BURST_TOPK limit output only
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    top = top.withColumn("rn", F.row_number().over(w))
     top = top.select(
         "term",
         F.col("df").cast("long").alias("df"),
@@ -1853,6 +1859,7 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(_VOCAB_CHECKPOINTS)
     )
     total = tf.agg(F.sum("n").alias("total"))
+    # bounded: windows rank/cumsum the <=max-checkpoint limit output only
     wr = Window.orderBy(F.col("n").desc(), F.col("term").asc())
     ranked = top.select("n", F.row_number().over(wr).alias("rk"))
     wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)

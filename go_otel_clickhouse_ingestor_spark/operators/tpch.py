@@ -130,6 +130,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(f"sum({_DISC_PRICE})").alias("_rev"))
     )
     top = agg.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc()).limit(10)
+    # bounded: window ranks the 10-row limit output only
     w = Window.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
     return (
         top.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -348,6 +349,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(f"sum({_DISC_PRICE})").alias("_rev"))
     )
     top = agg.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc()).limit(20)
+    # bounded: window ranks the 20-row limit output only
     w = Window.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
     return top.withColumn("rn", F.row_number().over(w).cast("long")).select(
         "c_custkey",
@@ -917,6 +919,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     top = counted.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(100)
+    # bounded: window ranks the 100-row limit output only
     w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
@@ -999,6 +1002,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps_partkey").asc(),
     ]
     top = hit.orderBy(*order).limit(100)
+    # bounded: window ranks the 100-row limit output only
     w = Window.orderBy(*order)
     return (
         top.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -384,6 +384,7 @@ def spans_exemplar_slow_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_us").desc(), F.col("trace_id"))
         .limit(20)
     )
+    # bounded: window ranks the 20-row limit output only
     wr = Window.orderBy(F.col("total_us").desc(), F.col("trace_id"))
     return top.select(
         "trace_id",

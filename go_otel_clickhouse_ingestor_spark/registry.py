@@ -38,49 +38,19 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 10 rotation:
-#: the cumulative driver-green union of CORRECTNESS_r1–r9 is 338 names —
-#: ALL of them are deleted from this list (the 50 round-9 window names
-#: were removed at the top of round 10) so the window leads with the 18
-#: queries that have never had a driver row: 2 oracle-backed round-9
-#: additions (both pass the local differential in
-#: tools/check_oracle.py) followed by 16 rows-only names (no DuckDB
-#: oracle by design — sketches/ANN/clustering/codecs; the driver
-#: records them running clean with stable row counts).  After this
-#: window samples, every registered query has driver evidence; new
-#: round-10 queries append behind the backlog via
-#: :func:`driver_priority_append` and fill the remaining 32 slots.
+#: queries with the least driver-anchored evidence.  Round 11 rotation:
+#: after round 10's window sampled, EVERY registered query (378) has a
+#: driver row — the cumulative green union of CORRECTNESS_r1–r10 covers
+#: the whole registry — so the backlog head is emptied and the window
+#: is filled entirely by this round's additions via
+#: :func:`driver_priority_append` in registration order.
 #: ``tools/verify_round.py`` fails loudly if any name at the head of
 #: this list is already green in a CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: list[str] = [
-    # round-10 window part 1: the last 2 oracle-backed queries with no
-    # driver row (displaced from round 9's exactly-full window)
-    "emb_mutual_knn_graph", "events_p99_of_user_p95",
-    # round-10 window part 1b: this round's oracle-backed additions
-    # (hash evidence outranks rows-only slots — the ordering rule
-    # test_registry enforces)
-    "spans_self_time_rollup", "spans_service_dependency",
-    "spans_critical_path", "fn_ip", "fn_geo_cell",
-    "emb_binary_quantize_recall", "dq_freshness_completeness",
-    "events_holt_winters", "pipeline_dataset_card",
-    "graph_hits_scores", "stat_theil_sen_trend", "stat_cross_correlation",
-    "fn_unit_format", "fn_uuid_deterministic", "dq_null_profile",
-    "orders_herfindahl_concentration", "events_ab_srm_check",
-    "orders_abc_xyz_matrix", "spans_exemplar_slow_traces",
-    "text_dedup_line_level",
-    # round-10 window part 2: the 16 rows-only names with no driver row
-    "sim_ann_pq", "dedup_near_e2e",
-    "dedup_semantic", "cluster_kmeans_assign", "emb_mmr_rerank",
-    "emb_pca_top_component", "events_lttb_downsample", "multimodal_resize",
-    "text_bpe_tokenize", "text_compression_ratio", "agg_hll_sketch_union",
-    "text_bpe_train", "text_bpe_tokenize_trained",
-    "multimodal_decode_codecs", "multimodal_resize_codecs",
-    "multimodal_audio_features_codecs",
-    # round-10 rows-only additions (real-BMP perceptual-hash dedup,
-    # real-WAV energy VAD)
-    "multimodal_phash_near_dup", "multimodal_wav_vad",
-    # round-10 additions land here via driver_priority_append(), filling
-    # the window's remaining 32 slots in registration order.
+    # round-11 oracle-backed additions (hash evidence outranks
+    # rows-only slots — the ordering rule test_registry enforces)
+    # round-11 rows-only additions (exact-twin/pytest-gated by design)
+    "graph_jaccard_link_prediction_lsh",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

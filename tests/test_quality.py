@@ -1425,3 +1425,73 @@ def test_wav_vad_matches_sequential_reference(spark, sf_dir):
                 for s, e, n, p in vad_segments(samples.astype(int).tolist())
             ]
             assert got.get(int(doc_id), []) == want, f"doc {doc_id}"
+
+
+def test_jaccard_link_prediction_lsh_recall_vs_exact(spark, sf_dir):
+    """The LSH-banded link-prediction path must recover the exact
+    wedge join's top-20 pairs (SURVEY §2: the exact form is this
+    path's oracle).  Verification inside the LSH path is exact, so
+    every recovered pair must also carry identical n_common/jaccard."""
+    from go_otel_clickhouse_ingestor_spark.operators.graph import (
+        graph_jaccard_link_prediction,
+        graph_jaccard_link_prediction_lsh,
+    )
+
+    exact = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in graph_jaccard_link_prediction(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in graph_jaccard_link_prediction_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "exact top-k empty — fixture too small"
+    hit = set(exact) & set(approx)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.9, f"LSH link-prediction recall {recall:.2f}"
+    for pair in hit:
+        assert approx[pair] == exact[pair], (
+            f"LSH verify drifted from exact for {pair}: "
+            f"{approx[pair]} != {exact[pair]}"
+        )
+
+
+def test_pil_decode_optin_when_importable(spark):
+    """Optional-dependency codec path: where Pillow is importable the
+    jpeg/png types decode through the SAME Arrow stage as bmp (same
+    DECODE_SCHEMA, same channel-mean features); where it is absent
+    this test skips and the types keep raising (the rejection test
+    above pins that)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import pandas as pd
+    from PIL import Image
+
+    from go_otel_clickhouse_ingestor_spark.operators.multimodal import (
+        decode_media_batch,
+    )
+
+    img = Image.new("RGB", (8, 4), (255, 0, 0))  # pure red
+    out = {}
+    for fmt, media in (("PNG", "png"), ("JPEG", "jpeg")):
+        b = io.BytesIO()
+        img.save(b, fmt)
+        out[media] = b.getvalue()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "media_type": ["png", "jpeg"],
+            "payload": [out["png"], out["jpeg"]],
+        }
+    )
+    res = decode_media_batch(pdf).set_index("media_type")
+    for media in ("png", "jpeg"):
+        r = res.loc[media]
+        assert (r.width, r.height) == (8, 4)
+        # red image: mean_r (f2) high, mean_b (f0) / mean_g (f1) low
+        # (JPEG is lossy, so bounds not equalities)
+        assert r.f2 > 0.9 and r.f0 < 0.1 and r.f1 < 0.1
+        assert abs(r.f3 - (r.f0 + r.f1 + r.f2) / 3) < 1e-9

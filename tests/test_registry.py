@@ -76,3 +76,50 @@ def q(df):
         assert check_unbounded_broadcasts([pg]) == []
     # and the live tree is clean
     assert check_unbounded_broadcasts() == []
+
+
+def test_unpartitioned_window_gate():
+    """The verify_round window gate must (a) flag a zero-arg
+    Window.partitionBy() and a class-level Window.orderBy over
+    unannotated frames — the round-10 HITS normalizer shape that
+    slipped past review — and (b) pass sites carrying a 'bounded'
+    note in a nearby comment or the enclosing docstring."""
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from verify_round import check_unpartitioned_windows
+
+    bad = """
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def q(scores):
+    wall = Window.partitionBy()
+    wr = Window.orderBy(F.col("raw").desc())
+    return scores.withColumn("tot", F.sum("raw").over(wall))
+"""
+    good = """
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def q(top):
+    # bounded: window ranks the 10-row limit output only
+    wr = Window.orderBy(F.col("n").desc())
+    return top.withColumn("rn", F.row_number().over(wr))
+
+def r(counts):
+    '''Prefix offsets over the bucket-COUNT frame — bucket-bounded.'''
+    w = Window.partitionBy().orderBy("bucket")
+    return counts.withColumn("off", F.sum("n").over(w))
+"""
+    with tempfile.TemporaryDirectory() as td:
+        pb, pg = os.path.join(td, "bad.py"), os.path.join(td, "good.py")
+        open(pb, "w").write(bad)
+        open(pg, "w").write(good)
+        flagged = check_unpartitioned_windows([pb])
+        assert len(flagged) == 2, flagged
+        assert check_unpartitioned_windows([pg]) == []
+    # and the live tree is clean
+    assert check_unpartitioned_windows() == []

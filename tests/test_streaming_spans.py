@@ -1,0 +1,191 @@
+"""Streaming trace assembly vs the batch spans family.
+
+The trace-timeout state machine (``streaming/spans_stream.py``) must
+reproduce the batch span-tree queries ROW FOR ROW when every trace is
+split across TWO micro-batch boundaries: the carried state (buffered
+spans surviving the trigger boundary, the re-armed event-time timeout)
+is what these tests pin.  Watermark mechanics drive the close: two
+sentinel batches push the watermark past every real trace's timeout,
+so all real traces emit exactly once; the sentinel trace itself never
+closes and is excluded — which also pins that an OPEN trace emits
+nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+_BASE = "2024-01-01 00:00:00"
+_GAP_MS = 60_000
+
+
+def _assembled(spark, sf_dir, tmp_path):
+    """Run the assembly stream over the sf span tree, every trace split
+    across two triggers, and return the assembled rows (sentinel
+    excluded) as a batch DataFrame."""
+    from go_otel_clickhouse_ingestor_spark.operators.traces import _span_tree
+    from go_otel_clickhouse_ingestor_spark.streaming.spans_stream import (
+        trace_assembly_stream,
+    )
+
+    spans = _span_tree(spark, sf_dir).collect()
+    assert len(spans) >= 8
+    rows = [
+        {
+            "trace_id": r.user_id,
+            "idx": r.idx,
+            "service": r.service,
+            "dur_us": r.dur_us,
+            "ts": f"2024-01-01 00:00:{r.idx % 50:02d}",
+        }
+        for r in spans
+    ]
+    # split by heap index so EVERY multi-span trace straddles the
+    # trigger boundary (not just half the traces)
+    cut = max(r["idx"] for r in rows) // 2 or 1
+    batches = [
+        [r for r in rows if r["idx"] <= cut],
+        [r for r in rows if r["idx"] > cut],
+        [{"trace_id": -1, "idx": 1, "service": "s", "dur_us": 1,
+          "ts": "2024-01-03 00:00:00"}],
+        [{"trace_id": -1, "idx": 2, "service": "s", "dur_us": 1,
+          "ts": "2024-01-04 00:00:00"}],
+    ]
+    d = tmp_path / "span_feed"
+    d.mkdir()
+    for i, batch in enumerate(batches):
+        p = d / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "trace_id long, idx long, service string, dur_us long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"spans_{uuid.uuid4().hex[:8]}"
+    q = (
+        trace_assembly_stream(stream, gap_ms=_GAP_MS)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.table(name).filter(F.col("trace_id") >= 0)
+    assert out.count() > 0, "watermark never closed any trace"
+    return out
+
+
+def test_assembly_stream_feeds_batch_twins(spark, sf_dir, tmp_path):
+    from go_otel_clickhouse_ingestor_spark.operators.traces import (
+        spans_exemplar_slow_traces,
+        spans_self_time_rollup,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.spans_stream import (
+        self_time_rollup,
+        slow_trace_exemplars,
+    )
+
+    assembled = _assembled(spark, sf_dir, tmp_path).cache()
+
+    # each trace emitted exactly once, fully assembled
+    per_trace = assembled.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max("n_spans").alias("n_spans")
+    )
+    bad = per_trace.filter(F.col("n_rows") != F.col("n_spans")).count()
+    assert bad == 0
+
+    # face 1: the per-service self-time grid
+    want = {
+        r.service: (r.n_spans, r.n_roots, r.total_dur_us, r.total_self_us,
+                    r.max_depth)
+        for r in spans_self_time_rollup(spark, sf_dir).collect()
+    }
+    got = {
+        r.service: (r.n_spans, r.n_roots, r.total_dur_us, r.total_self_us,
+                    r.max_depth)
+        for r in self_time_rollup(assembled).collect()
+    }
+    assert got == want
+
+    # face 2: the slow-trace exemplars (same top-20, same argmaxes)
+    want_top = [
+        (r.trace_id, r.root_service, r.slowest_service, r.n_spans,
+         r.total_us, r.max_span_us)
+        for r in sorted(
+            spans_exemplar_slow_traces(spark, sf_dir).collect(),
+            key=lambda r: r.rn,
+        )
+    ]
+    got_top = [
+        (r.trace_id, r.root_service, r.slowest_service, r.n_spans,
+         r.total_us, r.max_span_us)
+        for r in sorted(
+            slow_trace_exemplars(assembled).collect(),
+            key=lambda r: (-r.total_us, r.trace_id),
+        )
+    ]
+    assert got_top == want_top
+
+
+def test_duplicate_delivery_dedups_on_idx(spark, tmp_path):
+    """At-least-once re-delivery of the same span (same trace, same
+    idx) must not double-count it into the parent's child subtraction
+    — first delivery wins."""
+    from go_otel_clickhouse_ingestor_spark.streaming.spans_stream import (
+        trace_assembly_stream,
+    )
+
+    rows = [
+        {"trace_id": 7, "idx": 1, "service": "a", "dur_us": 100,
+         "ts": "2024-01-01 00:00:01"},
+        {"trace_id": 7, "idx": 2, "service": "b", "dur_us": 30,
+         "ts": "2024-01-01 00:00:02"},
+    ]
+    batches = [
+        rows,
+        [dict(rows[1], dur_us=999)],  # duplicate idx 2, different dur
+        [{"trace_id": -1, "idx": 1, "service": "s", "dur_us": 1,
+          "ts": "2024-01-03 00:00:00"}],
+        [{"trace_id": -1, "idx": 2, "service": "s", "dur_us": 1,
+          "ts": "2024-01-04 00:00:00"}],
+    ]
+    d = tmp_path / "dup_feed"
+    d.mkdir()
+    for i, batch in enumerate(batches):
+        p = d / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "trace_id long, idx long, service string, dur_us long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"dup_{uuid.uuid4().hex[:8]}"
+    q = (
+        trace_assembly_stream(stream, gap_ms=_GAP_MS)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r.idx: (r.service, r.dur_us, r.self_us, r.depth, r.n_spans)
+        for r in spark.table(name).filter(F.col("trace_id") == 7).collect()
+    }
+    assert got == {
+        1: ("a", 100, 70, 0, 2),   # self = 100 - 30, NOT 100 - 999
+        2: ("b", 30, 30, 1, 2),
+    }

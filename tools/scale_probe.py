@@ -282,7 +282,178 @@ def distrank_stats(spark, sf_dir: str) -> dict:
     return out
 
 
+def build_zipf_skewed(spark) -> str:
+    """Materialize a deliberately Zipf-skewed events/customer fixture.
+
+    The uniform fixtures under /root/testdata can't exercise the skew
+    claims (join_skew_salted, agg_skew_two_phase, AQE skew-join): their
+    per-user volumes are flat, so salted and plain keys distribute the
+    same.  Here event→user assignment follows a Zipf(≈1) law via the
+    deterministic inverse-CDF ``user = ceil(N^u)`` with ``u`` a hashed
+    uniform — P(rank r) ∝ 1/r, no RNG state (the epoch-shuffle rule) —
+    so the hottest user owns ~ln2/lnN of ALL events (~7.5% of 4M here:
+    one shuffle partition would carry ~300k rows while the median
+    carries ~1k — the 100 TB whale-tenant shape)."""
+    out = f"{SCALE_ROOT}/zipf_skew"
+    n_events, n_users = 4_000_000, 10_000
+    if not os.path.exists(f"{out}/events.parquet/_SUCCESS"):
+        u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double")
+             + F.lit(0.5)) / F.lit(1_000_000.0)
+        ev = spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            F.ceil(F.pow(F.lit(float(n_users)), u)).cast("long").alias("user_id"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).cast("double")
+             / 100.0).alias("value"),
+        )
+        ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    if not os.path.exists(f"{out}/customer.parquet/_SUCCESS"):
+        c = spark.range(1, n_users + 1).select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("SEG"), (F.col("id") % 5).cast("string")).alias(
+                "c_mktsegment"
+            ),
+            (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        )
+        c.repartition(4).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    return out
+
+
+def skew_stress(spark) -> dict:
+    """Skew-stress measurements on the Zipf fixture: per-shuffle-key
+    task-max-rows for plain vs salted keys, wall time for the plain vs
+    salted join with AQE skew-split on/off, and the direct vs two-phase
+    skewed agg — the numbers behind SCALING.md's skew section.
+
+    The dim side is forced OFF broadcast (autoBroadcastJoinThreshold
+    -1) for the join runs: at 100 TB the dim is too wide to broadcast
+    and the join is a shuffle — exactly the regime AQE skew-split and
+    salting exist for."""
+    from go_otel_clickhouse_ingestor_spark.operators.skew import SALT
+
+    sf = build_zipf_skewed(spark)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dim = spark.read.parquet(f"{sf}/customer.parquet")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out: dict = {"n_events": ev.count(), "n_users": dim.count(), "shuffle_partitions": parts}
+
+    # 1) task-max-rows: rows landing in each hash-shuffle partition for
+    #    the plain key vs the salted key (the exact distribution the
+    #    join's big side shuffles with)
+    def max_median(df, *cols):
+        sizes = (
+            df.groupBy(F.pmod(F.hash(*cols), F.lit(parts)).alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        r = sizes.agg(
+            F.max("c").alias("mx"),
+            F.expr("percentile_approx(c, 0.5)").alias("med"),
+        ).first()
+        return {"max_task_rows": r.mx, "median_task_rows": r.med}
+
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int")
+    )
+    out["plain_key"] = max_median(ev, "user_id")
+    out["salted_key"] = max_median(salted, "user_id", "salt")
+    hot = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c")).first()[0]
+    )
+    out["hottest_user_rows"] = hot
+
+    def timed(fn):
+        t0 = time.time()
+        v = fn()
+        return round(time.time() - t0, 2), v
+
+    agg = lambda j: j.groupBy("c_mktsegment").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("tv"),
+    )
+
+    def plain_join():
+        j = ev.join(dim, ev.user_id == dim.c_custkey)
+        return sorted(map(tuple, agg(j).collect()))
+
+    def salted_join():
+        sd = dim.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+        )
+        j = salted.join(
+            sd,
+            (salted.user_id == sd.c_custkey) & (salted.salt == sd.salt),
+        )
+        return sorted(map(tuple, agg(j).collect()))
+
+    # 2) joins, broadcast off (the wide-dim regime); AQE skew split
+    #    off vs on (thresholds lowered so the ~300k-row whale partition
+    #    clears the split bar at this fixture size)
+    with_conf = spark.conf
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with_conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t, base_res = timed(plain_join)
+        out["join_plain_aqe_skew_off_s"] = t
+        with_conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        with_conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        with_conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        with_conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        t, res = timed(plain_join)
+        out["join_plain_aqe_skew_on_s"] = t
+        assert res == base_res, "AQE changed the join result"
+        t, res = timed(salted_join)
+        out["join_salted_s"] = t
+        assert res == base_res, "salting changed the join result"
+    finally:
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        ):
+            with_conf.unset(k)
+        with_conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    # 3) skewed GROUP BY: direct vs two-phase salted (5 hot keys; AQE
+    #    cannot split an agg key — the rewrite is the only fix)
+    seg = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "c_mktsegment", "user_id", "value"
+    ).persist()
+    seg.count()
+    def direct_agg():
+        return sorted(map(tuple, seg.groupBy("c_mktsegment").agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()))
+    def two_phase():
+        p1 = seg.withColumn(
+            "salt", F.pmod(F.xxhash64("user_id"), F.lit(SALT)).cast("int")
+        ).groupBy("c_mktsegment", "salt").agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return sorted(map(tuple, p1.groupBy("c_mktsegment").agg(
+            F.sum("u").alias("u"), F.sum("n").alias("n")
+        ).collect()))
+    t, d = timed(direct_agg)
+    out["agg_direct_s"] = t
+    t, tp = timed(two_phase)
+    out["agg_two_phase_s"] = t
+    assert d == tp, "two-phase agg drifted from direct"
+    seg.unpersist()
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        print(json.dumps({"skew": skew_stress(get_spark("skew-probe"))}))
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ops = sys.argv[2:] or DEFAULT_OPS
 

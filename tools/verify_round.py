@@ -264,6 +264,77 @@ def check_unbounded_broadcasts(roots: list[str] | None = None) -> list[str]:
     return errs
 
 
+def check_unpartitioned_windows(roots: list[str] | None = None) -> list[str]:
+    """Static gate: flag single-partition window specs — zero-arg
+    ``Window.partitionBy()`` and class-level ``Window.orderBy(...)``
+    (no partition clause) — that carry no written boundedness
+    justification.  Both shapes funnel the ENTIRE input frame through
+    one task, so they are only legitimate over domain-bounded frames
+    (calendar days, fixed bins, top-k outputs, vocab caps).  The
+    round-10 HITS normalizer slipped exactly this class past review
+    (a node-domain-growing frame through ``Window.partitionBy()`` six
+    times per run), so the discipline is the same as
+    :func:`check_unbounded_broadcasts`: annotation-or-red.  A site
+    passes when ``bounded`` (case-insensitive) appears on the line,
+    in the 6 lines above it, or in the enclosing function's
+    docstring — the point is forcing a deliberate, written bound at
+    each single-partition pass."""
+    import ast
+
+    aliases = {"Window", "_W", "W"}
+    errs: list[str] = []
+    roots = roots or [
+        os.path.join(REPO, "go_otel_clickhouse_ingestor_spark", "**", "*.py")
+    ]
+    for pattern in roots:
+        for path in sorted(glob.glob(pattern, recursive=True)):
+            with open(path) as fh:
+                src = fh.read()
+            if "Window" not in src:
+                continue
+            lines = src.splitlines()
+            tree = ast.parse(src)
+            funcs = [
+                (n.lineno, n.end_lineno, (ast.get_docstring(n) or "").lower())
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+
+            def annotated(lineno: int) -> bool:
+                ctx = "\n".join(lines[max(0, lineno - 7) : lineno]).lower()
+                if "bounded" in ctx:
+                    return True
+                return any(
+                    a <= lineno <= b and "bounded" in doc
+                    for a, b, doc in funcs
+                )
+
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id in aliases
+                ):
+                    continue
+                kind = None
+                if node.func.attr == "partitionBy" and not node.args:
+                    kind = "zero-arg Window.partitionBy()"
+                elif node.func.attr == "orderBy":
+                    kind = "class-level Window.orderBy (no partition clause)"
+                if kind is None or annotated(node.lineno):
+                    continue
+                errs.append(
+                    f"WINDOW: {os.path.relpath(path, REPO)}:{node.lineno} — "
+                    f"{kind} funnels the whole frame through ONE task; "
+                    f"either restructure (partial agg + 1-row broadcast "
+                    f"join, or two-phase bucketed row_number) or state the "
+                    f"domain bound: 'bounded' in a comment within 6 lines "
+                    f"above or in the enclosing function's docstring"
+                )
+    return errs
+
+
 def check_readme_counts() -> list[str]:
     """Fail when README's registered-query count drifts from the
     registry (it lagged by hand three times in round 9 alone)."""
@@ -347,6 +418,7 @@ def main() -> None:
     errs += check_plans_table()
     errs += check_readme_counts()
     errs += check_unbounded_broadcasts()
+    errs += check_unpartitioned_windows()
     check_artifacts()
     if not fast:
         errs += run_pytest()
