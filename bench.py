@@ -119,6 +119,13 @@ HEADLINE = [
     "emb_binary_quantize_recall",
     "fn_ip",
     "dq_freshness_completeness",
+    # round-11 flagships: DSIR importance selection, the Apdex grid,
+    # and the prefix-filtered edit-distance entity matcher (the LSH
+    # link-prediction face is probed in SCALING.md instead — it is the
+    # sparse-regime path and this fixture is its dense worst case)
+    "pipeline_dsir_select",
+    "spans_apdex",
+    "dedup_fuzzy_levenshtein",
 ]
 
 

@@ -983,3 +983,170 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("gram", "n_docs", "n_occ", "rn")
     )
+
+
+#: Fuzzy entity-match parameters: max edit distance accepted by the
+#: verify, and the prefix-filter width — each string joins on its
+#: (2·d_max + 1) globally-RAREST bigrams, so a candidate pair must
+#: share a rare gram (the PPJoin/prefix-filtering idea: sort the
+#: signature set by global frequency and index only the prefix; the
+#: frequent grams — shared by half the catalog — never generate
+#: pairs).
+_FUZZY_D = 2
+_FUZZY_PREFIX = 2 * _FUZZY_D + 1
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH cat AS (
+      SELECT min(p_partkey) AS p_partkey, p_name FROM part GROUP BY p_name
+    ),
+    probe AS (
+      SELECT p_partkey AS probe_key,
+             substr(p_name, 1, (p_partkey % (length(p_name) - 2)) + 1)
+             || substr(p_name, (p_partkey % (length(p_name) - 2)) + 3)
+               AS probe_name
+      FROM cat
+    ),
+    cg AS (
+      SELECT DISTINCT p_partkey, gram FROM (
+        SELECT p_partkey,
+               unnest([substr(p_name, x, 2)
+                       for x in range(1, length(p_name))]) AS gram
+        FROM cat)
+    ),
+    df AS (SELECT gram, count(*) AS df FROM cg GROUP BY gram),
+    cpfx AS (
+      SELECT p_partkey, gram FROM (
+        SELECT cg.p_partkey, cg.gram,
+               row_number() OVER (PARTITION BY cg.p_partkey
+                                  ORDER BY df.df, cg.gram) AS rn
+        FROM cg JOIN df USING (gram))
+      WHERE rn <= {_FUZZY_PREFIX}
+    ),
+    pg AS (
+      SELECT DISTINCT probe_key, gram FROM (
+        SELECT probe_key,
+               unnest([substr(probe_name, x, 2)
+                       for x in range(1, length(probe_name))]) AS gram
+        FROM probe)
+    ),
+    ppfx AS (
+      SELECT probe_key, gram FROM (
+        SELECT pg.probe_key, pg.gram,
+               row_number() OVER (PARTITION BY pg.probe_key
+                                  ORDER BY coalesce(df.df, 0), pg.gram) AS rn
+        FROM pg LEFT JOIN df USING (gram))
+      WHERE rn <= {_FUZZY_PREFIX}
+    ),
+    cand AS (
+      SELECT DISTINCT probe_key, p_partkey AS match_key
+      FROM ppfx JOIN cpfx USING (gram)
+    )
+    SELECT probe_key, match_key,
+           cast(levenshtein(pr.probe_name, c.p_name) AS BIGINT) AS dist
+    FROM cand
+    JOIN probe pr USING (probe_key)
+    JOIN cat c ON c.p_partkey = match_key
+    WHERE levenshtein(pr.probe_name, c.p_name) <= {_FUZZY_D}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching by prefix-filtered edit distance — the
+    dirty-catalog reconciliation primitive (match OCR'd / typo'd names
+    back to a master catalog) and the edit-distance member of the
+    set-similarity-join family (MinHash banding covers token sets;
+    this covers CHARACTER-level noise).  A deterministic dirty probe
+    set is derived in-query (each part name with one character
+    deleted at a key-derived position — the planted-near-dup fixture
+    rule, so every probe has a distance-1 true match), then matched
+    back WITHOUT the quadratic all-pairs scan via PREFIX FILTERING
+    (Chaudhuri et al. / PPJoin): rank each string's distinct bigrams
+    by GLOBAL document frequency and index only the (2·d_max+1)
+    rarest — frequent grams shared by half the catalog never generate
+    candidates, so bucket sizes track gram rarity, not catalog size —
+    and verify candidates with exact ``levenshtein`` (identical
+    classic DP in Spark and DuckDB; probed).  Scale shape: two
+    tokenize-explode passes, gram-keyed joins on RARE grams only, the
+    per-string rank window partitioned by key (strings are
+    length-bounded, so ≤ ~40 grams per partition), levenshtein only
+    on candidates.  Emits every verified (probe, match, dist ≤
+    {_FUZZY_D}) pair."""
+    # ENTITY master: one row per distinct name (stable key = min
+    # partkey) — matching against raw rows would multiply every probe
+    # by the name's copy count (the sf0.1 fixture holds 64 distinct
+    # names x up to 347 copies: 9.5M row-level pairs vs ~64 entity
+    # matches), and an entity resolver matches entities, not rows
+    p = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select("p_partkey", "p_name")
+    )
+    cut = F.pmod(F.col("p_partkey"), F.length("p_name") - 2) + 1
+    probe = p.select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.expr(
+                "substring(p_name, 1, pmod(p_partkey, length(p_name) - 2) + 1)"
+            ),
+            F.expr(
+                "substring(p_name, pmod(p_partkey, length(p_name) - 2) + 3)"
+            ),
+        ).alias("probe_name"),
+    )
+    _ = cut  # documented inline above; the expr twins keep both engines exact
+
+    def grams(df: DataFrame, key: str, name: str) -> DataFrame:
+        return (
+            df.select(
+                key,
+                F.explode(
+                    F.sequence(F.lit(1), F.length(name) - 1)
+                ).alias("i"),
+                F.col(name),
+            )
+            .select(key, F.expr(f"substring({name}, i, 2)").alias("gram"))
+            .distinct()
+        )
+
+    from pyspark.sql.window import Window
+
+    cg = grams(p, "p_partkey", "p_name")
+    dfreq = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # per-string rank window: partitioned by the string key — ≤ ~40
+    # grams per partition (length-bounded), never catalog-sized
+    wc = Window.partitionBy("p_partkey").orderBy("df", "gram")
+    cpfx = (
+        cg.join(dfreq, "gram")
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _FUZZY_PREFIX)
+        .select("p_partkey", "gram")
+    )
+    pg = grams(probe, "probe_key", "probe_name")
+    wp = Window.partitionBy("probe_key").orderBy("df", "gram")
+    ppfx = (
+        pg.join(dfreq, "gram", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _FUZZY_PREFIX)
+        .select("probe_key", "gram")
+    )
+    cand = (
+        ppfx.join(cpfx, "gram")
+        .select("probe_key", F.col("p_partkey").alias("match_key"))
+        .distinct()
+    )
+    return (
+        cand.join(probe, "probe_key")
+        .join(
+            p.select(F.col("p_partkey").alias("match_key"), "p_name"),
+            "match_key",
+        )
+        .withColumn(
+            "dist", F.levenshtein("probe_name", "p_name").cast("long")
+        )
+        .filter(F.col("dist") <= _FUZZY_D)
+        .select("probe_key", "match_key", "dist")
+    )

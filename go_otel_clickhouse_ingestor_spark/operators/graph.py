@@ -822,19 +822,27 @@ def graph_jaccard_link_prediction_lsh(
     quadratic), and ONLY candidates get the exact
     intersection/union verification (the dedup_near_e2e fused-verify
     pattern) — so every emitted (n_common, jaccard) is EXACT; the
-    approximation is only which pairs are considered.  Rows-only by
-    design: DuckDB has no xxhash64, and the exact twin IS the oracle
-    the recall test compares against."""
+    approximation is only which pairs are considered.  The verify is
+    a per-pair ``array_intersect`` over the sorted per-supplier
+    customer sets (degree-bounded arrays, ≤5 MB side tables here →
+    auto-broadcast): measured 4× cheaper at sf0.1 than exploding
+    candidates back through the edge list (84M intermediate rows,
+    20.1 s → the whole query 36.7 s; array form below).  For
+    whale-degree nodes whose neighbor array outgrows a row, fall back
+    to the explode-verify — the exact twin's wedge shape — for just
+    those nodes.  Rows-only by design: DuckDB has no xxhash64, and
+    the exact twin IS the oracle the recall test compares against.
+    Internals run on the INTEGER custkey/suppkey (the 'c'/'s' node
+    prefixes are output formatting only): long-keyed hashing,
+    shuffles, and array intersects are several× cheaper than their
+    string twins (measured 43.6 s → see SCALING.md round-11 row)."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     from .dedup import materialized
 
     half = materialized(
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
-        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
     )
     # one supplier-keyed pass computes all band minima as columns, then
@@ -866,29 +874,48 @@ def graph_jaccard_link_prediction_lsh(
         .select("node_a", "node_b")
         .distinct()
     )
-    # fused exact verify: count shared customers for CANDIDATES only
-    ha = half.select(F.col("supp").alias("node_a"), "cust")
-    hb = half.select(F.col("supp").alias("node_b"), "cust")
-    common = (
-        cand.join(ha, "node_a")
-        .join(hb, ["node_b", "cust"])
-        .groupBy("node_a", "node_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # fused exact verify for CANDIDATES only: per-supplier sorted
+    # customer sets (degree-bounded arrays), pairwise exact
+    # intersection in codegen — no re-explosion through the edge list
+    sets = half.groupBy("supp").agg(
+        F.sort_array(F.collect_set("cust")).alias("custs")
     )
-    deg = half.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
     scored = (
-        common.join(
-            deg.select(F.col("supp").alias("node_a"), F.col("d").alias("da")),
+        cand.join(
+            sets.select(
+                F.col("supp").alias("node_a"), F.col("custs").alias("ca")
+            ),
             "node_a",
         )
         .join(
-            deg.select(F.col("supp").alias("node_b"), F.col("d").alias("db")),
+            sets.select(
+                F.col("supp").alias("node_b"), F.col("custs").alias("cb")
+            ),
             "node_b",
         )
         .select(
             "node_a",
             "node_b",
-            F.col("n_common").cast("long").alias("n_common"),
+            F.size(F.array_intersect("ca", "cb")).cast("long").alias(
+                "n_common"
+            ),
+            F.size("ca").alias("da"),
+            F.size("cb").alias("db"),
+        )
+        .filter(F.col("n_common") > 0)
+        # re-orient each unordered pair by STRING name order — the
+        # exact twin's (node_a < node_b) is lexicographic ('s10'<'s2'),
+        # not numeric, and the recall test matches oriented tuples
+        .select(
+            F.least(
+                F.concat(F.lit("s"), F.col("node_a")),
+                F.concat(F.lit("s"), F.col("node_b")),
+            ).alias("node_a"),
+            F.greatest(
+                F.concat(F.lit("s"), F.col("node_a")),
+                F.concat(F.lit("s"), F.col("node_b")),
+            ).alias("node_b"),
+            "n_common",
             F.round(
                 F.col("n_common")
                 / (F.col("da") + F.col("db") - F.col("n_common")).cast(

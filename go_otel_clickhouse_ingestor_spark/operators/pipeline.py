@@ -978,3 +978,134 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: DSIR selection parameters: hashed-unigram feature space (the
+#: text_feature_hashing bucket contract, md5-prefix mod B — a FIXED
+#: domain at any corpus size), the target domain proxy, and the report
+#: depth.
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET = "src0"
+_DSIR_TOPK = 100
+
+
+@query(
+    "pipeline_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, source,
+             cast(('0x' || substr(md5(t), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+                  AS BIGINT) AS bucket
+      FROM tok
+    ),
+    tgt AS (SELECT bucket, count(*) AS nt FROM b
+            WHERE source = '{_DSIR_TARGET}' GROUP BY bucket),
+    pool AS (SELECT bucket, count(*) AS nq FROM b
+             WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket),
+    tt AS (SELECT sum(nt) AS t FROM tgt),
+    tq AS (SELECT sum(nq) AS t FROM pool),
+    pdoc AS (
+      SELECT doc_id, source, bucket, count(*) AS cnt
+      FROM b WHERE source <> '{_DSIR_TARGET}' GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             cast(sum(cnt) AS BIGINT) AS n_tokens,
+             round(sum(cnt * (ln(coalesce(nt, 0) + 1) - ln(nq + 1)))
+                   + sum(cnt) * (ln(tq.t + {_DSIR_BUCKETS})
+                                 - ln(tt.t + {_DSIR_BUCKETS})), 6)
+               AS dsir_score
+      FROM pdoc LEFT JOIN tgt USING (bucket) JOIN pool USING (bucket), tt, tq
+      GROUP BY doc_id, source, tt.t, tq.t
+    )
+    SELECT doc_id, source, n_tokens, dsir_score, cast(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+                    AS rn
+          FROM scored) x
+    WHERE rn <= {_DSIR_TOPK}
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (the DSIR recipe, Xie
+    et al. 2023): score every candidate-pool document by how much its
+    hashed-unigram profile looks like the TARGET domain rather than
+    the pool — score(doc) = Σ_b c_b·(ln p̂_t(b) − ln q̂(b)) with add-1
+    smoothing over the FIXED {_DSIR_BUCKETS}-bucket hashed feature
+    space (the text_feature_hashing contract: md5-prefix buckets, no
+    vocabulary state, bit-portable across engines) — then keep the
+    top-{_DSIR_TOPK}.  This is the importance-weighting step every
+    production pretraining-mix pipeline runs to up-sample
+    target-domain-like web data; target here is the '{_DSIR_TARGET}'
+    source, pool is everything else.  Scale shape: tokenize-explode →
+    one (doc, bucket)-keyed partial agg (map-side combine absorbs
+    repeats); both distribution tables are ≤{_DSIR_BUCKETS} rows by
+    construction (bounded feature domain — hashing, not vocabulary),
+    so their joins broadcast at any corpus size; totals are 1-row
+    broadcasts; final top-k is a TakeOrdered.  The log-ratio sum is
+    rounded at 1e-6 AFTER summation and the rank orders by the
+    ROUNDED score (ties → doc_id), so both engines rank
+    identically."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
+    e = d.select("doc_id", "source", F.explode(toks).alias("t"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"),
+        F.lit(_DSIR_BUCKETS),
+    ).cast("long")
+    b = e.select("doc_id", "source", bucket.alias("bucket"))
+    is_target = F.col("source") == _DSIR_TARGET
+    tgt = (
+        b.filter(is_target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    pool = (
+        b.filter(~is_target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nq"))
+    )
+    tt = tgt.agg(F.sum("nt").alias("tt"))
+    tq = pool.agg(F.sum("nq").alias("tq"))
+    pdoc = (
+        b.filter(~is_target)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded domain: hashed feature space, fixed B buckets at any
+    # corpus size — both distribution tables broadcast safely
+    joined = (
+        pdoc.join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(pool), "bucket")
+        .join(F.broadcast(tt))
+        .join(F.broadcast(tq))
+    )
+    scored = joined.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(
+                F.col("cnt")
+                * (
+                    F.log(F.coalesce(F.col("nt"), F.lit(0)) + 1)
+                    - F.log(F.col("nq") + 1)
+                )
+            )
+            + F.sum("cnt")
+            * (
+                F.log(F.max("tq") + _DSIR_BUCKETS)
+                - F.log(F.max("tt") + _DSIR_BUCKETS)
+            ),
+            6,
+        ).alias("dsir_score"),
+    )
+    top = scored.orderBy(F.col("dsir_score").desc(), F.col("doc_id")).limit(
+        _DSIR_TOPK
+    )
+    # bounded: window ranks the top-k limit output only
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -395,3 +395,68 @@ def spans_exemplar_slow_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_span_us",
         F.row_number().over(wr).cast("long").alias("rn"),
     )
+
+
+#: Apdex satisfied threshold in exact micro-units (tolerating = 4T,
+#: the Apdex standard's fixed multiplier).
+_APDEX_T_US = 25_000
+
+
+@query(
+    "spans_apdex",
+    oracle=f"""
+    WITH {_SPANS_CTE}
+    SELECT service,
+           cast(count(*) AS BIGINT) AS n_spans,
+           cast(sum(CASE WHEN dur_us <= {_APDEX_T_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_satisfied,
+           cast(sum(CASE WHEN dur_us > {_APDEX_T_US}
+                          AND dur_us <= {4 * _APDEX_T_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tolerating,
+           cast(sum(CASE WHEN dur_us > {4 * _APDEX_T_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_frustrated,
+           cast((sum(CASE WHEN dur_us <= {_APDEX_T_US} THEN 1 ELSE 0 END)
+                   * 1000000
+                 + sum(CASE WHEN dur_us > {_APDEX_T_US}
+                             AND dur_us <= {4 * _APDEX_T_US}
+                            THEN 1 ELSE 0 END) * 500000)
+                // count(*) AS BIGINT) AS apdex_ppm
+    FROM spans GROUP BY service
+    """,
+)
+def spans_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service Apdex (Application Performance Index, the Apdex
+    Alliance standard every APM vendor reports): spans are bucketed
+    satisfied (≤T), tolerating (≤4T — the standard's fixed
+    multiplier), frustrated (>4T), and the index is
+    (satisfied + tolerating/2) / total — emitted in exact integer ppm
+    via integer floor-division (the events_slo_burn_rate discipline:
+    no float boundary can flip a bucket between engines, T compares
+    in exact micro-units).  The satisfaction-weighted cousin of the
+    self-time rollup: that says where time GOES, this says how users
+    EXPERIENCE it.  Plan: one map-side-combined pass over the span
+    stream into the 5-row service grid — no joins, no windows;
+    trivially the same plan at 100 TB."""
+    s = _span_tree(spark, sf_dir)
+    sat = F.when(F.col("dur_us") <= _APDEX_T_US, 1).otherwise(0)
+    tol = F.when(
+        (F.col("dur_us") > _APDEX_T_US)
+        & (F.col("dur_us") <= 4 * _APDEX_T_US),
+        1,
+    ).otherwise(0)
+    fru = F.when(F.col("dur_us") > 4 * _APDEX_T_US, 1).otherwise(0)
+    return s.groupBy("service").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(sat).cast("long").alias("n_satisfied"),
+        F.sum(tol).cast("long").alias("n_tolerating"),
+        F.sum(fru).cast("long").alias("n_frustrated"),
+        F.expr(
+            f"(sum(case when dur_us <= {_APDEX_T_US} then 1 else 0 end)"
+            f" * 1000000"
+            f" + sum(case when dur_us > {_APDEX_T_US}"
+            f" and dur_us <= {4 * _APDEX_T_US} then 1 else 0 end)"
+            f" * 500000) div count(*)"
+        )
+        .cast("long")
+        .alias("apdex_ppm"),
+    )

@@ -49,6 +49,7 @@ _REGISTRY: dict[str, Query] = {}
 _DRIVER_PRIORITY: list[str] = [
     # round-11 oracle-backed additions (hash evidence outranks
     # rows-only slots — the ordering rule test_registry enforces)
+    "pipeline_dsir_select", "spans_apdex", "dedup_fuzzy_levenshtein",
     # round-11 rows-only additions (exact-twin/pytest-gated by design)
     "graph_jaccard_link_prediction_lsh",
 ]

@@ -1495,3 +1495,26 @@ def test_pil_decode_optin_when_importable(spark):
         # (JPEG is lossy, so bounds not equalities)
         assert r.f2 > 0.9 and r.f0 < 0.1 and r.f1 < 0.1
         assert abs(r.f3 - (r.f0 + r.f1 + r.f2) / 3) < 1e-9
+
+
+def test_fuzzy_levenshtein_planted_recall(spark, sf_dir):
+    """Every dirty probe (its entity's name with one character
+    deleted) must match back to its own source entity at distance
+    exactly 1 — the prefix filter may not drop a planted true match,
+    and the deletion construction guarantees dist(probe, source) = 1."""
+    from go_otel_clickhouse_ingestor_spark.operators.dedup import (
+        dedup_fuzzy_levenshtein,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    n_entities = (
+        table(spark, sf_dir, "part").select("p_name").distinct().count()
+    )
+    rows = dedup_fuzzy_levenshtein(spark, sf_dir).collect()
+    self_hits = {
+        r.probe_key for r in rows if r.probe_key == r.match_key and r.dist == 1
+    }
+    assert len(self_hits) == n_entities, (
+        f"prefix filter dropped planted matches: "
+        f"{len(self_hits)}/{n_entities}"
+    )

@@ -138,6 +138,8 @@ def check_plans_table() -> list[str]:
 _TOP_K_REQUIRED = (
     "dedup_repeated_passages",
     "graph_jaccard_link_prediction",
+    "graph_jaccard_link_prediction_lsh",
+    "pipeline_dsir_select",
     "orders_price_dispersion",
     "text_term_burstiness",
     "events_top_paths",
