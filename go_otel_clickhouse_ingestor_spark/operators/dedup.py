@@ -1084,7 +1084,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_partkey").alias("p_partkey"))
         .select("p_partkey", "p_name")
     )
-    cut = F.pmod(F.col("p_partkey"), F.length("p_name") - 2) + 1
+    # dirty probe: delete the character at key-derived position
+    # pmod(key, len-2)+2 (never first/last) — dist(probe, source) = 1
     probe = p.select(
         F.col("p_partkey").alias("probe_key"),
         F.concat(
@@ -1096,8 +1097,6 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("probe_name"),
     )
-    _ = cut  # documented inline above; the expr twins keep both engines exact
-
     def grams(df: DataFrame, key: str, name: str) -> DataFrame:
         return (
             df.select(

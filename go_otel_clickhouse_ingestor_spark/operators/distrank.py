@@ -70,6 +70,11 @@ def _quantile_bucket(
         1.0 / (4 * n_buckets),
     )
     splits = [float("-inf"), *sorted(set(qs)), float("inf")]
+    if len(splits) < 3:
+        # empty input: approxQuantile returns [] and Bucketizer needs
+        # >= 3 split points — a single constant bucket ranks the zero
+        # rows correctly and keeps the plan valid
+        return tmp.withColumn(_BUCKET, F.lit(0)).drop("__tpr_key"), _BUCKET
     buck = Bucketizer(
         splits=splits,
         inputCol="__tpr_key",

@@ -1262,9 +1262,12 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wins; the collect is the repo's bounded-scalar discipline.)
         raw = materialized(raw)
         tot = raw.agg(F.sum("raw")).collect()[0][0]
+        # empty graph: sum over zero rows is NULL and the score frame
+        # is empty regardless — any nonzero divisor keeps the plan valid
+        tot = int(tot) if tot else 1
         return raw.select(
             "node",
-            F.expr(f"(raw * {_HITS_SCALE}) div {int(tot)}").alias("score"),
+            F.expr(f"(raw * {_HITS_SCALE}) div {tot}").alias("score"),
         )
 
     a = None

@@ -53,26 +53,89 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
 
 
+def _walk_physical(node):
+    """Depth-first traversal of a physical plan via py4j, NOT
+    descending into cached subtrees: an ``InMemoryTableScan``'s cached
+    plan is served from the cache, not re-executed, so counting its
+    operators misrepresents what actually runs — an iterative query
+    that persists each round (HITS, k-means, label propagation) nests
+    every prior round's plan textually and a string count explodes
+    exponentially with iterations (the round-11 HITS row printed 721
+    phantom broadcasts).  AQE wrappers are transparent: descend into
+    ``initialPlan``."""
+    name = node.getClass().getSimpleName()
+    yield node
+    if name.startswith("InMemoryTableScan"):
+        return
+    if name.startswith("AdaptiveSparkPlan"):
+        yield from _walk_physical(node.initialPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_physical(children.apply(i))
+
+
 def audit(df: DataFrame) -> dict:
-    """One-call plan summary with the scale-relevant facts."""
+    """One-call plan summary with the scale-relevant facts.  Operator
+    counts traverse the physical plan itself (see
+    :func:`_walk_physical` for the cached-subtree rule); the
+    text-based fallback covers plans the JVM walk cannot reach."""
     plan = formatted_plan(df)
-    return {
+    out = {
         "pushed_filters": pushed_filters(df),
         "read_schemas": read_schemas(df),
-        "broadcast_joins": plan.count("BroadcastHashJoin")
-        + plan.count("BroadcastNestedLoopJoin"),
-        # formatted explain separates the node name from its arguments,
-        # so count "(n) Exchange" operator headers (excluding reused).
-        "shuffle_exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "python_row_at_a_time": plan.count("BatchEvalPython"),
-        "python_arrow": plan.count("ArrowEvalPython")
-        + plan.count("FlatMapGroupsInPandas")
-        + plan.count("ArrowAggregatePython")
-        + plan.count("MapInPandas"),
         "take_ordered": "TakeOrderedAndProject" in plan,
         "adaptive": "AdaptiveSparkPlan" in plan,
     }
+    try:
+        # executedPlan = prepared plan (EnsureRequirements applied, so
+        # Exchange nodes exist); preparing does NOT run the query — AQE
+        # wraps it un-finalized and _walk_physical descends initialPlan
+        names = [
+            n.getClass().getSimpleName()
+            for n in _walk_physical(df._jdf.queryExecution().executedPlan())
+        ]
+        out.update(
+            broadcast_joins=sum(
+                n.startswith(("BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+                for n in names
+            ),
+            shuffle_exchanges=sum(
+                n.startswith("ShuffleExchange") for n in names
+            ),
+            sort_merge_joins=sum(n.startswith("SortMergeJoin") for n in names),
+            python_row_at_a_time=sum(
+                n.startswith("BatchEvalPython") for n in names
+            ),
+            python_arrow=sum(
+                n.startswith(
+                    (
+                        "ArrowEvalPython",
+                        "FlatMapGroupsInPandas",
+                        "ArrowAggregatePython",
+                        "MapInPandas",
+                        "PythonMapInArrow",
+                        "MapInArrow",
+                    )
+                )
+                for n in names
+            ),
+            take_ordered=out["take_ordered"]
+            or any(n.startswith("TakeOrderedAndProject") for n in names),
+        )
+    except Exception:  # pragma: no cover - defensive py4j fallback
+        out.update(
+            broadcast_joins=plan.count("BroadcastHashJoin")
+            + plan.count("BroadcastNestedLoopJoin"),
+            shuffle_exchanges=len(re.findall(r"\(\d+\) Exchange\b", plan)),
+            sort_merge_joins=plan.count("SortMergeJoin"),
+            python_row_at_a_time=plan.count("BatchEvalPython"),
+            python_arrow=plan.count("ArrowEvalPython")
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("ArrowAggregatePython")
+            + plan.count("MapInPandas"),
+        )
+    return out
 
 
 def _walk_logical(node):

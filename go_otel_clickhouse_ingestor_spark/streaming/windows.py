@@ -230,3 +230,53 @@ def log_templates_windowed(
             F.min("line").alias("sample_line"),
         )
     )
+
+
+def apdex_windowed(
+    spans: DataFrame, width: str = "1 day", delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-window per-service Apdex — the streaming face of the batch
+    ``spans_apdex`` query, because the index is an ONLINE SLI on every
+    APM dashboard (the alert fires when a window's index dips, not at
+    end of day).  Input is a span stream shaped like
+    ``trace_assembly_stream``'s (service, dur_us, ts).
+
+    Mergeability is the design rule (the exp_histogram_windowed
+    contract): the three bucket COUNTS are partial-aggregable, so
+    window grids re-aggregate by addition and the ppm index is derived
+    from the merged counts — summing the per-window counts over all
+    windows and re-deriving the index must reproduce the batch grid
+    exactly.  State: one 3-counter cell per (window, service),
+    watermark-bounded."""
+    from ..operators.traces import _APDEX_T_US
+
+    sat = F.when(F.col("dur_us") <= _APDEX_T_US, 1).otherwise(0)
+    tol = F.when(
+        (F.col("dur_us") > _APDEX_T_US)
+        & (F.col("dur_us") <= 4 * _APDEX_T_US),
+        1,
+    ).otherwise(0)
+    fru = F.when(F.col("dur_us") > 4 * _APDEX_T_US, 1).otherwise(0)
+    return (
+        spans.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("win"), "service")
+        .agg(
+            F.sum(sat).cast("long").alias("n_satisfied"),
+            F.sum(tol).cast("long").alias("n_tolerating"),
+            F.sum(fru).cast("long").alias("n_frustrated"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "service",
+            "n_satisfied",
+            "n_tolerating",
+            "n_frustrated",
+            F.expr(
+                "(n_satisfied * 1000000 + n_tolerating * 500000)"
+                " div (n_satisfied + n_tolerating + n_frustrated)"
+            )
+            .cast("long")
+            .alias("apdex_ppm"),
+        )
+    )

@@ -189,3 +189,80 @@ def test_duplicate_delivery_dedups_on_idx(spark, tmp_path):
         1: ("a", 100, 70, 0, 2),   # self = 100 - 30, NOT 100 - 999
         2: ("b", 30, 30, 1, 2),
     }
+
+
+def test_apdex_windowed_merges_to_batch_grid(spark, sf_dir, tmp_path):
+    """Summing apdex_windowed's per-window bucket counts over all
+    windows and re-deriving the ppm index must reproduce the batch
+    spans_apdex grid exactly (the mergeability contract) — with the
+    span feed split across two triggers."""
+    from go_otel_clickhouse_ingestor_spark.operators.traces import (
+        _span_tree,
+        spans_apdex,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        apdex_windowed,
+    )
+
+    spans = _span_tree(spark, sf_dir).collect()
+    rows = [
+        {
+            "service": r.service,
+            "dur_us": r.dur_us,
+            # spread across two calendar days so >1 window exists
+            "ts": f"2024-01-{1 + r.idx % 2:02d} 00:00:{r.idx % 50:02d}",
+        }
+        for r in spans
+    ]
+    half = len(rows) // 2
+    d = tmp_path / "apdex_feed"
+    d.mkdir()
+    for i, batch in enumerate((rows[:half], rows[half:])):
+        p = d / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("service string, dur_us long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"apdex_{uuid.uuid4().hex[:8]}"
+    q = (
+        apdex_windowed(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got_counts: dict = {}
+    n_windows = set()
+    for r in spark.table(name).collect():
+        n_windows.add(r.win_start)
+        c = got_counts.setdefault(r.service, [0, 0, 0])
+        c[0] += r.n_satisfied
+        c[1] += r.n_tolerating
+        c[2] += r.n_frustrated
+    assert len(n_windows) >= 2, "feed produced only one window"
+    got = {
+        s: (
+            sat + tol + fru,
+            sat,
+            tol,
+            fru,
+            (sat * 1_000_000 + tol * 500_000) // (sat + tol + fru),
+        )
+        for s, (sat, tol, fru) in got_counts.items()
+    }
+    want = {
+        r.service: (
+            r.n_spans,
+            r.n_satisfied,
+            r.n_tolerating,
+            r.n_frustrated,
+            r.apdex_ppm,
+        )
+        for r in spans_apdex(spark, sf_dir).collect()
+    }
+    assert got == want
