@@ -126,6 +126,8 @@ HEADLINE = [
     "pipeline_dsir_select",
     "spans_apdex",
     "dedup_fuzzy_levenshtein",
+    "dq_drift_ks",
+    "dq_benford_first_digit",
 ]
 
 

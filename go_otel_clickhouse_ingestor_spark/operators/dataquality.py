@@ -595,3 +595,169 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_null) div n_rows").alias("null_ppm"),
         F.expr("(1000000 * n_distinct) div n_rows").alias("distinct_ppm"),
     )
+
+
+#: Two-sample KS drift grid: value domain binned to a FIXED grid of
+#: centi-unit cells so the CDF sweep runs over a bounded domain (the
+#: exact KS over raw distinct values needs a global ordered cumsum —
+#: a data-growing single-task window, the class verify_round gates;
+#: on binned data the discrete KS is exact for the binned measure).
+_KS_BIN_C = 100  # bin width in value centi-units
+
+
+@query(
+    "dq_drift_ks",
+    oracle=f"""
+    WITH halves AS (
+      SELECT CASE WHEN 2 * epoch_us(ts) <
+                  (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events)
+             THEN 1 ELSE 2 END AS half,
+             cast(round(value * 100) AS BIGINT) // {_KS_BIN_C} AS bin
+      FROM events
+    ),
+    g AS (
+      SELECT bin,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2
+      FROM halves GROUP BY bin
+    ),
+    t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM g),
+    cdf AS (
+      SELECT bin,
+             sum(n1) OVER (ORDER BY bin) AS c1,
+             sum(n2) OVER (ORDER BY bin) AS c2
+      FROM g
+    )
+    SELECT cast(max(abs(c1 * t.t2 - c2 * t.t1)
+                    // greatest(t.t1 * t.t2 // 1000000, 1)) AS BIGINT)
+             AS ks_ppm,
+           cast(count(*) AS BIGINT)       AS n_bins,
+           cast(max(t.t1) AS BIGINT)      AS n_first,
+           cast(max(t.t2) AS BIGINT)      AS n_second
+    FROM cdf, t
+    """,
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the first and
+    second calendar halves of the event stream — THE distribution-drift
+    gate a data-quality layer runs on every refresh (PSI's
+    nonparametric sibling: max CDF gap, sensitive anywhere in the
+    distribution, no binning assumptions beyond the fixed grid).  The
+    statistic is exact integer ppm over the binned measure: the gap
+    |F1−F2| is cross-multiplied (c1·t2 − c2·t1) so no float division
+    happens before the single final floor-division — bit-identical
+    across engines (the events_slo_burn_rate discipline).  Scale
+    shape: one map-side-combined pass into the bounded bin grid
+    (fixed {_KS_BIN_C}-centi-unit cells — value-range-bounded, NOT
+    data-growing), the CDF sweep is a window over that bounded grid
+    only, and the totals are 1-row aggregates."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    halves = ev.join(F.broadcast(b)).select(
+        F.when(
+            2 * F.unix_micros("ts") < F.col("t0") + F.col("t1"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        F.expr(f"cast(round(value * 100) as bigint) div {_KS_BIN_C}").alias(
+            "bin"
+        ),
+    )
+    g = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    t = g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    from pyspark.sql.window import Window
+
+    # bounded: the CDF window sweeps the fixed centi-unit bin grid
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = g.select(
+        "bin",
+        F.sum("n1").over(wc).alias("c1"),
+        F.sum("n2").over(wc).alias("c2"),
+    ).join(F.broadcast(t))
+    return cdf.agg(
+        F.expr(
+            "cast(max(abs(c1 * t2 - c2 * t1)"
+            " div greatest((t1 * t2) div 1000000, 1)) as bigint)"
+        ).alias("ks_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.max("t1").cast("long").alias("n_first"),
+        F.max("t2").cast("long").alias("n_second"),
+    )
+
+
+#: Benford expected first-digit mass in exact ppm (floor(log-law ppm):
+#: ppm_d = round(1e6 * log10(1 + 1/d)) — the canonical table, pinned
+#: as integers so both engines compare against the SAME constants).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT substr(cast(cast(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1)::BIGINT AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM g),
+    e AS (SELECT * FROM (VALUES
+      {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+      AS v(digit, exp_ppm))
+    SELECT cast(e.digit AS BIGINT) AS digit,
+           cast(coalesce(g.n, 0) AS BIGINT)                    AS n,
+           cast((1000000 * coalesce(g.n, 0)) // t.tot AS BIGINT) AS obs_ppm,
+           cast(e.exp_ppm AS BIGINT)                           AS exp_ppm,
+           cast(abs((1000000 * coalesce(g.n, 0)) // t.tot - e.exp_ppm)
+                AS BIGINT)                                     AS dev_ppm
+    FROM e LEFT JOIN g USING (digit), t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic forensic data-quality screen (fabricated or truncated
+    monetary columns drift from the log-law digit distribution; real
+    multiplicative totals follow it).  Emits the 9-row digit grid
+    with observed vs expected mass in exact integer ppm (the expected
+    table is pinned as integer constants so both engines compare the
+    same values; deviations are integer ppm — no float anywhere).
+    Scale: first digit via string head of the exact centi-unit
+    integer (no float log10), one map-side-combined pass into a
+    9-row grid, 1-row total broadcast."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.expr(
+            "cast(substring(cast(cast(round(o_totalprice * 100) as bigint)"
+            " as string), 1, 1) as bigint)"
+        ).alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("tot"))
+    e = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit long, exp_ppm long"
+    )
+    return (
+        e.join(g, "digit", "left")
+        .join(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("(1000000 * coalesce(n, 0)) div tot")
+            .cast("long")
+            .alias("obs_ppm"),
+            F.col("exp_ppm").cast("long"),
+            F.expr(
+                "cast(abs((1000000 * coalesce(n, 0)) div tot - exp_ppm)"
+                " as bigint)"
+            ).alias("dev_ppm"),
+        )
+    )

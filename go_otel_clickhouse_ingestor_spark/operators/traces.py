@@ -425,8 +425,12 @@ _APDEX_T_US = 25_000
     """,
 )
 def spans_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-service Apdex (Application Performance Index, the Apdex
-    Alliance standard every APM vendor reports): spans are bucketed
+    """Per-service Apdex over the SPAN table — the trace-side sibling
+    of ``events_apdex_score`` (which scores event values per type in
+    rounded float): here the subject is span durations per SERVICE,
+    the output carries the three bucket COUNTS (the mergeable state
+    the windowed streaming face re-aggregates — ``apdex_windowed``),
+    and the index is exact integer ppm.  Spans are bucketed
     satisfied (≤T), tolerating (≤4T — the standard's fixed
     multiplier), frustrated (>4T), and the index is
     (satisfied + tolerating/2) / total — emitted in exact integer ppm
