@@ -127,6 +127,7 @@ HEADLINE = [
     "spans_apdex",
     "dedup_fuzzy_levenshtein",
     "dq_drift_ks",
+    "dq_drift_psi",
     "dq_benford_first_digit",
 ]
 

@@ -761,3 +761,90 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
     )
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH halves AS (
+      SELECT CASE WHEN 2 * epoch_us(ts) <
+                  (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events)
+             THEN 1 ELSE 2 END AS half,
+             cast(round(value * 100) AS BIGINT) // {_KS_BIN_C} AS bin
+      FROM events
+    ),
+    g AS (
+      SELECT bin,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2
+      FROM halves GROUP BY bin
+    ),
+    t AS (SELECT sum(n1) AS t1, sum(n2) AS t2, count(*) AS b FROM g)
+    SELECT bin,
+           cast(n1 AS BIGINT) AS n1,
+           cast(n2 AS BIGINT) AS n2,
+           round(((n1 + 1) / cast(t.t1 + t.b AS DOUBLE)
+                  - (n2 + 1) / cast(t.t2 + t.b AS DOUBLE))
+                 * ln(((n1 + 1) * (t.t2 + t.b))
+                      / cast((n2 + 1) * (t.t1 + t.b) AS DOUBLE)),
+                 6) AS psi_contrib
+    FROM g, t
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift grid between the first and
+    second calendar halves — THE industry drift metric (credit-risk
+    monitoring's standard; 0.1/0.25 action thresholds), complementing
+    ``dq_drift_ks``: KS reports the worst single point of CDF
+    divergence, PSI reports where the mass moved, bin by bin —
+    emitted as the per-bin contribution grid so the dashboard shows
+    WHICH value range drifted (the fleet PSI is the grid's sum).
+    Add-1 smoothing over the observed bin count keeps empty-side bins
+    finite; the log ratio is formed as one cross-multiplied quotient
+    so both engines evaluate the identical float expression, rounded
+    at 1e-6 (the tfidf ladder rule).  Scale shape: the same ONE
+    map-side-combined pass into the fixed centi-unit bin grid as
+    dq_drift_ks, then a 1-row totals broadcast onto the bounded
+    grid."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    halves = ev.join(F.broadcast(b)).select(
+        F.when(
+            2 * F.unix_micros("ts") < F.col("t0") + F.col("t1"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        F.expr(f"cast(round(value * 100) as bigint) div {_KS_BIN_C}").alias(
+            "bin"
+        ),
+    )
+    g = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    t = g.agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    return g.join(F.broadcast(t)).select(
+        "bin",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(
+            (
+                (F.col("n1") + 1) / (F.col("t1") + F.col("b")).cast("double")
+                - (F.col("n2") + 1) / (F.col("t2") + F.col("b")).cast("double")
+            )
+            * F.log(
+                ((F.col("n1") + 1) * (F.col("t2") + F.col("b")))
+                / ((F.col("n2") + 1) * (F.col("t1") + F.col("b"))).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("psi_contrib"),
+    )

@@ -50,7 +50,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-11 oracle-backed additions (hash evidence outranks
     # rows-only slots — the ordering rule test_registry enforces)
     "pipeline_dsir_select", "spans_apdex", "dedup_fuzzy_levenshtein",
-    "dq_drift_ks", "dq_benford_first_digit",
+    "dq_drift_ks", "dq_benford_first_digit", "dq_drift_psi",
     # round-11 rows-only additions (exact-twin/pytest-gated by design)
     "graph_jaccard_link_prediction_lsh",
 ]
