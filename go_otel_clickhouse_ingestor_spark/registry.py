@@ -38,22 +38,15 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 11 rotation:
-#: after round 10's window sampled, EVERY registered query (378) has a
-#: driver row — the cumulative green union of CORRECTNESS_r1–r10 covers
-#: the whole registry — so the backlog head is emptied and the window
-#: is filled entirely by this round's additions via
-#: :func:`driver_priority_append` in registration order.
-#: ``tools/verify_round.py`` fails loudly if any name at the head of
-#: this list is already green in a CORRECTNESS_r*.json.
-_DRIVER_PRIORITY: list[str] = [
-    # round-11 oracle-backed additions (hash evidence outranks
-    # rows-only slots — the ordering rule test_registry enforces)
-    "pipeline_dsir_select", "spans_apdex", "dedup_fuzzy_levenshtein",
-    "dq_drift_ks", "dq_benford_first_digit", "dq_drift_psi",
-    # round-11 rows-only additions (exact-twin/pytest-gated by design)
-    "graph_jaccard_link_prediction_lsh",
-]
+#: queries with the least driver-anchored evidence.  Round 12 rotation:
+#: all round-11 additions went driver-green in CORRECTNESS_r11 (the 6
+#: oracle-backed names hash-passed; the LSH face ran clean rows-only),
+#: so the backlog head is emptied again and the window is filled by
+#: this round's additions via :func:`driver_priority_append` in
+#: registration order.  ``tools/verify_round.py`` fails loudly if any
+#: name at the head of this list is already green in a
+#: CORRECTNESS_r*.json.
+_DRIVER_PRIORITY: list[str] = []
 
 #: Names appended here by round-5 modules land right after the backlog
 #: in the driver window.  Kept as a mutation hook so operator modules
