@@ -1004,8 +1004,8 @@ _FUZZY_PREFIX = 2 * _FUZZY_D + 1
     ),
     probe AS (
       SELECT p_partkey AS probe_key,
-             substr(p_name, 1, (p_partkey % (length(p_name) - 2)) + 1)
-             || substr(p_name, (p_partkey % (length(p_name) - 2)) + 3)
+             substr(p_name, 1, (p_partkey % greatest(length(p_name) - 2, 1)) + 1)
+             || substr(p_name, (p_partkey % greatest(length(p_name) - 2, 1)) + 3)
                AS probe_name
       FROM cat
     ),
@@ -1085,15 +1085,19 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
     )
     # dirty probe: delete the character at key-derived position
-    # pmod(key, len-2)+2 (never first/last) — dist(probe, source) = 1
+    # pmod(key, len-2)+2 (never first/last) — dist(probe, source) = 1.
+    # The modulus is clamped to ≥1 (both engines): names of length ≤2
+    # would otherwise divide by zero and silently NULL out of the
+    # planted probe set (r11 advisor; harmless on TPC-H names but a
+    # latent trap for short catalogs)
     probe = p.select(
         F.col("p_partkey").alias("probe_key"),
         F.concat(
             F.expr(
-                "substring(p_name, 1, pmod(p_partkey, length(p_name) - 2) + 1)"
+                "substring(p_name, 1, pmod(p_partkey, greatest(length(p_name) - 2, 1)) + 1)"
             ),
             F.expr(
-                "substring(p_name, pmod(p_partkey, length(p_name) - 2) + 3)"
+                "substring(p_name, pmod(p_partkey, greatest(length(p_name) - 2, 1)) + 3)"
             ),
         ).alias("probe_name"),
     )

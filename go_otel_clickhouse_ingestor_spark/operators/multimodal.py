@@ -239,7 +239,16 @@ def decode_media_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             w, h, f0, f1, f2, f3 = decode_bmp(buf)
             row = dict(width=w, height=h, f0=f0, f1=f1, f2=f2, f3=f3)
         elif media in pil_types:  # pragma: no cover - Pillow-only path
-            w, h, f0, f1, f2, f3 = decode_pil(buf)
+            try:
+                w, h, f0, f1, f2, f3 = decode_pil(buf)
+            except Exception as exc:  # noqa: BLE001 - re-raise with row context
+                # a truncated/corrupt payload surfaces as PIL's own
+                # UnidentifiedImageError; wrap it so the failing row is
+                # identifiable from the task error
+                raise ValueError(
+                    f"undecodable {media} payload for doc_id={doc_id} "
+                    f"({len(buf)} bytes): {exc}"
+                ) from exc
             row = dict(width=w, height=h, f0=f0, f1=f1, f2=f2, f3=f3)
         elif media == "wav":
             rate, n, rms, zc = decode_wav(buf)

@@ -152,7 +152,17 @@ def trace_assembly_stream(
     ts timestamp)`` — the wire shape of the reference's self-emitted
     spans after ``source_otlp_spans_parse``.  Returns the assembled
     per-span rows (``ASSEMBLED_SCHEMA``) of every trace the watermark
-    has closed; each trace emits exactly once.
+    has closed: AT MOST ONCE PER CLOSED SESSION, not exactly once per
+    trace — a span arriving after its trace's event-time timeout fired
+    but still above the watermark re-creates state under the same
+    trace_id and later emits a SECOND partial trace (standard
+    session-window semantics; the r11 advisor called out the earlier
+    'exactly once' overclaim).  Downstream re-aggregations that merge
+    on trace_id (e.g. ``self_time_rollup``) must therefore either
+    tolerate split traces (sum/count merge cleanly; avg-of-avgs does
+    not) or read the assembled lake with a last-writer-wins upsert
+    keyed on (trace_id, idx) — the idx-dedup already makes per-span
+    rows safe to re-merge.
     """
     return (
         spans.withWatermark("ts", watermark_delay)
