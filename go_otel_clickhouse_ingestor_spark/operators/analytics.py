@@ -2687,10 +2687,12 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
     )
+    # bounded: day-grain calendar frame — one row per date
     o = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     c = daily.select("day", F.sum("x").over(o).alias("cum"))
     p = c.select("day", "cum", F.max("cum").over(o).alias("peak"))
     dd = F.col("peak") - F.col("cum")
+    # bounded: same day-grain calendar frame as above
     g = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -3625,6 +3627,7 @@ def events_conversion_latency_curve(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("days")
     )
     hist = lat.groupBy("days").agg(F.count(F.lit(1)).alias("n"))
+    # bounded: day-latency histogram bins — |distinct days| rows, not events
     wc = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
     wg = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -5205,6 +5208,7 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
     per_x = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    # bounded: |distinct per-user counts| rows — behavior-bounded, not user-domain
     w_off = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
     px = per_x.select(
         "x",

@@ -63,7 +63,17 @@ TOKEN_BUDGET = 20_000
 def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup → lang filter → quality filter → token budget, one plan.
     Catalyst fuses the map stages into a single codegen span; the only
-    shuffles are the fingerprint window and the final budget window."""
+    shuffles are the fingerprint window and the budget cumsum.  The
+    budget cumsum is the DISTRIBUTED two-phase form (sort_multi_key's
+    pattern): range-partition on doc_id, per-partition local running
+    sum (window partitioned by ``spark_partition_id`` — fully
+    parallel), then add each partition's token offset computed over
+    the npartitions-row totals table and broadcast back.  The r12
+    window gate caught the previous single-task global
+    ``Window.orderBy(doc_id)`` form — it was passing the old gate via
+    the 'bounded' substring inside ``unboundedPreceding``, and a
+    corpus-sized cumsum through ONE task is exactly the class the
+    gate exists for."""
     d = table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
     keep = d.withColumn("fingerprint", fp).withColumn(
@@ -85,11 +95,38 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.4 * len_norm + 0.5 * alpha - 0.1 * punct, 6).alias("quality"),
     ).filter(F.col("quality") >= QUALITY_MIN)
 
-    budget_w = (
-        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = q.repartitionByRange(npart, F.col("doc_id")).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    return q.withColumn("cum_tokens", F.sum("n_tokens").over(budget_w)).filter(
-        F.col("cum_tokens") <= TOKEN_BUDGET
+    local = ranged.withColumn(
+        "_lcum",
+        F.sum("n_tokens").over(Window.partitionBy("_pid").orderBy("doc_id")),
+    )
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                # bounded: npartitions-row totals table, never corpus-sized
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            (F.col("_off") + F.col("_lcum")).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
     )
 
 

@@ -674,6 +674,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "_off",
             F.coalesce(
+                # bounded: npartitions-row count table, never data-sized
                 F.sum("_cnt").over(
                     Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
                 ),

@@ -277,13 +277,18 @@ def check_unpartitioned_windows(roots: list[str] | None = None) -> list[str]:
     (a node-domain-growing frame through ``Window.partitionBy()`` six
     times per run), so the discipline is the same as
     :func:`check_unbounded_broadcasts`: annotation-or-red.  A site
-    passes when ``bounded`` (case-insensitive) appears on the line,
-    in the 6 lines above it, or in the enclosing function's
-    docstring — the point is forcing a deliberate, written bound at
-    each single-partition pass."""
+    passes when ``bounded`` (case-insensitive) appears in a COMMENT
+    on the line or in the 6 lines above it, or in the enclosing
+    function's docstring — the point is forcing a deliberate, written
+    bound at each single-partition pass.  Aliases are resolved from
+    the module's actual imports of ``pyspark.sql.window.Window`` (r11
+    review: the old hardcoded {Window, _W, W} set let ``import Window
+    as Win`` defeat the gate, and 'bounded' inside an unrelated
+    string literal counted as an annotation)."""
     import ast
+    import io
+    import tokenize
 
-    aliases = {"Window", "_W", "W"}
     errs: list[str] = []
     roots = roots or [
         os.path.join(REPO, "go_otel_clickhouse_ingestor_spark", "**", "*.py")
@@ -294,8 +299,59 @@ def check_unpartitioned_windows(roots: list[str] | None = None) -> list[str]:
                 src = fh.read()
             if "Window" not in src:
                 continue
-            lines = src.splitlines()
             tree = ast.parse(src)
+            # Alias resolution from the import graph, not a name list:
+            # every binding of pyspark.sql.window.Window (``from
+            # pyspark.sql.window import Window [as X]``) plus every
+            # module alias (``from pyspark.sql import window [as M]``
+            # / ``import pyspark.sql.window [as M]``) whose
+            # ``M.Window`` attribute access we also match below.
+            aliases: set[str] = set()
+            mod_aliases: set[str] = set()
+            for n in ast.walk(tree):
+                if isinstance(n, ast.ImportFrom):
+                    if n.module == "pyspark.sql.window":
+                        aliases.update(
+                            a.asname or a.name
+                            for a in n.names
+                            if a.name == "Window"
+                        )
+                    elif n.module == "pyspark.sql":
+                        mod_aliases.update(
+                            a.asname or a.name
+                            for a in n.names
+                            if a.name == "window"
+                        )
+                elif isinstance(n, ast.Import):
+                    mod_aliases.update(
+                        a.asname or "pyspark"
+                        for a in n.names
+                        if a.name.startswith("pyspark.sql.window")
+                    )
+                elif isinstance(n, ast.Assign) and isinstance(
+                    n.value, ast.Name
+                ):
+                    # one-hop re-binding (``W = Window``) — resolved on
+                    # a second pass below once direct aliases are known
+                    pass
+            for n in ast.walk(tree):
+                if (
+                    isinstance(n, ast.Assign)
+                    and isinstance(n.value, ast.Name)
+                    and n.value.id in aliases
+                ):
+                    aliases.update(
+                        t.id for t in n.targets if isinstance(t, ast.Name)
+                    )
+            if not aliases and not mod_aliases:
+                continue
+            # Annotation text = COMMENTS only (tokenize), not arbitrary
+            # source — an incidental 'bounded' inside a string literal
+            # no longer passes the gate.
+            comment_by_line: dict[int, str] = {}
+            for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+                if tok.type == tokenize.COMMENT:
+                    comment_by_line[tok.start[0]] = tok.string.lower()
             funcs = [
                 (n.lineno, n.end_lineno, (ast.get_docstring(n) or "").lower())
                 for n in ast.walk(tree)
@@ -303,20 +359,29 @@ def check_unpartitioned_windows(roots: list[str] | None = None) -> list[str]:
             ]
 
             def annotated(lineno: int) -> bool:
-                ctx = "\n".join(lines[max(0, lineno - 7) : lineno]).lower()
-                if "bounded" in ctx:
+                if any(
+                    "bounded" in comment_by_line.get(ln, "")
+                    for ln in range(max(1, lineno - 6), lineno + 1)
+                ):
                     return True
                 return any(
                     a <= lineno <= b and "bounded" in doc
                     for a, b, doc in funcs
                 )
 
+            def is_window_ref(expr: ast.expr) -> bool:
+                if isinstance(expr, ast.Name):
+                    return expr.id in aliases
+                # module-alias access: ``M.Window`` / ``pyspark.sql.window.Window``
+                if isinstance(expr, ast.Attribute) and expr.attr == "Window":
+                    return ast.unparse(expr.value).split(".", 1)[0] in mod_aliases
+                return False
+
             for node in ast.walk(tree):
                 if not (
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
-                    and isinstance(node.func.value, ast.Name)
-                    and node.func.value.id in aliases
+                    and is_window_ref(node.func.value)
                 ):
                     continue
                 kind = None
