@@ -748,9 +748,8 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     top-k is a TakeOrdered, never a full sort."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    from .dedup import materialized
 
-    half = materialized(
+    half = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
@@ -758,6 +757,18 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
+    return lp_exact_core(half)
+
+
+def lp_exact_core(half: DataFrame, topk: int = _LP_TOPK) -> DataFrame:
+    """Algorithmic core of ``graph_jaccard_link_prediction`` over an
+    arbitrary string-node distinct (cust, supp) edge list — shared by
+    the registry query and ``tools/scale_probe.py``'s ``lp_sparse``
+    probe, which measures the wedge join's Σd² explosion on a
+    Zipf-pivot graph against :func:`lp_lsh_core` on the same edges."""
+    from .dedup import materialized
+
+    half = materialized(half)
     deg = half.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
     a = half.select(F.col("supp").alias("node_a"), F.col("cust").alias("k"))
     b = half.select(F.col("supp").alias("node_b"), F.col("cust").alias("k"))
@@ -785,7 +796,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     top = scored.orderBy(
         F.col("jaccard").desc(), F.col("node_a"), F.col("node_b")
-    ).limit(_LP_TOPK)
+    ).limit(topk)
     # bounded: window ranks the top-k limit output only (the
     # row_number-then-filter form ran the whole pair frame through one
     # window task — the class verify_round gates)
@@ -835,16 +846,31 @@ def graph_jaccard_link_prediction_lsh(
     Internals run on the INTEGER custkey/suppkey (the 'c'/'s' node
     prefixes are output formatting only): long-keyed hashing,
     shuffles, and array intersects are several× cheaper than their
-    string twins (measured 43.6 s → see SCALING.md round-11 row)."""
+    string twins (measured 43.6 s → see SCALING.md round-11 row).
+    The sparse-regime evidence (where this path BEATS the exact wedge
+    join rather than merely surviving it) is SCALING.md's round-12
+    ``lp_sparse`` probe, which feeds :func:`lp_lsh_core` — the same
+    plan this query registers — a Zipf-pivot bipartite graph."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    from .dedup import materialized
 
-    half = materialized(
+    half = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
     )
+    return lp_lsh_core(half)
+
+
+def lp_lsh_core(half: DataFrame, topk: int = _LP_TOPK) -> DataFrame:
+    """Algorithmic core of ``graph_jaccard_link_prediction_lsh`` over an
+    arbitrary long-keyed distinct (cust, supp) edge list — shared by the
+    registry query (TPC-H trade graph) and ``tools/scale_probe.py``'s
+    ``lp_sparse`` probe (synthetic Zipf-pivot bipartite graph), so the
+    probe times EXACTLY the registered plan."""
+    from .dedup import materialized
+
+    half = materialized(half)
     # one supplier-keyed pass computes all band minima as columns, then
     # stack unpivots to (supp, band, sig) — 16 aggregates, ONE shuffle
     sig_cols = [
@@ -927,7 +953,7 @@ def graph_jaccard_link_prediction_lsh(
     )
     top = scored.orderBy(
         F.col("jaccard").desc(), F.col("node_a"), F.col("node_b")
-    ).limit(_LP_TOPK)
+    ).limit(topk)
     # bounded: window ranks the top-k limit output only
     w = Window.orderBy(F.col("jaccard").desc(), F.col("node_a"), F.col("node_b"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1229,7 +1255,16 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     row and broadcast back — no single-partition window pass over the
     node-growing score frame (the round-10 verdict's last weak item:
     ``F.sum.over(Window.partitionBy())`` funneled the whole node
-    domain through one task six times per run)."""
+    domain through one task six times per run).  TRADE-OFF: the
+    scalar barrier makes this query EAGER AT BUILD TIME — merely
+    constructing the DataFrame (``.explain()``, the PLANS.md audit)
+    executes {_HITS_ITERS}×2 bounded agg jobs and persists as many
+    intermediates (the materialized-FIFO cap bounds cache growth);
+    accepted on measurement, since the lazy alternatives lose (1-row
+    broadcast join: 23.3 s vs 8.0 s — a BroadcastNestedLoopJoin per
+    half-step; single-partition window: the scale wart this
+    replaced).  Plan-audit tooling tolerates the eager build — audit
+    walks the PREPARED plan and stops at InMemoryTableScan."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     from .dedup import materialized

@@ -448,7 +448,134 @@ def skew_stress(spark) -> dict:
     return out
 
 
+#: lp_sparse fixture shape: 100 planted near-identical supplier pairs
+#: (7 shared + 1 own cold customer + 1 Zipf-hot customer each → true
+#: top-k Jaccard ≈ 7/11) on top of an otherwise overlap-free sparse
+#: graph whose only shared customers are the 1000 Zipf-hot ids.
+_LP_PLANTED = 100
+_LP_COLD = 7  # shared-cold customers per supplier (the similarity signal)
+_LP_HOT_RANKS = 1_000
+
+
+def build_lp_sparse(spark, n_sup: int) -> str:
+    """Materialize the sparse Zipf-pivot bipartite edge list the exact
+    wedge join is WRONG for: per-supplier customer sets are tiny
+    (9 edges), so the graph is sparse and LSH signatures are cheap,
+    but customer-pivot degrees follow a Zipf law — the hottest
+    customer touches ~10% of ALL suppliers (ln2/ln1000 of edges), so
+    the wedge generator's Σd² grows QUADRATICALLY with supplier count
+    while edges (and the LSH path) grow linearly.  That is the sparse
+    billion-node regime the banded path exists for: almost all wedge
+    pairs share only a hot customer (Jaccard ≈ 1/17 — never top-k),
+    yet the exact form must materialize and aggregate every one of
+    them.  All ids are hash-derived (no RNG state); cold customers
+    live in a 2^40 space so cross-supplier collisions are negligible,
+    hot customers are NEGATIVE ids so the two populations stay
+    disjoint."""
+    out = f"{SCALE_ROOT}/lp_sparse_{n_sup}"
+    if not os.path.exists(f"{out}/half.parquet/_SUCCESS"):
+        sup = spark.range(n_sup).select(F.col("id").alias("supp"))
+        # planted pairs: suppliers (2i, 2i+1) for i < _LP_PLANTED share
+        # their 7 cold customers via a common group key
+        group = F.when(
+            F.col("supp") < 2 * _LP_PLANTED, F.col("supp") - F.col("supp") % 2
+        ).otherwise(F.col("supp"))
+        cold = (
+            sup.withColumn("grp", group)
+            .select(
+                "supp",
+                "grp",
+                F.explode(F.sequence(F.lit(0), F.lit(_LP_COLD))).alias("i"),
+            )
+            .select(
+                "supp",
+                F.when(
+                    F.col("i") < _LP_COLD,
+                    F.pmod(F.xxhash64("grp", "i"), F.lit(1 << 40)),
+                )
+                .otherwise(
+                    # the own-cold customer: keyed on supp (not grp), so
+                    # planted partners differ in exactly this edge
+                    F.pmod(F.xxhash64("supp", F.lit(1_000_003)), F.lit(1 << 40))
+                )
+                .alias("cust"),
+            )
+        )
+        # one Zipf-hot customer per supplier: inverse-CDF rank =
+        # ceil(K^u), P(rank r) ∝ ln((r+1)/r) — the skew-probe rule
+        u = (
+            F.pmod(F.xxhash64("supp", F.lit(7)), F.lit(1_000_000)).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+        hot = sup.select(
+            "supp",
+            (-F.ceil(F.pow(F.lit(float(_LP_HOT_RANKS)), u))).cast("long").alias("cust"),
+        )
+        edges = cold.select("cust", "supp").unionByName(hot.select("cust", "supp")).distinct()
+        edges.repartition(32).write.mode("overwrite").parquet(f"{out}/half.parquet")
+    return out
+
+
+def lp_sparse_probe(spark, n: int) -> dict:
+    """Banded-LSH vs exact-wedge link prediction on the sparse
+    Zipf-pivot fixture at 1× and n× supplier count: wall time, the
+    analytic wedge-pair count Σd·(d-1)/2 (the exact path's intermediate
+    cardinality) vs the LSH candidate count, and top-20 recall of the
+    banded path against the exact twin at BOTH scales — the round-11
+    verdict's missing sparse-regime crossover evidence."""
+    from go_otel_clickhouse_ingestor_spark.operators.graph import (
+        lp_exact_core,
+        lp_lsh_core,
+    )
+
+    base_sup = 10_000
+    out: dict = {"base_suppliers": base_sup, "n": n}
+    for tag, n_sup in (("at1", base_sup), ("atN", base_sup * n)):
+        sf = build_lp_sparse(spark, n_sup)
+        half = spark.read.parquet(f"{sf}/half.parquet")
+        half.count()  # warm: parquet footers + page cache
+        stats = {}
+        # analytic intermediate cardinalities (cheap aggregates, not
+        # timed): what each path must materialize before scoring
+        deg = half.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+        stats["edges"] = half.count()
+        stats["wedge_pairs"] = int(
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+            ).first()[0]
+        )
+        half_str = half.select(
+            F.concat(F.lit("c"), F.col("cust")).alias("cust"),
+            F.concat(F.lit("s"), F.col("supp")).alias("supp"),
+        )
+        t0 = time.time()
+        exact = [
+            (r.node_a, r.node_b) for r in lp_exact_core(half_str).collect()
+        ]
+        stats["t_exact_wedge"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        lsh = [
+            (r.node_a, r.node_b) for r in lp_lsh_core(half).collect()
+        ]
+        stats["t_lsh_banded"] = round(time.time() - t0, 2)
+        stats["recall_top20"] = round(
+            len(set(exact) & set(lsh)) / max(len(exact), 1), 3
+        )
+        stats["speedup_lsh"] = round(
+            stats["t_exact_wedge"] / stats["t_lsh_banded"], 2
+        )
+        out[tag] = stats
+        print(f"# lp_sparse {tag} (n_sup={n_sup}): {stats}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "lp_sparse":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        print(json.dumps({"lp_sparse": lp_sparse_probe(get_spark("lp-sparse-probe"), n)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         from go_otel_clickhouse_ingestor_spark.session import get_spark
 
