@@ -132,6 +132,89 @@ HEADLINE = [
 ]
 
 
+def _calibrate(queries_now: dict[str, float], reps: int, sf_dir: str) -> dict:
+    """Replay the PREVIOUS round's committed tree from a git worktree on
+    this box, in this same process lifetime, and report the box-drift
+    ratio.  Rounds 10 and 11 both burned diagnosis time hand-replaying
+    the prior commit to separate real regressions from host drift (the
+    box has measured 1.37× slower than at a prior recording —
+    SCALING.md "Round-11 bench A/B"); this automates that instrument.
+
+    The prior recording is ``git show <commit>:BENCH_SUMMARY.json`` at
+    the latest driver artifact commit (the commit that ADDED the
+    newest ``BENCH_r{N}.json`` — the driver writes BENCH_SUMMARY in
+    the same run it records).  The replay runs the common headline
+    subset via the worktree's own bench.py with the same rep count.
+
+    ``calibration_ratio`` = (prev tree replayed now) / (prev tree as
+    recorded): >1 means the box is slower than at recording time, so a
+    same-factor rise in THIS round's numbers is host drift, not a
+    regression."""
+    import glob as _glob
+    import re
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = sorted(
+            int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+            for p in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        )
+        if not rounds:
+            return {"skipped": "no prior BENCH_r*.json"}
+        prev_n = rounds[-1]
+        commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--diff-filter=A",
+             "--", f"BENCH_r{prev_n}.json"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        prev = json.loads(
+            subprocess.run(
+                ["git", "show", f"{commit}:BENCH_SUMMARY.json"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout
+        )
+        common = [n for n in queries_now if n in prev.get("queries", {})]
+        if not common:
+            return {"skipped": f"no common queries with round {prev_n}"}
+        wt = tempfile.mkdtemp(prefix="bench_calib_")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "--force", wt, commit],
+            cwd=repo, capture_output=True, text=True, check=True,
+        )
+        try:
+            env = {
+                **os.environ,
+                "SPARK_GRAFT_BENCH_QUERIES": ",".join(common),
+                "SPARK_GRAFT_BENCH_REPS": str(reps),
+                "SPARK_GRAFT_BENCH_CALIBRATE": "0",  # no recursion
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+            }
+            out = subprocess.run(
+                [sys.executable, os.path.join(wt, "bench.py")],
+                cwd=wt, env=env, capture_output=True, text=True, timeout=2700,
+            )
+            replay = json.loads(out.stdout.strip().splitlines()[-1])
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo, capture_output=True, text=True,
+            )
+        prev_rec = sum(prev["queries"][n] for n in common)
+        replay_now = sum(replay["queries"].get(n, 0.0) for n in common)
+        return {
+            "prev_round": prev_n,
+            "prev_commit": commit[:12],
+            "common_n": len(common),
+            "prev_recorded_sec": round(prev_rec, 3),
+            "prev_replay_sec": round(replay_now, 3),
+            "calibration_ratio": round(replay_now / prev_rec, 4) if prev_rec else None,
+        }
+    except Exception as exc:  # noqa: BLE001 - calibration must never fail the bench
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Optional set override (comma-separated names): lets A/B experiments
@@ -187,6 +270,14 @@ def main() -> None:
         # load so cross-round comparisons can be sanity-checked
         "load1_start": round(load_start, 2),
     }
+    spark.stop()
+    # Box-drift calibration: replay the previous round's tree (same box,
+    # same session window) AFTER our own JVM is gone, so the two runs
+    # don't contend.  Keyed LAST in the dict so the driver's tail-2000
+    # capture of the stdout line keeps it even when the queries map is
+    # truncated.  Opt out with SPARK_GRAFT_BENCH_CALIBRATE=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_CALIBRATE", "1") != "0":
+        summary["calibration"] = _calibrate(timings, reps, sf_dir)
     # Full detail (incl. medians) goes to a file; the stdout summary line
     # stays compact and is printed LAST, after spark.stop(), so no JVM
     # shutdown chatter can follow it and the driver's tail capture can't
@@ -196,7 +287,6 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump({**summary, "queries_median": medians}, fh)
-    spark.stop()
     sys.stderr.flush()
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 

@@ -13,8 +13,14 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# Bootstrap: make the engine package importable when run from a clean
+# shell (``python tools/check_oracle.py ...``) with no PYTHONPATH —
+# same one-liner as plan_report.py.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
