@@ -464,3 +464,175 @@ def spans_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("apdex_ppm"),
     )
+
+
+#: The RED/tail-sampling faces need span STATUS and NAME, which the
+#: heap-tree synthesis above doesn't carry.  Same discipline — explicit
+#: integer arithmetic, byte-identical in both engines: span name is the
+#: event type verbatim, and a span is ERROR iff it is an 'error' event
+#: whose value exceeds 300 (the severity tail — rare by construction,
+#: like real 5xx spans; `event_type = 'error'` alone marks ~20% of the
+#: fixture, which would make every trace error-sampled).
+_SPANS_FLAT_CTE = """
+    spans AS (
+      SELECT user_id,
+             event_type AS span_name,
+             'svc-' || cast(event_id % 5 AS VARCHAR) AS service,
+             abs(cast(round(value * 1000) AS BIGINT)) * 1000 AS dur_us,
+             CASE WHEN event_type = 'error' AND value > 300
+                  THEN 1 ELSE 0 END AS is_error
+      FROM events
+    )
+"""
+
+#: Cumulative duration-histogram boundaries (µs) for the RED metrics —
+#: the OTel spanmetrics connector's explicit-bounds histogram, sized to
+#: the fixture's duration range (durations are |value|·10⁶ µs with
+#: value ∈ ~[0, 330], so the bounds sit at the 30/60/120/240-second
+#: marks; the +inf bucket is n_calls itself and is not emitted).
+_RED_BOUNDS_US = (30_000_000, 60_000_000, 120_000_000, 240_000_000)
+
+#: Tail-sampling policy constants: latency policy fires above the
+#: fixture's ~p85 per-trace total (per-trace totals concentrate around
+#: 3.3e9 µs at every SF because spans-per-trace is SF-invariant);
+#: probabilistic policy keeps ~10% of traces via an exact
+#: Lehmer-style integer mix both engines compute identically in BIGINT
+#: (no float, no engine hash).
+_TAIL_LAT_US = 3_800_000_000
+_TAIL_PROB_MOD = 100
+_TAIL_PROB_KEEP = 10
+
+
+def _span_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat (un-treed) span stream: service, span name, duration,
+    error flag — the Spark twin of ``_SPANS_FLAT_CTE``."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("span_name"),
+        F.concat(
+            F.lit("svc-"), (F.col("event_id") % 5).cast("string")
+        ).alias("service"),
+        (
+            F.abs(F.expr("cast(round(value * 1000) as bigint)")) * 1000
+        ).alias("dur_us"),
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") > 300), 1
+        )
+        .otherwise(0)
+        .alias("is_error"),
+    )
+
+
+@query(
+    "spans_red_metrics",
+    oracle=f"""
+    WITH {_SPANS_FLAT_CTE}
+    SELECT service,
+           span_name,
+           cast(count(*) AS BIGINT)        AS n_calls,
+           cast(sum(is_error) AS BIGINT)   AS n_errors,
+           cast(sum(is_error) * 1000000 // count(*) AS BIGINT) AS err_ppm,
+           cast(sum(dur_us) AS BIGINT)     AS total_dur_us,
+           {', '.join(
+               f'''cast(sum(CASE WHEN dur_us <= {b} THEN 1 ELSE 0 END)
+                AS BIGINT) AS le_{b // 1_000_000}s'''
+               for b in _RED_BOUNDS_US
+           )}
+    FROM spans GROUP BY service, span_name
+    """,
+)
+def spans_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RED metrics per (service, span name) — the OTel collector's
+    spanmetrics connector, the component a reference-shaped ingestor
+    deployment turns on next (spans flow to ClickHouse; the metrics
+    dashboards want Rate/Errors/Duration per operation without a
+    second instrumentation pass): call count, error count, exact
+    integer error-ppm, total duration, and a CUMULATIVE
+    explicit-bounds duration histogram (le_30s ⊆ le_60s ⊆ …, the OTel
+    histogram wire shape — the +inf bucket equals n_calls and is
+    elided).  Every output is a sum/count, i.e. the mergeable-counts
+    contract the windowed streaming faces re-aggregate
+    (``apdex_windowed`` discipline), which is exactly why the real
+    connector emits cumulative buckets: merging windows is addition.
+    Plan: ONE map-side-combined pass over the span scan into the
+    ≤|services|×|span names| grid (25 rows) — no join, no window, no
+    shuffle wider than the grid; the same plan at 100 TB, where the
+    scan is the floor."""
+    s = _span_flat(spark, sf_dir)
+    buckets = [
+        F.sum(F.when(F.col("dur_us") <= b, 1).otherwise(0))
+        .cast("long")
+        .alias(f"le_{b // 1_000_000}s")
+        for b in _RED_BOUNDS_US
+    ]
+    return s.groupBy("service", "span_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum("is_error").cast("long").alias("n_errors"),
+        F.expr("sum(is_error) * 1000000 div count(*)")
+        .cast("long")
+        .alias("err_ppm"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+        *buckets,
+    )
+
+
+@query(
+    "spans_tail_sampling",
+    oracle=f"""
+    WITH {_SPANS_FLAT_CTE},
+    per_trace AS (
+      SELECT user_id AS trace_id,
+             cast(count(*) AS BIGINT)      AS n_spans,
+             cast(sum(dur_us) AS BIGINT)   AS total_us,
+             cast(sum(is_error) AS BIGINT) AS n_errors
+      FROM spans GROUP BY user_id
+    )
+    SELECT trace_id, n_spans, total_us, n_errors,
+           CASE WHEN n_errors > 0 THEN 'error'
+                WHEN total_us > {_TAIL_LAT_US} THEN 'latency'
+                ELSE 'probabilistic' END AS policy
+    FROM per_trace
+    WHERE n_errors > 0
+       OR total_us > {_TAIL_LAT_US}
+       OR (trace_id * 48271) % {_TAIL_PROB_MOD} < {_TAIL_PROB_KEEP}
+    """,
+)
+def spans_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based sampling — the OTel collector's tailsampling
+    processor, the decision layer between an ingestor like the
+    reference and the span store (keep the interesting 10–20%, drop
+    the rest AFTER seeing the whole trace — head sampling can't know a
+    trace will error at span 40): a trace is kept if ANY span errored
+    (error policy), OR its total duration crosses the latency
+    threshold, OR it wins the probabilistic residue (deterministic
+    Lehmer mix on the trace id — the real processor hashes the trace
+    id for the same reason: the decision must be reproducible across
+    collector replicas without coordination).  Policy attribution uses
+    the processor's precedence (error ≻ latency ≻ probabilistic).
+    Plan: one trace-keyed partial agg (counts/sums only — mergeable,
+    so at 100 TB this runs as the streaming trace-assembly face's
+    downstream), one residual filter; output is the kept-trace set.
+    No window, no join; the scan and one grid-bounded-per-trace
+    shuffle are the whole cost."""
+    s = _span_flat(spark, sf_dir)
+    per_trace = s.groupBy(F.col("user_id").alias("trace_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+        F.sum("is_error").cast("long").alias("n_errors"),
+    )
+    kept = per_trace.filter(
+        (F.col("n_errors") > 0)
+        | (F.col("total_us") > _TAIL_LAT_US)
+        | ((F.col("trace_id") * 48271) % _TAIL_PROB_MOD < _TAIL_PROB_KEEP)
+    )
+    return kept.select(
+        "trace_id",
+        "n_spans",
+        "total_us",
+        "n_errors",
+        F.when(F.col("n_errors") > 0, "error")
+        .when(F.col("total_us") > _TAIL_LAT_US, "latency")
+        .otherwise("probabilistic")
+        .alias("policy"),
+    )

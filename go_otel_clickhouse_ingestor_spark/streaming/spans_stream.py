@@ -225,3 +225,67 @@ def slow_trace_exemplars(assembled: DataFrame, k: int = 20) -> DataFrame:
             "max_span_us",
         )
     )
+
+
+def trace_totals_windowed(
+    spans: DataFrame, gap: str = "5 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-trace mergeable totals over SESSION windows — the stateful
+    half of the streaming tail sampler.  Input is a flat span stream
+    carrying ``(trace_id, ts, dur_us, is_error)`` (the
+    ``operators/traces.py::_span_flat`` shape — what an OTLP receiver
+    emits per span without waiting for tree assembly).
+
+    A trace's session closes when no span has arrived for ``gap``
+    (event time) — the tail sampler's trace-complete condition, the
+    same one ``trace_assembly_stream`` expresses with an explicit
+    state-store timeout; here it is a plain session-window agg because
+    the DECISION only needs three mergeable counters per trace (count,
+    Σ duration, Σ errors), never the span buffer.  State: one
+    3-counter cell per OPEN trace, closed by the watermark — bounded
+    by open-trace count, not traffic."""
+    return (
+        spans.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), "trace_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.sum("is_error").cast("long").alias("n_errors"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "trace_id",
+            "n_spans",
+            "total_us",
+            "n_errors",
+        )
+    )
+
+
+def tail_sampling_decide(per_trace: DataFrame) -> DataFrame:
+    """The stateless policy half of the streaming tail sampler: the
+    IDENTICAL keep/drop + attribution expressions as the batch
+    ``spans_tail_sampling`` query (error ≻ latency ≻ deterministic
+    Lehmer-mix probabilistic — reproducible across replicas without
+    coordination), applied to closed per-trace totals.  Run it per
+    micro-batch via foreachBatch, or over the lake table
+    ``trace_totals_windowed`` sinks to — either way it touches only
+    per-trace rows, never raw spans."""
+    from ..operators.traces import (
+        _TAIL_LAT_US,
+        _TAIL_PROB_KEEP,
+        _TAIL_PROB_MOD,
+    )
+
+    kept = per_trace.filter(
+        (F.col("n_errors") > 0)
+        | (F.col("total_us") > _TAIL_LAT_US)
+        | ((F.col("trace_id") * 48271) % _TAIL_PROB_MOD < _TAIL_PROB_KEEP)
+    )
+    return kept.withColumn(
+        "policy",
+        F.when(F.col("n_errors") > 0, "error")
+        .when(F.col("total_us") > _TAIL_LAT_US, "latency")
+        .otherwise("probabilistic"),
+    )

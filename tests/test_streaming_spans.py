@@ -13,6 +13,8 @@ nothing.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import uuid
@@ -84,6 +86,7 @@ def _assembled(spark, sf_dir, tmp_path):
     return out
 
 
+@pytest.mark.slow
 def test_assembly_stream_feeds_batch_twins(spark, sf_dir, tmp_path):
     from go_otel_clickhouse_ingestor_spark.operators.traces import (
         spans_exemplar_slow_traces,
@@ -136,6 +139,7 @@ def test_assembly_stream_feeds_batch_twins(spark, sf_dir, tmp_path):
     assert got_top == want_top
 
 
+@pytest.mark.slow
 def test_duplicate_delivery_dedups_on_idx(spark, tmp_path):
     """At-least-once re-delivery of the same span (same trace, same
     idx) must not double-count it into the parent's child subtraction
@@ -266,3 +270,84 @@ def test_apdex_windowed_merges_to_batch_grid(spark, sf_dir, tmp_path):
         for r in spans_apdex(spark, sf_dir).collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_streaming_tail_sampling_matches_batch(spark, sf_dir, tmp_path):
+    """trace_totals_windowed + tail_sampling_decide over a real
+    two-trigger feed of the fixture's flat span stream reproduces the
+    batch spans_tail_sampling decision set EXACTLY — trace ids,
+    mergeable totals, and policy attribution.  One session per trace
+    (gap wider than the fixture's calendar), traces split across the
+    trigger boundary, sentinels push the watermark past the close."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from go_otel_clickhouse_ingestor_spark.operators.traces import (
+        spans_tail_sampling,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.spans_stream import (
+        tail_sampling_decide,
+        trace_totals_windowed,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    # flat span rows with their event times (the _span_flat shape plus
+    # ts; the synthesis mirrors _span_flat's integer arithmetic —
+    # spans_tail_sampling's oracle CTE pins that twin relationship)
+    src = table(spark, sf_dir, "events")
+    rows = [
+        {
+            "trace_id": r.user_id,
+            "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "dur_us": int(abs(round(r.value * 1000))) * 1000,
+            "is_error": 1 if (r.event_type == "error" and r.value > 300) else 0,
+        }
+        for r in src.select("user_id", "ts", "value", "event_type").collect()
+    ]
+    assert len(rows) >= 4
+    cut = len(rows) // 2
+    batches = [
+        rows[:cut],
+        rows[cut:],
+        [{"trace_id": -1, "ts": "2200-01-01 00:00:00.000000",
+          "dur_us": 0, "is_error": 0}],
+        [{"trace_id": -2, "ts": "2200-01-02 00:00:00.000000",
+          "dur_us": 0, "is_error": 0}],
+    ]
+    d = tmp_path / "tail_feed"
+    d.mkdir()
+    for i, batch in enumerate(batches):
+        p = d / f"{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in batch))
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "trace_id long, ts timestamp, dur_us long, is_error long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"tail_{_uuid.uuid4().hex[:8]}"
+    q = (
+        trace_totals_windowed(stream, gap="3650 days", delay="1 second")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    closed = spark.table(name).filter(F.col("trace_id") >= 0)
+    # one session per trace: the whole fixture sits inside one gap
+    assert closed.count() == closed.select("trace_id").distinct().count()
+    got = {
+        (r.trace_id, r.n_spans, r.total_us, r.n_errors, r.policy)
+        for r in tail_sampling_decide(closed).collect()
+    }
+    want = {
+        (r.trace_id, r.n_spans, r.total_us, r.n_errors, r.policy)
+        for r in spans_tail_sampling(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
