@@ -1326,3 +1326,214 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("score_micro"),
         )
     )
+
+
+#: Star-contraction CC: round cap.  Alternating large-star/small-star
+#: halves the height of every component's tree per round pair (Kiveris
+#: et al. 2014 prove O(log² n) rounds worst case, O(log n) in
+#: practice), so 24 rounds covers components of astronomically more
+#: nodes than any corpus holds; the cap turns a logic bug into a loud
+#: error instead of an unbounded loop.
+_STAR_MAX_ROUNDS = 24
+
+#: The chain-graph fixture's SQL twin (kept as one string so the
+#: recursive-closure oracle parses the identical synthesis): chain
+#: edges k→k+1 broken at multiples of 41 (components of diameter ≤ 40
+#: — long enough that per-round label propagation would need ~10
+#: rounds while star contraction needs ~5), plus sparse shortcut
+#: edges k→k+7 at multiples of 13, some of which bridge across a
+#: 41-break (e.g. 39→46) so components are chain UNIONS, not just
+#: intervals — the closure is not an arithmetic pattern the algorithm
+#: could fake.
+_STAR_EDGES_SQL = """
+    chain AS (
+      SELECT p.p_partkey AS src, q.p_partkey AS dst
+      FROM part p JOIN part q ON q.p_partkey = p.p_partkey + 1
+      WHERE p.p_partkey % 41 <> 0
+    ),
+    shortcut AS (
+      SELECT p.p_partkey AS src, q.p_partkey AS dst
+      FROM part p JOIN part q ON q.p_partkey = p.p_partkey + 7
+      WHERE p.p_partkey % 13 = 0
+    ),
+    edges AS (SELECT * FROM chain UNION SELECT * FROM shortcut)
+"""
+
+
+def _star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic chain+shortcut graph over the part table — the
+    Spark twin of ``_STAR_EDGES_SQL``."""
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    q = p.select(F.col("p_partkey").alias("q_partkey"))
+    chain = (
+        p.filter(F.col("p_partkey") % 41 != 0)
+        .join(q, F.col("q_partkey") == F.col("p_partkey") + 1)
+        .select(F.col("p_partkey").alias("src"), F.col("q_partkey").alias("dst"))
+    )
+    shortcut = (
+        p.filter(F.col("p_partkey") % 13 == 0)
+        .join(q, F.col("q_partkey") == F.col("p_partkey") + 7)
+        .select(F.col("p_partkey").alias("src"), F.col("q_partkey").alias("dst"))
+    )
+    return chain.union(shortcut).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive multiset fingerprint of an edge list: (count,
+    Σ xxhash64(src,dst) as exact decimal).  Two scalars — the
+    convergence test never moves edge data to the driver."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]  # bounded: single aggregate row (two scalars)
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def star_contraction(edges: DataFrame) -> DataFrame:
+    """(src, dst) -> (node, label = component min) via alternating
+    large-star / small-star contraction (Kiveris et al. 2014).
+
+    Each operation is ONE node-keyed aggregate + ONE key-aligned join:
+
+    - large-star: per node u over the symmetric adjacency, m =
+      min(Γ(u) ∪ {u}); every strictly larger neighbor re-attaches to m
+      — long chains fold toward their minimum in halving steps, which
+      is what per-round min-label propagation (``connected_components``
+      above) cannot do: its round count is the component DIAMETER,
+      this one's is its LOGARITHM.
+    - small-star: per node u over max→min oriented edges, all smaller
+      neighbors (and u) attach to the neighborhood min — flattening
+      partial stars.
+
+    Fixpoint is detected by an order-insensitive edge-multiset
+    fingerprint (two scalars/round); at fixpoint the edge list IS the
+    component map (child → root).  Each round ends in localCheckpoint
+    so lineage stays O(1) (the iterative-DataFrame discipline from
+    ``connected_components``).  Isolated nodes never enter the edge
+    list and are re-attached as self-labeled singletons by the caller.
+    """
+    def one_round(e: DataFrame) -> DataFrame:
+        """large-star then small-star; input and output are oriented
+        src=max, dst=min with self-loops removed and deduped."""
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+            )
+            .distinct()
+        )
+        # small-star over max->min oriented edges (large's output is
+        # already oriented src=max, dst=min)
+        m2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        attach = (
+            large.join(m2, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        self_edge = m2.select(F.col("src").alias("a"), F.col("m").alias("b"))
+        return (
+            attach.union(self_edge)
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+            )
+            .distinct()
+        )
+
+    cur = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    fp = _edge_fingerprint(cur)
+    for _ in range(0, _STAR_MAX_ROUNDS, 2):
+        # TWO contraction rounds per materialization: a round is two
+        # lazy agg+join pairs over a small edge list, while each
+        # materialization pays the fixed localCheckpoint + fingerprint
+        # action cost — amortizing it over a 2-round advance halves the
+        # driver round-trips (the connected_components 4-hop
+        # discipline; star rounds are heavier than label hops, so 2
+        # not 4).  Convergence is still exact: a converged edge list
+        # is a fixpoint of one_round, so an extra round is identity.
+        cur = one_round(one_round(cur)).localCheckpoint(eager=True)
+        new_fp = _edge_fingerprint(cur)
+        if new_fp == fp:
+            # fixpoint: every edge is (node, component-min)
+            return cur.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+        fp = new_fp
+    raise RuntimeError(
+        f"star_contraction did not converge in {_STAR_MAX_ROUNDS} rounds — "
+        "fingerprint still moving (raise _STAR_MAX_ROUNDS or inspect the "
+        "edge generator for self-loop leaks)"
+    )
+
+
+@query(
+    "graph_connected_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_STAR_EDGES_SQL},
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst, src FROM edges
+    ),
+    walk(node, reach) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT w.node, s.b FROM walk w JOIN sym s ON w.reach = s.a
+    ),
+    lab AS (
+      SELECT p.p_partkey AS node,
+             least(p.p_partkey, coalesce(min(w.reach), p.p_partkey))
+               AS component_id
+      FROM part p LEFT JOIN walk w ON w.node = p.p_partkey
+      GROUP BY p.p_partkey
+    )
+    SELECT node, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM lab
+    """,
+)
+def graph_connected_components_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — the
+    algorithm this repo's min-label ``connected_components`` helper is
+    NOT: label propagation pays one round per unit of component
+    diameter (fine for shallow near-dup clusters, fatal for chain-y
+    graphs — web link paths, citation chains, session handoffs), while
+    large-star/small-star provably halves every tree's height per
+    round pair, converging in O(log n) rounds regardless of diameter.
+    The fixture graph is built to punish diameter-bound algorithms:
+    41-long partkey chains (diameter 40 ≈ 10 propagation rounds)
+    fused by sparse shortcut edges into non-interval components.
+    Every round is two node-keyed agg+join pairs over the CURRENT edge
+    list (which only shrinks), fixpoint is a two-scalar fingerprint —
+    at 100 TB the edge list shuffles on node id round by round and
+    nothing is ever driver-sized or diameter-bound.  Output matches
+    ``dedup_cluster_cc``'s contract: every node labeled with its
+    component's minimum id plus the component size; isolated nodes
+    are singletons of themselves."""
+    edges = _star_edges(spark, sf_dir)
+    labels = star_contraction(edges)
+    nodes = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    lab = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("component_id")
+    )
+    sizes = F.count(F.lit(1)).over(Window.partitionBy("component_id"))
+    return lab.select(
+        "node",
+        "component_id",
+        sizes.cast("long").alias("component_size"),
+    )

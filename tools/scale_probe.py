@@ -569,7 +569,98 @@ def lp_sparse_probe(spark, n: int) -> dict:
     return out
 
 
+def build_cc_chain(spark, n_nodes: int, diameter: int) -> str:
+    """Materialize a pure-chain CC fixture with CONTROLLED diameter:
+    chain edges k→k+1 broken at multiples of (diameter+1), so every
+    component is exactly a path of that diameter.  The controlled
+    knob is the point: star contraction's round count depends on
+    log(diameter), label propagation's on diameter itself — the probe
+    sweeps diameter at fixed volume AND volume at fixed diameter to
+    separate the two effects.  (The registered query's fixture adds
+    shortcut edges for oracle richness; here the diameter must be
+    exact.)"""
+    out = f"{SCALE_ROOT}/cc_chain_{n_nodes}_d{diameter}"
+    if not os.path.exists(f"{out}/edges.parquet/_SUCCESS"):
+        ids = spark.range(1, n_nodes + 1).select(F.col("id"))
+        chain = ids.filter(
+            (F.col("id") % (diameter + 1) != 0) & (F.col("id") < n_nodes)
+        ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        chain.repartition(32).write.mode("overwrite").parquet(
+            f"{out}/edges.parquet"
+        )
+    return out
+
+
+def _cc_one(spark, n_nodes: int, diameter: int, run_labelprop: bool) -> dict:
+    from go_otel_clickhouse_ingestor_spark.operators import graph as G
+
+    sf = build_cc_chain(spark, n_nodes, diameter)
+    edges = spark.read.parquet(f"{sf}/edges.parquet")
+    edges.count()  # warm
+    stats = {"nodes": n_nodes, "diameter": diameter, "edges": edges.count()}
+    t0 = time.time()
+    star = G.star_contraction(edges)
+    star_fp = star.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    stats["t_star"] = round(time.time() - t0, 2)
+    if run_labelprop:
+        nodes = spark.range(1, n_nodes + 1).select(F.col("id").alias("node"))
+        # label prop's production cap assumes shallow near-dup graphs;
+        # the probe raises it so the diameter cost is MEASURED, not
+        # errored (the cap firing at 25 rounds on diameter 400 is
+        # itself the point)
+        saved = G._MAX_ITERS
+        G._MAX_ITERS = diameter  # 4 hops/round: diameter/4 + slack
+        try:
+            t0 = time.time()
+            lp = G.connected_components(nodes, edges)
+            lp_fp = lp.filter(F.col("node") != F.col("label")).agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
+            ).first()
+            stats["t_labelprop"] = round(time.time() - t0, 2)
+        finally:
+            G._MAX_ITERS = saved
+        stats["maps_agree"] = (star_fp["c"], str(star_fp["s"])) == (
+            lp_fp["c"],
+            str(lp_fp["s"]),
+        )
+        stats["speedup_star"] = round(stats["t_labelprop"] / stats["t_star"], 2)
+    return stats
+
+
+def cc_star_probe(spark, n: int) -> dict:
+    """Star contraction vs min-label propagation on controlled-diameter
+    chain graphs: (a) diameter sweep 40 → 400 at fixed volume — label
+    prop's wall time must track diameter while star's tracks its log;
+    (b) volume sweep 1× → n× at fixed diameter 400 — star's ratio must
+    track data, not rounds.  Component maps are cross-checked by
+    multiset checksum wherever both run.  The evidence row for
+    graph_connected_components_star's claim that diameter-bound
+    propagation loses on chain-y graphs."""
+    base_nodes = 200_000
+    out: dict = {"base_nodes": base_nodes, "n": n}
+    out["d40_at1"] = _cc_one(spark, base_nodes, 40, run_labelprop=True)
+    out["d400_at1"] = _cc_one(spark, base_nodes, 400, run_labelprop=True)
+    out["d400_atN"] = _cc_one(spark, base_nodes * n, 400, run_labelprop=False)
+    out["d400_atN"]["ratio_star"] = round(
+        out["d400_atN"]["t_star"] / out["d400_at1"]["t_star"], 2
+    )
+    for k in ("d40_at1", "d400_at1", "d400_atN"):
+        print(f"# cc_star {k}: {out[k]}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "cc_star":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        spark = get_spark("scale-probe")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        print(json.dumps({"cc_star": cc_star_probe(spark, n)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "lp_sparse":
         from go_otel_clickhouse_ingestor_spark.session import get_spark
 
