@@ -988,3 +988,96 @@ def source_otlp_spans_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - cast(s.startTimeUnixNano as bigint)) div 1000"
         ).alias("duration_us"),
     )
+
+
+#: Codec roundtrip: the parquet compression codecs a lake actually
+#: chooses between (snappy = Spark's default, zstd = the modern
+#: space/speed winner, gzip = the legacy interop floor).  All three
+#: ship in-box with Spark 4 — no external jars.
+_CODECS = ("snappy", "zstd", "gzip")
+
+#: Canonical row serialization of the orders table for the portable
+#: md5 checksum (agg_table_checksum's rule: ints verbatim, money in
+#: exact centi-units, timestamps as epoch-micros — float formatting
+#: never enters the hash).
+_ORD_COLS_SPARK = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "cast(round(o_totalprice * 100) as bigint)",
+    # readback arrives as TIMESTAMP_NTZ; UTC session tz makes the cast
+    # an identity (the tables.py sniffing rule)
+    "unix_micros(cast(o_orderdate as timestamp))",
+    "o_orderpriority",
+)
+_ORD_COLS_DUCK = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "cast(round(o_totalprice * 100) AS BIGINT)",
+    "epoch_us(o_orderdate)",
+    "o_orderpriority",
+)
+
+
+@query(
+    "source_compression_codecs",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+                 {', '.join(_ORD_COLS_DUCK)})), 1, 15))::BIGINT AS rh
+      FROM orders
+    ),
+    sums AS (
+      SELECT count(*)   AS n_rows,
+             bit_xor(rh) AS xor_hash,
+             cast(cast(sum(cast(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS VARCHAR) AS sum_hash
+      FROM h
+    )
+    SELECT c.codec, s.n_rows, s.xor_hash, s.sum_hash
+    FROM (VALUES {', '.join(f"('{c}')" for c in _CODECS)}) c(codec)
+    CROSS JOIN sums s
+    """,
+)
+def source_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec roundtrip — the lake-layout decision a
+    100 TB deployment makes ONCE and lives with (snappy is Spark's
+    default; zstd typically wins 20-30% space at comparable read
+    speed; gzip is the interop floor): the orders table is WRITTEN
+    with each codec and READ BACK, and each pass is folded into the
+    portable md5 checksum (agg_table_checksum's canonical
+    serialization) — the oracle checksums the ORIGINAL parquet, so a
+    hash match per codec proves all three write→read paths are
+    bit-lossless for every carried column, which is the property a
+    codec migration must establish before rewriting a lake.  The
+    physical writes are real (kept in /tmp keyed by fixture, reused
+    across calls — the _text_copy discipline); the checksum is one
+    map-side-combined scan per codec, no shuffle wider than one
+    row."""
+    base = table(spark, sf_dir, "orders")
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    rh = F.expr(
+        "cast(conv(substring(md5(concat_ws('|', "
+        + ", ".join(_ORD_COLS_SPARK)
+        + ")), 1, 15), 16, 10) as bigint)"
+    )
+    parts = []
+    for codec in _CODECS:
+        path = f"/tmp/spark_graft_formats/orders_{codec}_{suffix}"
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            base.write.mode("overwrite").option("compression", codec).parquet(
+                path
+            )
+        back = spark.read.parquet(path)
+        parts.append(
+            back.select(rh.alias("rh")).agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor("rh").alias("xor_hash"),
+                F.sum(F.col("rh").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("sum_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

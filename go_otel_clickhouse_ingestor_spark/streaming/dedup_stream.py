@@ -1,0 +1,63 @@
+"""Streaming exact dedup: the at-least-once → exactly-once repair
+stage.
+
+The reference delivers AT-LEAST-ONCE by design: its sink skips ahead
+on error after logging (``internal/ingestion/clickhouse.go:95-107``)
+and Kafka redelivers uncommitted messages after a crash
+(``cdc.go:36-43``), so the ClickHouse tables it feeds see duplicate
+rows under failure — which is exactly why ClickHouse deployments put
+a ReplacingMergeTree (or ``FINAL`` reads) behind ingestors of this
+shape.  The engine-native equivalent is a streaming dedup stage
+between source and sink: every row carries a natural identity key
+(event id / CDC LSN / trace+span id), and duplicates of a key that
+arrive within the redelivery horizon are dropped in-flight.
+
+``dropDuplicatesWithinWatermark`` is the Spark primitive built for
+precisely this (Spark 3.5+): state keeps one entry per key, the
+event-time watermark EXPIRES entries once the redelivery horizon has
+passed, so state is bounded by (keys arriving per horizon), not by
+stream lifetime — the property that separates it from a naive
+``dropDuplicates`` on a stream, whose state grows forever and OOMs a
+1000-executor cluster some Tuesday.  Duplicates separated by more
+than the horizon are NOT caught in-flight (they can't be, with
+bounded state); the lake-side batch twin (``dedup_exact`` /
+``dedup_incremental_corpus``) is the backstop for those, same as
+ReplacingMergeTree's eventual merge.
+
+``tests/test_streaming_dedup.py`` pins the contract through a real
+multi-trigger feed: duplicates inside one trigger, across triggers,
+and a redelivery of the whole first batch all collapse to the batch
+``dropDuplicates`` answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+#: Default redelivery horizon: how stale a duplicate can be and still
+#: be dropped in-flight.  Kafka redeliveries arrive within seconds of
+#: the original under rebalance/crash; a generous default costs only
+#: state-entry lifetime, not correctness.
+DEFAULT_HORIZON = "10 minutes"
+
+
+def dedup_exact_stream(
+    stream: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    horizon: str = DEFAULT_HORIZON,
+) -> DataFrame:
+    """Drop duplicate deliveries of ``keys`` arriving within
+    ``horizon`` of the first sighting (event-time, via ``ts_col``).
+
+    State shape: one entry per distinct key seen inside the current
+    horizon, expired by the watermark — bounded by arrival rate ×
+    horizon, independent of stream lifetime.  Output is append-mode
+    compatible: the FIRST delivery of each key passes through
+    unchanged (all columns intact), later deliveries vanish.
+    """
+    return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

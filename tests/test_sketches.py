@@ -1,0 +1,81 @@
+"""Accuracy + mergeability contract for the t-digest sketch
+(operators/sketches.py) — the guarantees the rows-only driver check
+can't see."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_otel_clickhouse_ingestor_spark.operators import sketches as S
+
+
+@pytest.fixture(scope="module")
+def values(duck):
+    return (
+        duck.execute("SELECT value FROM events WHERE value IS NOT NULL")
+        .fetchdf()["value"]
+        .to_numpy(dtype=np.float64)
+    )
+
+
+def test_tdigest_accuracy_vs_exact(spark, sf_dir, values):
+    """Every probed quantile lands within 2% of the value RANGE of the
+    exact quantile — the documented accuracy contract."""
+    rows = {
+        r["q_ppm"]: r
+        for r in S.agg_tdigest_quantile(spark, sf_dir).collect()
+    }
+    rng = values.max() - values.min()
+    assert rng > 0
+    for q_ppm in S._QS:
+        exact = float(np.quantile(values, q_ppm / 1e6))
+        est = rows[q_ppm]["estimate"]
+        assert abs(est - exact) <= 0.02 * rng, (
+            f"q={q_ppm}ppm: est {est} vs exact {exact} (range {rng})"
+        )
+        assert rows[q_ppm]["n"] == values.size
+
+
+def test_tdigest_centroid_count_bounded(spark, sf_dir):
+    """The digest is BOUNDED: centroid count never exceeds ~2δ, no
+    matter the input volume — the property that makes the partial
+    state safe to shuffle."""
+    for r in S.agg_tdigest_quantile(spark, sf_dir).collect():
+        assert 0 < r["n_centroids"] <= 2 * S._DELTA
+
+
+def test_tdigest_merge_invariance(values):
+    """digest(A ⊎ B) ≈ merge(digest(A), digest(B)): re-compressing two
+    partial digests answers quantiles within the same 2%-of-range band
+    as one digest over the whole stream — the rollup-safety property
+    (cross-day / cross-window merges rely on it)."""
+    rng = values.max() - values.min()
+    half = values.size // 2
+    parts = []
+    for chunk in (values[:half], values[half:]):
+        m, w = S._compress(chunk, np.ones(chunk.size))
+        parts.append((m, w))
+    m, w = S._compress(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
+    whole_m, whole_w = S._compress(values, np.ones(values.size))
+    assert w.sum() == values.size
+    for q in (0.5, 0.9, 0.95, 0.99):
+        merged = S._quantile(m, w, q)
+        whole = S._quantile(whole_m, whole_w, q)
+        exact = float(np.quantile(values, q))
+        assert abs(merged - exact) <= 0.02 * rng
+        assert abs(merged - whole) <= 0.02 * rng
+
+
+def test_tdigest_weight_conservation():
+    """Compression conserves total weight and stays inside the input
+    hull (means are convex combinations)."""
+    rs = np.random.RandomState(7)
+    v = rs.lognormal(0.0, 1.5, size=20_000)
+    m, w = S._compress(v, np.ones(v.size))
+    assert np.isclose(w.sum(), v.size)
+    assert v.min() <= m.min() and m.max() <= v.max()
+    assert m.size <= 2 * S._DELTA

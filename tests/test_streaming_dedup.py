@@ -1,0 +1,105 @@
+"""Streaming exact dedup vs the batch answer.
+
+The at-least-once repair stage (``streaming/dedup_stream.py``) must
+collapse every duplicate-delivery pattern a Kafka redelivery produces
+— duplicates inside one trigger, across a trigger boundary, and a
+wholesale redelivery of an earlier batch — to exactly the batch
+``dropDuplicates`` row set.  Feed discipline is
+``test_streaming_drift.py``'s: file source with ``maxFilesPerTrigger=1``
+so dedup state genuinely crosses trigger boundaries, far-future
+sentinel rows to push the watermark, sentinels excluded from the
+assertion window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _feed(spark, tmp_path, batches, horizon):
+    from go_otel_clickhouse_ingestor_spark.streaming.dedup_stream import (
+        dedup_exact_stream,
+    )
+
+    d = tmp_path / "dedup_feed"
+    d.mkdir()
+    for i, batch in enumerate(batches):
+        p = d / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_exact_stream(stream, keys=("event_id",), horizon=horizon)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return spark.table(name).filter(F.year("ts") < 2100)
+
+
+def _rows(event_ids, ts="2024-03-01 12:00:00.000000"):
+    return [
+        {"event_id": e, "ts": ts, "value": float(e) / 10.0}
+        for e in event_ids
+    ]
+
+
+_SENTINELS = [
+    [{"event_id": -1, "ts": "2200-01-01 00:00:00.000000", "value": 0.0}],
+    [{"event_id": -2, "ts": "2200-01-02 00:00:00.000000", "value": 0.0}],
+]
+
+
+def test_stream_dedup_collapses_all_redelivery_patterns(spark, tmp_path):
+    """in-trigger dupes + cross-trigger dupes + a full redelivered
+    batch — output ids equal the distinct input set, exactly once."""
+    b1 = _rows([1, 2, 2, 3])          # duplicate inside one trigger
+    b2 = _rows([3, 4, 5])             # 3 duplicates across the boundary
+    b3 = _rows([1, 2, 3])             # wholesale redelivery of batch 1
+    out = _feed(spark, tmp_path, [b1, b2, b3] + _SENTINELS, "10 minutes")
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.slow
+def test_stream_dedup_first_delivery_wins_with_all_columns(spark, tmp_path):
+    """The surviving row is a real passthrough: every column of the
+    first delivery is intact (value here disambiguates deliveries)."""
+    b1 = [{"event_id": 7, "ts": "2024-03-01 12:00:00.000000", "value": 1.0}]
+    b2 = [{"event_id": 7, "ts": "2024-03-01 12:00:01.000000", "value": 2.0}]
+    out = _feed(spark, tmp_path, [b1, b2] + _SENTINELS, "10 minutes")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == 7 and rows[0].value == 1.0
+
+
+@pytest.mark.slow
+def test_stream_dedup_matches_batch_drop_duplicates(spark, tmp_path):
+    """Equivalence with the batch twin: the streamed output row COUNT
+    equals batch dropDuplicates over the same concatenated feed."""
+    b1 = _rows([10, 11, 11, 12])
+    b2 = _rows([12, 13, 10])
+    out = _feed(spark, tmp_path, [b1, b2] + _SENTINELS, "10 minutes")
+    flat = b1 + b2
+    batch = (
+        spark.createDataFrame(
+            [(r["event_id"],) for r in flat], "event_id long"
+        )
+        .dropDuplicates(["event_id"])
+        .count()
+    )
+    assert out.count() == batch == 4
