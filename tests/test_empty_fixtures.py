@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 from go_otel_clickhouse_ingestor_spark.registry import load_all
 from go_otel_clickhouse_ingestor_spark.tables import table
 
+#: Wide parametrized sweep over degenerate inputs -- full tier only.
+pytestmark = pytest.mark.slow
+
 #: The round-9 additions (oracle-backed + their streaming-adjacent
 #: batch faces); all read events/documents/embeddings/customer.
 ROUND9 = [

@@ -10,6 +10,11 @@ from go_otel_clickhouse_ingestor_spark.registry import load_all
 
 from conftest import SF_DIR
 
+#: Full-registry sweep (~385 queries x Spark+DuckDB) -- the exhaustive
+#: tier; the PR tier relies on tools/check_oracle.py spot checks plus
+#: the driver differential.
+pytestmark = pytest.mark.slow
+
 REGISTRY = load_all()
 
 

@@ -5,6 +5,8 @@ top-k not globally sorting."""
 
 from __future__ import annotations
 
+import pytest
+
 from go_otel_clickhouse_ingestor_spark.plans import audit, executed_plan, formatted_plan
 from go_otel_clickhouse_ingestor_spark.registry import load_all
 
@@ -71,6 +73,7 @@ _ARROW_SLOW_PATH_ALLOWLIST = frozenset({
 })
 
 
+@pytest.mark.slow
 def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
     """Everything oracle-checked must stay JVM-side (BatchEvalPython /
     ArrowEvalPython in a plan means a Python UDF snuck in) — except the

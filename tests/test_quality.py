@@ -4,6 +4,8 @@ twins."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from go_otel_clickhouse_ingestor_spark.registry import load_all
@@ -11,6 +13,7 @@ from go_otel_clickhouse_ingestor_spark.registry import load_all
 REGISTRY = load_all()
 
 
+@pytest.mark.slow
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     """MinHash-LSH must recover the strong exact-Jaccard pairs (≥0.5)
     found by the exact verifier."""
@@ -28,6 +31,7 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.8, f"MinHash recall {recall:.2f} on {len(exact)} strong pairs"
 
 
+@pytest.mark.slow
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     """The hyperplane-LSH ANN must find ≥0.8 of the true top-10
     neighbors (512-bit signatures at ham<=_ANN_HAM screen to ~6% of
@@ -294,6 +298,7 @@ def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
             assert abs(r.cos_sim - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
 
 
+@pytest.mark.slow
 def test_semantic_dedup_planted_near_dup_recall(spark, sf_dir):
     """SemDeDup recall gate (mirrors the LSH planted-neighbor test):
     plant a strong near-duplicate (cosine ≈ 0.97) for every 50th
@@ -335,6 +340,7 @@ def test_semantic_dedup_planted_near_dup_recall(spark, sf_dir):
     assert all(r.cos_sim >= _SEM_THRESHOLD for r in got)
 
 
+@pytest.mark.slow
 def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     """Lloyd's invariants: inertia never increases across iterations,
     every vector lands in exactly one of K cells, and a rerun is
@@ -355,6 +361,7 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_semantic_dedup_pairs_are_true_cosines_within_cells(spark, sf_dir):
     """SemDeDup precision is 1.0 by construction: every emitted pair's
     cosine must equal the exact cosine, be >= the threshold, and both
@@ -461,6 +468,7 @@ def test_lake_writer_layout_contract(spark, sf_dir, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_pca_power_iteration_converges_to_numpy_top_eigen(spark, sf_dir):
     """Power-iteration invariants: the Rayleigh quotient is monotone
     non-decreasing across iterations, reruns are bit-identical, and at

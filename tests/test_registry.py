@@ -1,6 +1,8 @@
 """Registry invariants: the driver-evidence rotation must stay
 consistent with the registered query set."""
 
+import pytest
+
 
 def test_driver_priority_names_all_exist():
     """Every _DRIVER_PRIORITY entry must name a registered query (a
@@ -33,6 +35,7 @@ def test_driver_priority_names_all_exist():
     )
 
 
+@pytest.mark.slow
 def test_unbounded_broadcast_gate():
     """The verify_round static gate must (a) flag an F.broadcast over a
     groupBy on a text-derived key — including one assignment-hop away,

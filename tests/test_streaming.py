@@ -169,6 +169,7 @@ def test_session_window_runs(spark, events_stream):
     assert out.filter(F.col("win_end") < F.col("win_start")).count() == 0
 
 
+@pytest.mark.slow
 def test_session_window_merges_across_triggers_out_of_order(spark, tmp_path):
     """Session semantics under real out-of-order multi-batch arrival:
 
@@ -283,6 +284,7 @@ def test_streaming_dedup(spark, tmp_path):
     assert out.distinct().count() == 10
 
 
+@pytest.mark.slow
 def test_foreach_batch_upsert_matches_current_state(spark, tmp_path):
     """A16 online: the foreachBatch MERGE converges to the batch
     current_state view."""
@@ -521,6 +523,7 @@ def test_jdbc_sink_live_roundtrip_embedded_derby(spark, tmp_path):
     assert ts and all(len(r._ts) == 19 and r._ts[4] == "-" for r in ts)
 
 
+@pytest.mark.slow
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-user totals must carry state across
     micro-batches (two files, one per trigger) and converge to the
@@ -573,6 +576,7 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     assert out.count() > 5
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, events_stream, sf_dir):
     """Stream-stream interval join == the same join expressed in batch
     over the same 500 events."""
@@ -594,6 +598,7 @@ def test_stream_stream_join_matches_batch(spark, events_stream, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_upsert_replaying_same_batch_is_idempotent(spark, tmp_path):
     """At-least-once replay: applying the identical micro-batch twice
     must leave versions AND current byte-for-byte identical (the dedup
@@ -720,6 +725,7 @@ def test_kafka_production_entry_reaches_source_resolution(spark, tmp_path):
     ), f"expected the missing-connector resolution error, got: {msg[:300]}"
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_emits_unmatched(spark, events_stream, sf_dir):
     """LEFT OUTER stream-stream join: matched rows equal the inner
     join; unmatched clicks surface with null purchase columns once the
@@ -872,6 +878,7 @@ def test_cdc_feed_stream_availablenow(spark):
     assert {r.msg_id for r in out} >= {6, 20, 27, 34}
 
 
+@pytest.mark.slow
 def test_tws_running_totals_accumulate_across_batches(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 StatefulProcessor): same
     semantics as the applyInPandasWithState twin — per-user totals carry

@@ -9,6 +9,8 @@ chart, wrong init) shows as a mismatch in the second half.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import uuid
 from decimal import Decimal
@@ -374,6 +376,7 @@ def test_token_bucket_stream_matches_batch_replay(spark, sf_dir, tmp_path):
     assert got == want and len(got) == len(rows) > 0
 
 
+@pytest.mark.slow
 def test_token_bucket_state_survives_query_restart(spark, sf_dir, tmp_path):
     """Checkpoint durability: run the token bucket over batch ONE,
     STOP the query, then start a brand-new query instance on the same

@@ -15,6 +15,8 @@ close, sentinel rows excluded by window.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import uuid
@@ -114,6 +116,7 @@ def test_windowed_bins_merge_to_batch_grid(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_ks_equals_batch(spark, sf_dir, tmp_path):
     """ks_vs_reference over the streamed window reproduces the batch
     dq_drift_ks row bit-for-bit (integer ppm, bin/total counts)."""
@@ -139,6 +142,7 @@ def test_streaming_ks_equals_batch(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_psi_equals_batch(spark, sf_dir, tmp_path):
     """psi_vs_reference over the streamed window reproduces the batch
     dq_drift_psi per-bin grid exactly (counts and 1e-6 rounded
