@@ -129,6 +129,17 @@ HEADLINE = [
     "dq_drift_ks",
     "dq_drift_psi",
     "dq_benford_first_digit",
+    # round-12 flagships: the spanmetrics RED grid + tail-sampling
+    # decision pass, the ROUGE-2 eval join, the codec roundtrip audit,
+    # and the mergeable t-digest (star-contraction CC is probed in
+    # SCALING.md instead — its cost is round-trip latency on a
+    # fixed-size fixture graph, not data volume, so a bench row would
+    # measure the scheduler, not the operator)
+    "spans_red_metrics",
+    "spans_tail_sampling",
+    "text_rouge2_overlap",
+    "source_compression_codecs",
+    "agg_tdigest_quantile",
 ]
 
 

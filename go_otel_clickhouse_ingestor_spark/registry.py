@@ -46,7 +46,16 @@ _REGISTRY: dict[str, Query] = {}
 #: registration order.  ``tools/verify_round.py`` fails loudly if any
 #: name at the head of this list is already green in a
 #: CORRECTNESS_r*.json.
-_DRIVER_PRIORITY: list[str] = []
+_DRIVER_PRIORITY: list[str] = [
+    # round-12 oracle-backed additions (hash evidence outranks
+    # rows-only slots — the ordering rule test_registry enforces)
+    "spans_red_metrics", "spans_tail_sampling",
+    "graph_connected_components_star", "text_rouge2_overlap",
+    "source_compression_codecs",
+    # round-12 rows-only addition (accuracy + mergeability are
+    # pytest-gated in tests/test_sketches.py — DuckDB has no t-digest)
+    "agg_tdigest_quantile",
+]
 
 #: Names appended here by round-5 modules land right after the backlog
 #: in the driver window.  Kept as a mutation hook so operator modules
@@ -104,6 +113,7 @@ def load_all() -> dict[str, Query]:
         sampling,
         scalar_fns,
         similarity,
+        sketches,
         skew,
         text,
         tpch,
