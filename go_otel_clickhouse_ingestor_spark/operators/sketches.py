@@ -184,3 +184,119 @@ def agg_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdigest_merge_quantiles,
         schema="q_ppm long, estimate double, n long, n_centroids long",
     )
+
+
+#: KMV/theta sketch size: the K smallest hash values of a set.  RSE ≈
+#: 1/√(K−2) ≈ 6.3% at K=256 — ClickHouse's uniqTheta ballpark at its
+#: small end; the pytest gate uses 5·RSE.  K=256 keeps the fixture
+#: sets (≈1k–100k distinct) firmly in the ESTIMATION regime at sf0.01+
+#: while staying exact (θ=1 path) on tiny inputs.
+_THETA_K = 256
+
+#: Hash domain: xxhash64 folded into [0, 2^61) so the normalized value
+#: h/2^61 is uniform in [0,1) with exact integer arithmetic until the
+#: final division.
+_THETA_DOM = 1 << 61
+
+
+def _kmv_collect(df: DataFrame, col: str) -> list[int]:
+    """The K smallest distinct hashes of ``df[col]`` — the KMV sketch,
+    computed as a plain distinct + TakeOrdered(K): the scan is the
+    only data-sized work, the result is K integers."""
+    rows = (
+        df.select(F.pmod(F.xxhash64(col), F.lit(_THETA_DOM)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_THETA_K)
+        .collect()  # bounded: K = _THETA_K rows of one long each
+    )
+    return [r["h"] for r in rows]
+
+
+def kmv_union(*sketches: list[int]) -> list[int]:
+    """Merge KMV sketches: union the hash sets, keep the K smallest —
+    associative, commutative, lossless w.r.t. the union's own sketch
+    (sketch(A ∪ B) == merge(sketch(A), sketch(B)), exactly — the
+    pytest-pinned mergeability property)."""
+    merged = sorted(set().union(*sketches))
+    return merged[:_THETA_K]
+
+
+def kmv_estimate(sketch: list[int]) -> float:
+    """Distinct-count estimate: (K−1)/θ with θ = Kth smallest
+    normalized hash; exact count when the set had < K members."""
+    if len(sketch) < _THETA_K:
+        return float(len(sketch))
+    theta = sketch[-1] / _THETA_DOM
+    return (_THETA_K - 1) / theta
+
+
+def theta_intersect_estimate(a: list[int], b: list[int]) -> float:
+    """Theta-sketch intersection: cut both sketches at θ = min(θa, θb)
+    (each is then a uniform θ-sample of its set), count common hashes
+    below θ, scale by 1/θ."""
+    full = max(len(a), len(b)) >= _THETA_K
+    if not full:
+        # both exact: the hash sets ARE the sets
+        return float(len(set(a) & set(b)))
+    theta_h = min(a[-1] if len(a) == _THETA_K else _THETA_DOM,
+                  b[-1] if len(b) == _THETA_K else _THETA_DOM)
+    common = len({h for h in a if h < theta_h} & {h for h in b if h < theta_h})
+    return common / (theta_h / _THETA_DOM)
+
+
+@query("agg_theta_sketch_setops")
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinality estimates from MERGEABLE theta/KMV
+    sketches — the engine-native ``uniqTheta`` (ClickHouse) /
+    DataSketches idiom, and the piece the HLL family deliberately
+    lacks: HLL unions but cannot INTERSECT, while audience-overlap
+    questions ("users in segment A ∩ B", "event buckets hit by both
+    clicks and views") are intersections by definition.  Sets here:
+    the event-id decade buckets (event_id div 10) touched by 'click'
+    vs 'view' events — overlapping, SF-scaled domains.  Each sketch is
+    the K smallest distinct hashes (computed as distinct +
+    TakeOrdered(K) — the scan is the only data-sized work); union
+    merges losslessly (pytest-pinned: merge(sketch A, sketch B) ==
+    sketch(A ∪ B) exactly), intersection cuts both at θ = min(θa, θb)
+    and rescales.  Output carries est AND exact side by side (exact
+    via plain count_distinct — affordable here, the sketch exists for
+    where it is not).  Rows-only: the estimates hinge on xxhash64,
+    which DuckDB lacks; the accuracy contract (|est−exact| ≤ 5·RSE)
+    and mergeability live in tests/test_sketches.py.  At 100 TB the
+    driver never holds more than 3K longs; everything data-sized is a
+    distinct + top-K."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.col("event_id") / F.lit(10)).cast("long")
+
+    def side(evt: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == evt).select(
+            bucket.alias("b")
+        )
+
+    a_df, b_df = side("click"), side("view")
+    sk_a = _kmv_collect(a_df, "b")
+    sk_b = _kmv_collect(b_df, "b")
+    sk_u = kmv_union(sk_a, sk_b)
+    est = {
+        "A": kmv_estimate(sk_a),
+        "B": kmv_estimate(sk_b),
+        "A_union_B": kmv_estimate(sk_u),
+        "A_intersect_B": theta_intersect_estimate(sk_a, sk_b),
+    }
+    est["A_minus_B"] = max(0.0, est["A"] - est["A_intersect_B"])
+    # exact twins (one pass each; bounded scalar collects)
+    exact = {
+        "A": a_df.distinct().count(),
+        "B": b_df.distinct().count(),
+        "A_union_B": a_df.union(b_df).distinct().count(),
+        "A_intersect_B": a_df.intersect(b_df).count(),
+    }
+    exact["A_minus_B"] = exact["A"] - exact["A_intersect_B"]
+    rows = [
+        (op, int(round(est[op])), int(exact[op]))
+        for op in ("A", "B", "A_union_B", "A_intersect_B", "A_minus_B")
+    ]
+    return spark.createDataFrame(
+        rows, "set_op string, est long, exact long"
+    )

@@ -79,3 +79,44 @@ def test_tdigest_weight_conservation():
     assert np.isclose(w.sum(), v.size)
     assert v.min() <= m.min() and m.max() <= v.max()
     assert m.size <= 2 * S._DELTA
+
+
+def test_theta_sketch_accuracy_on_large_domain(spark):
+    """KMV estimates within 5·RSE (RSE = 1/√(K−2)) on sets big enough
+    to be firmly in the estimation regime, including the θ-cut
+    intersection."""
+    n = 60_000
+    a = spark.range(0, n).selectExpr("id as b")                 # [0, 60k)
+    b = spark.range(n // 3, n + n // 3).selectExpr("id as b")   # overlap 2/3
+    sk_a = S._kmv_collect(a, "b")
+    sk_b = S._kmv_collect(b, "b")
+    rse = 1.0 / (S._THETA_K - 2) ** 0.5
+    assert abs(S.kmv_estimate(sk_a) - n) <= 5 * rse * n
+    assert abs(S.kmv_estimate(sk_b) - n) <= 5 * rse * n
+    u = S.kmv_estimate(S.kmv_union(sk_a, sk_b))
+    assert abs(u - (n + n // 3)) <= 5 * rse * (n + n // 3)
+    i = S.theta_intersect_estimate(sk_a, sk_b)
+    # intersection RSE is worse than the unions' (fewer effective
+    # samples below θ) — allow 8·RSE
+    assert abs(i - (n - n // 3)) <= 8 * rse * n
+
+
+def test_theta_sketch_merge_is_lossless(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY — the
+    mergeability contract that makes per-partition / per-day sketches
+    safe to roll up (hash sets are deterministic, so equality is
+    list equality, not approximation)."""
+    a = spark.range(0, 20_000).selectExpr("id as b")
+    b = spark.range(10_000, 30_000).selectExpr("id as b")
+    u = spark.range(0, 30_000).selectExpr("id as b")
+    merged = S.kmv_union(S._kmv_collect(a, "b"), S._kmv_collect(b, "b"))
+    direct = S._kmv_collect(u, "b")
+    assert merged == direct
+
+
+def test_theta_registry_query_exact_in_small_regime(spark, sf_dir):
+    """At sf0.001 every set is smaller than K, so θ=1 and est == exact
+    on every row — the sketch degrades to exact counting, which is the
+    correct small-set behavior."""
+    for r in S.agg_theta_sketch_setops(spark, sf_dir).collect():
+        assert r.est == r.exact, r
