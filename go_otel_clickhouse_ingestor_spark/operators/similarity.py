@@ -1429,3 +1429,108 @@ def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("cvec") / float(_BQ_K), 4).alias("recall"),
         )
     )
+
+
+@query(
+    "emb_diag_mahalanobis_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos,
+             count(*) AS n,
+             cast(sum(cast(v AS DECIMAL(14,7))) AS DOUBLE) AS s,
+             cast(sum(cast(v AS DECIMAL(14,7))
+                      * cast(v AS DECIMAL(14,7))) AS DOUBLE) AS ss
+      FROM e GROUP BY pos
+    ),
+    dim AS (
+      SELECT pos,
+             round(s / n, 6) AS mean,
+             round((ss - ((s * s) / n)) / (n - 1), 6) AS variance
+      FROM stats
+    ),
+    contrib AS (
+      SELECT e.vec_id,
+             cast(round(((e.v - d.mean) * (e.v - d.mean)) / d.variance, 9)
+                  AS DECIMAL(20,9)) AS c
+      FROM e JOIN dim d ON d.pos = e.pos
+      WHERE d.variance > 0
+    ),
+    dist AS (
+      SELECT vec_id,
+             round(cast(sum(c) AS DOUBLE), 6) AS maha_sq
+      FROM contrib GROUP BY vec_id
+    )
+    SELECT vec_id, maha_sq,
+           cast(row_number() OVER (ORDER BY maha_sq DESC, vec_id)
+                AS BIGINT) AS rn
+    FROM dist
+    ORDER BY rn LIMIT 20
+    """,
+)
+def emb_diag_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 corpus-level embedding outliers by DIAGONAL Mahalanobis
+    distance — the per-dimension-standardized outlier sweep
+    (``emb_label_outliers`` asks "far from my OWN class centroid";
+    this asks "anomalous for the corpus as a whole, after removing
+    per-dimension scale" — the screen that catches corrupted encodes
+    and out-of-distribution injections even when no labels exist).
+    Distance² = Σ_d (x_d − μ_d)²/σ²_d over the dims with nonzero
+    variance.  Cross-engine float discipline (the dq_drift_psi rule):
+    μ and σ² come from the exact-DECIMAL Σx/Σx² pass rounded at 1e-6
+    (identical literals in both engines), each per-dim contribution is
+    ONE quotient both engines evaluate on identical inputs, rounded at
+    1e-9 and summed as exact DECIMAL so partial-sum order cannot move
+    the total; the final distance rounds at 1e-6.  Plan: posexplode →
+    one pos-keyed partial agg (the 64-row dim grid) → broadcast the
+    grid back onto the exploded stream → vec-keyed exact-decimal sum →
+    TakeOrdered(20).  Scale: two map-side-combined aggs over the
+    dim×rows explosion and a broadcast of 64 rows; nothing downstream
+    of the scan is corpus-sized except the keyed sum, which is the
+    floor for any per-vector score."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    dec = "cast(v as decimal(14,7))"
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"cast(sum({dec}) as double)").alias("s"),
+        F.expr(f"cast(sum({dec} * {dec}) as double)").alias("ss"),
+    )
+    dim = stats.select(
+        "pos",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        F.round(
+            (F.col("ss") - (F.col("s") * F.col("s")) / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("variance"),
+    ).filter(F.col("variance") > 0)
+    # broadcast: dim grid is bounded by the embedding dimensionality
+    contrib = ex.join(F.broadcast(dim), "pos").select(
+        "vec_id",
+        F.expr(
+            "cast(round(((v - mean) * (v - mean)) / variance, 9)"
+            " as decimal(20,9))"
+        ).alias("c"),
+    )
+    dist = contrib.groupBy("vec_id").agg(
+        F.round(F.sum("c").cast("double"), 6).alias("maha_sq")
+    )
+    top = dist.orderBy(F.col("maha_sq").desc(), "vec_id").limit(20)
+    # bounded: window ranks the 20-row limit output only
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.col("maha_sq").desc(), "vec_id")
+    return top.select(
+        "vec_id",
+        "maha_sq",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    )
