@@ -280,3 +280,54 @@ def apdex_windowed(
             .alias("apdex_ppm"),
         )
     )
+
+
+def red_metrics_windowed(
+    spans: DataFrame, width: str = "1 day", delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-window spanmetrics RED grid — the streaming face of the
+    batch ``spans_red_metrics`` query, because the spanmetrics
+    connector IS a streaming component (the OTel collector emits these
+    metrics per flush interval, not per day-end batch).  Input is a
+    flat span stream shaped like ``operators/traces.py::_span_flat``
+    plus event time: (service, span_name, dur_us, is_error, ts).
+
+    Mergeability is the whole design (the apdex_windowed /
+    exp-histogram contract): every output is a COUNT or SUM over a
+    (window, service, span_name) cell — calls, errors, total duration,
+    and the cumulative explicit-bounds duration histogram — so window
+    grids re-aggregate by addition and the derived err_ppm is
+    recomputed after any merge; summing all windows reproduces the
+    batch grid exactly (pytest-pinned).  This is also why the OTel
+    wire format ships cumulative `le` buckets: merging histograms is
+    element-wise addition, nothing else.  State: one (4 + #bounds)-
+    counter cell per (window, service, span_name), watermark-bounded."""
+    from ..operators.traces import _RED_BOUNDS_US
+
+    buckets = [
+        F.sum(F.when(F.col("dur_us") <= b, 1).otherwise(0))
+        .cast("long")
+        .alias(f"le_{b // 1_000_000}s")
+        for b in _RED_BOUNDS_US
+    ]
+    return (
+        spans.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("win"), "service", "span_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.sum("is_error").cast("long").alias("n_errors"),
+            F.sum("dur_us").cast("long").alias("total_dur_us"),
+            *buckets,
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "service",
+            "span_name",
+            "n_calls",
+            "n_errors",
+            F.expr("n_errors * 1000000 div n_calls").cast("long").alias("err_ppm"),
+            "total_dur_us",
+            *[f"le_{b // 1_000_000}s" for b in _RED_BOUNDS_US],
+        )
+    )

@@ -351,3 +351,101 @@ def test_streaming_tail_sampling_matches_batch(spark, sf_dir, tmp_path):
         for r in spans_tail_sampling(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+@pytest.mark.slow
+def test_red_metrics_windowed_merges_to_batch_grid(spark, sf_dir, tmp_path):
+    """red_metrics_windowed over a real two-trigger feed, with a width
+    that splits the fixture into MULTIPLE windows: summing every
+    window's counts per (service, span_name) and re-deriving err_ppm
+    reproduces the batch spans_red_metrics grid exactly — the
+    mergeable-counts contract (cumulative le buckets merge by
+    addition, which is why the OTel wire shape is cumulative)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from go_otel_clickhouse_ingestor_spark.operators.traces import (
+        spans_red_metrics,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.windows import (
+        red_metrics_windowed,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    src = table(spark, sf_dir, "events")
+    rows = [
+        {
+            "service": f"svc-{r.event_id % 5}",
+            "span_name": r.event_type,
+            "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "dur_us": int(abs(round(r.value * 1000))) * 1000,
+            "is_error": 1 if (r.event_type == "error" and r.value > 300) else 0,
+        }
+        for r in src.select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        ).collect()
+    ]
+    cut = len(rows) // 2
+    batches = [
+        rows[:cut],
+        rows[cut:],
+        [{"service": "zz", "span_name": "zz",
+          "ts": "2200-01-01 00:00:00.000000", "dur_us": 0, "is_error": 0}],
+        [{"service": "zz", "span_name": "zz",
+          "ts": "2200-01-02 00:00:00.000000", "dur_us": 0, "is_error": 0}],
+    ]
+    d = tmp_path / "red_feed"
+    d.mkdir()
+    for i, batch in enumerate(batches):
+        p = d / f"{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in batch))
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "service string, span_name string, ts timestamp, "
+            "dur_us long, is_error long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"red_{_uuid.uuid4().hex[:8]}"
+    q = (
+        red_metrics_windowed(stream, width="30 days", delay="1 second")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.table(name).filter(F.col("service") != "zz")
+    # the fixture's calendar must actually split across windows for the
+    # merge step to be meaningful
+    assert out.select("win_start").distinct().count() >= 2
+    from go_otel_clickhouse_ingestor_spark.operators.traces import (
+        _RED_BOUNDS_US,
+    )
+
+    bucket_cols = [f"le_{b // 1_000_000}s" for b in _RED_BOUNDS_US]
+    merged = (
+        out.groupBy("service", "span_name")
+        .agg(
+            F.sum("n_calls").cast("long").alias("n_calls"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+            F.sum("total_dur_us").cast("long").alias("total_dur_us"),
+            *[F.sum(c).cast("long").alias(c) for c in bucket_cols],
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr("n_errors * 1000000 div n_calls").cast("long"),
+        )
+    )
+    cols = ["service", "span_name", "n_calls", "n_errors", "err_ppm",
+            "total_dur_us", *bucket_cols]
+    got = {tuple(r[c] for c in cols) for r in merged.collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in spans_red_metrics(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
