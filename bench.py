@@ -140,6 +140,8 @@ HEADLINE = [
     "text_rouge2_overlap",
     "source_compression_codecs",
     "agg_tdigest_quantile",
+    "emb_diag_mahalanobis_outliers",
+    "agg_theta_sketch_setops",
 ]
 
 

@@ -51,10 +51,11 @@ _DRIVER_PRIORITY: list[str] = [
     # rows-only slots — the ordering rule test_registry enforces)
     "spans_red_metrics", "spans_tail_sampling",
     "graph_connected_components_star", "text_rouge2_overlap",
-    "source_compression_codecs",
-    # round-12 rows-only addition (accuracy + mergeability are
-    # pytest-gated in tests/test_sketches.py — DuckDB has no t-digest)
-    "agg_tdigest_quantile",
+    "source_compression_codecs", "emb_diag_mahalanobis_outliers",
+    # round-12 rows-only additions (accuracy + mergeability are
+    # pytest-gated in tests/test_sketches.py — DuckDB has neither a
+    # t-digest nor xxhash64-based theta sketches)
+    "agg_tdigest_quantile", "agg_theta_sketch_setops",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
