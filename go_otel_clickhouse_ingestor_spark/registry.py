@@ -52,10 +52,14 @@ _DRIVER_PRIORITY: list[str] = [
     "spans_red_metrics", "spans_tail_sampling",
     "graph_connected_components_star", "text_rouge2_overlap",
     "source_compression_codecs", "emb_diag_mahalanobis_outliers",
+    "events_series_znorm_topk",
     # round-12 rows-only additions (accuracy + mergeability are
     # pytest-gated in tests/test_sketches.py — DuckDB has neither a
     # t-digest nor xxhash64-based theta sketches)
+    # rows-only: DTW's DP is not SQL-expressible (numpy-twin +
+    # property-gated in tests/test_timeseries.py)
     "agg_tdigest_quantile", "agg_theta_sketch_setops",
+    "events_series_dtw",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
@@ -117,6 +121,7 @@ def load_all() -> dict[str, Query]:
         sketches,
         skew,
         text,
+        timeseries,
         tpch,
         traces,
         udfs,
