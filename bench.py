@@ -142,6 +142,8 @@ HEADLINE = [
     "agg_tdigest_quantile",
     "emb_diag_mahalanobis_outliers",
     "agg_theta_sketch_setops",
+    "events_series_znorm_topk",
+    "events_series_dtw",
 ]
 
 
