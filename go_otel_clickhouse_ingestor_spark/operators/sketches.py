@@ -285,12 +285,28 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "A_intersect_B": theta_intersect_estimate(sk_a, sk_b),
     }
     est["A_minus_B"] = max(0.0, est["A"] - est["A_intersect_B"])
-    # exact twins (one pass each; bounded scalar collects)
+    # exact twins: ONE bucket-grouped membership pass yields all five
+    # counts (four separate distinct/intersect jobs paid three extra
+    # corpus scans for values derivable from has_a/has_b flags)
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(bucket.alias("b"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ha"),
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("hb"),
+        )
+    )
+    row = flags.agg(
+        F.sum("ha").alias("a"),
+        F.sum("hb").alias("b"),
+        F.sum(F.col("ha") * F.col("hb")).alias("i"),
+        F.count(F.lit(1)).alias("u"),
+    ).collect()[0]  # bounded: single aggregate row (four scalars)
     exact = {
-        "A": a_df.distinct().count(),
-        "B": b_df.distinct().count(),
-        "A_union_B": a_df.union(b_df).distinct().count(),
-        "A_intersect_B": a_df.intersect(b_df).count(),
+        "A": int(row["a"] or 0),
+        "B": int(row["b"] or 0),
+        "A_union_B": int(row["u"] or 0),
+        "A_intersect_B": int(row["i"] or 0),
     }
     exact["A_minus_B"] = exact["A"] - exact["A_intersect_B"]
     rows = [

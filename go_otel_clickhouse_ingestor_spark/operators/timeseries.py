@@ -157,10 +157,28 @@ def _user_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ref_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fleet's z-normalized daily-total series (|days| rows) — the
-    Spark twin of the ``refz`` CTE.  Bounded by the calendar."""
+    Spark twin of the ``refz`` CTE.  Bounded by the calendar.
+
+    The reference series is built on the SAME dense calendar as the
+    user series: a day with zero events contributes an explicit 0
+    total (the oracle's refd sums over the zero-filled spine) —
+    grouping raw events by day would silently DROP empty days,
+    shrinking n and shifting every z-score the moment any calendar day
+    is quiet."""
     ev = table(spark, sf_dir, "events")
-    refd = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_c")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    by_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_c0")
+    )
+    refd = days.join(by_day, "day", "left").select(
+        "day", F.coalesce("v_c0", F.lit(0)).alias("v_c")
     )
     rstat = refd.agg(
         F.count(F.lit(1)).alias("n"),

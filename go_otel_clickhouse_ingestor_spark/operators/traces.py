@@ -495,12 +495,52 @@ _RED_BOUNDS_US = (30_000_000, 60_000_000, 120_000_000, 240_000_000)
 #: Tail-sampling policy constants: latency policy fires above the
 #: fixture's ~p85 per-trace total (per-trace totals concentrate around
 #: 3.3e9 µs at every SF because spans-per-trace is SF-invariant);
-#: probabilistic policy keeps ~10% of traces via an exact
-#: Lehmer-style integer mix both engines compute identically in BIGINT
-#: (no float, no engine hash).
+#: probabilistic policy keeps ~10% of traces via a multiplicative hash
+#: into a PRIME modulus, exact BIGINT in both engines (no float, no
+#: engine hash).  The prime matters: a plain (id·c) % 100 is a unit
+#: multiplication mod 100 — a residue PERMUTATION, so any structured
+#: id space (per-tenant blocks, stride-100 allocators) samples at 0%
+#: or 100%; reducing mod 1,000,003 first breaks stride alignment with
+#: the keep threshold.  No overflow: ids stay below ~1e10, the product
+#: below ~2.7e19/2⁶³... bounded by 1e10·2654435761 ≈ 2.7e19 — that
+#: DOES overflow int64, so the multiplier is reduced mod the prime
+#: first in the expression: (id % P) · (c % P) ≤ (1e6)² ≈ 1e12.
 _TAIL_LAT_US = 3_800_000_000
+_TAIL_PROB_MULT = 2_654_435_761
+_TAIL_PROB_PRIME = 1_000_003
 _TAIL_PROB_MOD = 100
 _TAIL_PROB_KEEP = 10
+
+#: The probabilistic-residue expression, shared verbatim by the batch
+#: query, its SQL oracle, and the streaming face (one string so the
+#: three cannot drift).
+_TAIL_PROB_SQL = (
+    f"((trace_id % {_TAIL_PROB_PRIME})"
+    f" * ({_TAIL_PROB_MULT} % {_TAIL_PROB_PRIME}))"
+    f" % {_TAIL_PROB_PRIME} % {_TAIL_PROB_MOD} < {_TAIL_PROB_KEEP}"
+)
+
+
+def tail_keep_condition():
+    """The tailsampling keep/drop predicate over per-trace totals
+    (n_errors, total_us, trace_id) — THE policy, used by both the
+    batch query and the streaming face so the two cannot diverge."""
+    return (
+        (F.col("n_errors") > 0)
+        | (F.col("total_us") > _TAIL_LAT_US)
+        | F.expr(_TAIL_PROB_SQL)
+    )
+
+
+def tail_policy_column():
+    """Policy attribution with the processor's precedence
+    (error ≻ latency ≻ probabilistic) — shared like
+    :func:`tail_keep_condition`."""
+    return (
+        F.when(F.col("n_errors") > 0, "error")
+        .when(F.col("total_us") > _TAIL_LAT_US, "latency")
+        .otherwise("probabilistic")
+    )
 
 
 def _span_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +635,7 @@ def spans_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_trace
     WHERE n_errors > 0
        OR total_us > {_TAIL_LAT_US}
-       OR (trace_id * 48271) % {_TAIL_PROB_MOD} < {_TAIL_PROB_KEEP}
+       OR {_TAIL_PROB_SQL}
     """,
 )
 def spans_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,10 +645,12 @@ def spans_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest AFTER seeing the whole trace — head sampling can't know a
     trace will error at span 40): a trace is kept if ANY span errored
     (error policy), OR its total duration crosses the latency
-    threshold, OR it wins the probabilistic residue (deterministic
-    Lehmer mix on the trace id — the real processor hashes the trace
-    id for the same reason: the decision must be reproducible across
-    collector replicas without coordination).  Policy attribution uses
+    threshold, OR it wins the probabilistic residue (a deterministic
+    multiplicative hash of the trace id into a prime modulus — the
+    real processor hashes the trace id for the same reason: the
+    decision must be reproducible across collector replicas without
+    coordination; the prime reduction keeps structured id spaces from
+    aliasing the keep threshold).  Policy attribution uses
     the processor's precedence (error ≻ latency ≻ probabilistic).
     Plan: one trace-keyed partial agg (counts/sums only — mergeable,
     so at 100 TB this runs as the streaming trace-assembly face's
@@ -621,18 +663,11 @@ def spans_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_us").cast("long").alias("total_us"),
         F.sum("is_error").cast("long").alias("n_errors"),
     )
-    kept = per_trace.filter(
-        (F.col("n_errors") > 0)
-        | (F.col("total_us") > _TAIL_LAT_US)
-        | ((F.col("trace_id") * 48271) % _TAIL_PROB_MOD < _TAIL_PROB_KEEP)
-    )
+    kept = per_trace.filter(tail_keep_condition())
     return kept.select(
         "trace_id",
         "n_spans",
         "total_us",
         "n_errors",
-        F.when(F.col("n_errors") > 0, "error")
-        .when(F.col("total_us") > _TAIL_LAT_US, "latency")
-        .otherwise("probabilistic")
-        .alias("policy"),
+        tail_policy_column().alias("policy"),
     )

@@ -266,26 +266,15 @@ def trace_totals_windowed(
 def tail_sampling_decide(per_trace: DataFrame) -> DataFrame:
     """The stateless policy half of the streaming tail sampler: the
     IDENTICAL keep/drop + attribution expressions as the batch
-    ``spans_tail_sampling`` query (error ≻ latency ≻ deterministic
-    Lehmer-mix probabilistic — reproducible across replicas without
+    ``spans_tail_sampling`` query — literally the same
+    ``tail_keep_condition``/``tail_policy_column`` helpers, so the two
+    faces cannot drift (error ≻ latency ≻ deterministic prime-modulus
+    probabilistic, reproducible across replicas without
     coordination), applied to closed per-trace totals.  Run it per
     micro-batch via foreachBatch, or over the lake table
     ``trace_totals_windowed`` sinks to — either way it touches only
     per-trace rows, never raw spans."""
-    from ..operators.traces import (
-        _TAIL_LAT_US,
-        _TAIL_PROB_KEEP,
-        _TAIL_PROB_MOD,
-    )
+    from ..operators.traces import tail_keep_condition, tail_policy_column
 
-    kept = per_trace.filter(
-        (F.col("n_errors") > 0)
-        | (F.col("total_us") > _TAIL_LAT_US)
-        | ((F.col("trace_id") * 48271) % _TAIL_PROB_MOD < _TAIL_PROB_KEEP)
-    )
-    return kept.withColumn(
-        "policy",
-        F.when(F.col("n_errors") > 0, "error")
-        .when(F.col("total_us") > _TAIL_LAT_US, "latency")
-        .otherwise("probabilistic"),
-    )
+    kept = per_trace.filter(tail_keep_condition())
+    return kept.withColumn("policy", tail_policy_column())

@@ -100,3 +100,41 @@ def test_dtw_batch_kernel_equals_scalar():
     got = T.dtw_band_batch(A, B, T._DTW_BAND)
     for i in range(A.shape[0]):
         assert got[i] == T.dtw_band(A[i], B[i], T._DTW_BAND)
+
+
+def test_dense_spine_includes_empty_calendar_days(spark, tmp_path):
+    """A quiet calendar day must appear as an explicit zero in BOTH the
+    user series and the fleet reference (the oracle sums over the
+    zero-filled spine; grouping raw events by day would drop the day
+    and shift every z-score) — pinned on a 3-day fixture whose middle
+    day has no events."""
+    import pandas as pd
+
+    d = tmp_path / "gap_sf"
+    d.mkdir()
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-05-01 10:00", "2024-05-01 11:00",
+                 "2024-05-03 10:00", "2024-05-03 12:00"]
+            ),
+            "user_id": [7, 8, 7, 8],
+            "event_type": ["click", "view", "click", "view"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    rows.to_parquet(d / "events.parquet")
+    ref = {r.day.isoformat(): r.zr for r in T._ref_z(spark, str(d)).collect()}
+    assert set(ref) == {"2024-05-01", "2024-05-02", "2024-05-03"}
+    # totals 300, 0, 700 (centi-units): the gap day is the minimum
+    assert ref["2024-05-02"] == min(ref.values())
+    uz = T._user_z(spark, str(d)).collect()
+    per_user = {}
+    for r in uz:
+        per_user.setdefault(r.user_id, set()).add(r.day.isoformat())
+    assert per_user == {
+        7: {"2024-05-01", "2024-05-02", "2024-05-03"},
+        8: {"2024-05-01", "2024-05-02", "2024-05-03"},
+    }

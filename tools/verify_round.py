@@ -322,6 +322,16 @@ def check_unpartitioned_windows(roots: list[str] | None = None) -> list[str]:
                             for a in n.names
                             if a.name == "window"
                         )
+                        # pyspark.sql re-exports Window: ``from
+                        # pyspark.sql import Window [as X]`` is the
+                        # common legal form and must bind too (r12
+                        # review: this exact form silently skipped the
+                        # whole file)
+                        aliases.update(
+                            a.asname or a.name
+                            for a in n.names
+                            if a.name == "Window"
+                        )
                 elif isinstance(n, ast.Import):
                     mod_aliases.update(
                         a.asname or "pyspark"
