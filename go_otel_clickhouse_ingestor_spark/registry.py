@@ -38,29 +38,18 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 12 rotation:
-#: all round-11 additions went driver-green in CORRECTNESS_r11 (the 6
-#: oracle-backed names hash-passed; the LSH face ran clean rows-only),
-#: so the backlog head is emptied again and the window is filled by
-#: this round's additions via :func:`driver_priority_append` in
-#: registration order.  ``tools/verify_round.py`` fails loudly if any
-#: name at the head of this list is already green in a
-#: CORRECTNESS_r*.json.
-_DRIVER_PRIORITY: list[str] = [
-    # round-12 oracle-backed additions (hash evidence outranks
-    # rows-only slots — the ordering rule test_registry enforces)
-    "spans_red_metrics", "spans_tail_sampling",
-    "graph_connected_components_star", "text_rouge2_overlap",
-    "source_compression_codecs", "emb_diag_mahalanobis_outliers",
-    "events_series_znorm_topk",
-    # round-12 rows-only additions (accuracy + mergeability are
-    # pytest-gated in tests/test_sketches.py — DuckDB has neither a
-    # t-digest nor xxhash64-based theta sketches)
-    # rows-only: DTW's DP is not SQL-expressible (numpy-twin +
-    # property-gated in tests/test_timeseries.py)
-    "agg_tdigest_quantile", "agg_theta_sketch_setops",
-    "events_series_dtw",
-]
+#: queries with the least driver-anchored evidence.  Round 13 rotation:
+#: ALL 395 registered queries now have driver evidence (every
+#: oracle-backed name hash-passed in some CORRECTNESS_r*.json; every
+#: rows-only name ran clean under the ``no_oracle`` marker —
+#: re-verified by ``tools/close_round.py``), so the backlog head is
+#: empty and the window is filled by this round's additions via
+#: :func:`driver_priority_append` in registration order.
+#: ``tools/verify_round.py`` fails loudly if any name at the head of
+#: this list is already green in a CORRECTNESS_r*.json; run
+#: ``python tools/close_round.py`` at round close to perform this
+#: rotation mechanically instead of by hand.
+_DRIVER_PRIORITY: list[str] = []
 
 #: Names appended here by round-5 modules land right after the backlog
 #: in the driver window.  Kept as a mutation hook so operator modules
