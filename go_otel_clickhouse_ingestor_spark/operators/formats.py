@@ -3,8 +3,10 @@
 The reference's wire format is JSON rows (JSONEachRow POSTs,
 ``internal/ingestion/clickhouse.go:74,109``); a user migrating from it
 lands raw JSON/CSV drops long before parquet.  These queries write the
-events fixture to each text format once (in /tmp, keyed by fixture
-dir) and read it back with an explicit schema — the oracle reads the
+events fixture to each text format once (in a per-uid /tmp root, keyed
+by a content fingerprint of the fixture files, so in-place fixture
+regeneration invalidates the cache) and read it back with an explicit
+schema — the oracle reads the
 ORIGINAL parquet, so a hash match proves the engine's text readers are
 lossless for the carried columns.
 
@@ -35,10 +37,33 @@ _ORACLE = """
 """
 
 
+#: Per-uid cache root: two users on one box must not collide on the
+#: world-shared /tmp (ADVICE r12).
+_CACHE_ROOT = f"/tmp/spark_graft_formats_{os.getuid()}"
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the fixture directory: md5 over every
+    file's (relpath, size, mtime_ns).  Keying the /tmp cache by this
+    instead of the directory STRING means regenerating fixture data in
+    place invalidates the cached copies — the old string key either
+    turned the roundtrip audit into a false oracle mismatch or masked
+    a broken write path by reusing stale artifacts (ADVICE r12)."""
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for fn in sorted(files):
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            h.update(
+                f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+            )
+    return h.hexdigest()[:12]
+
+
 def _text_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the events fixture once as JSON/CSV; reuse across calls."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/{fmt}_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/{fmt}_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         ev = table(spark, sf_dir, "events").select(
             "event_id",
@@ -78,8 +103,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC → read back.  Unlike the text formats ORC is a real
     columnar serving format (pruning + pushdown work), so this is the
     parquet-alternative read path, not a landing-zone path."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/orc_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/orc_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -113,8 +138,8 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     table turns a full scan into a directory listing plus the matching
     files — pruning happens before any IO, unlike row-group pushdown
     which still opens every footer."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/part_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/part_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -184,8 +209,8 @@ def source_text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's shortest-roundtrip string form.  Scale: text+regex is a
     map-only scan — no pruning, no pushdown (documented landing-zone
     trade); the pattern is parse once → parquet, serve columnar."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/log_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/log_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -228,8 +253,8 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the other text sources: no pruning/pushdown, parse-whole-row,
     convert to parquet once; event time crosses as unix_micros BIGINT
     because XML timestamp round-trips are where precision dies."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/xml_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/xml_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -276,8 +301,8 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one task per file (small-file problem is real — at 100 TB
     you pack media into WebDataset-style tar shards or parquet BLOBs,
     which is exactly the ``multimodal_cols`` layout this feeds)."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/bin_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/bin_{suffix}"
     if not os.path.exists(f"{path}/_DONE"):
         rows = (
             table(spark, sf_dir, "documents")
@@ -346,8 +371,8 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     with zero query rewrite.  The static twin (literal IN on the
     partition column) is source_partitioned_pruning; here pruning
     survives the indirection through a join."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/part_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/part_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -493,8 +518,8 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical classification relationally from the parquet truth.
     Scale: map-only parse; the quarantine column rides the scan, no
     extra pass."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/corrupt_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/corrupt_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         line = F.to_json(
             F.struct("event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value")
@@ -653,8 +678,8 @@ def source_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sums instead of one global window; everything after is
     record-keyed.  The fixture writes one file, for which the
     per-file form is identical to a global window."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_formats/mlog_{suffix}"
+    suffix = _fixture_fingerprint(sf_dir)
+    path = f"{_CACHE_ROOT}/mlog_{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         ev = table(spark, sf_dir, "events")
         head = F.concat(
@@ -1052,7 +1077,7 @@ def source_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined scan per codec, no shuffle wider than one
     row."""
     base = table(spark, sf_dir, "orders")
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = _fixture_fingerprint(sf_dir)
     rh = F.expr(
         "cast(conv(substring(md5(concat_ws('|', "
         + ", ".join(_ORD_COLS_SPARK)
@@ -1060,7 +1085,7 @@ def source_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for codec in _CODECS:
-        path = f"/tmp/spark_graft_formats/orders_{codec}_{suffix}"
+        path = f"{_CACHE_ROOT}/orders_{codec}_{suffix}"
         if not os.path.exists(f"{path}/_SUCCESS"):
             base.write.mode("overwrite").option("compression", codec).parquet(
                 path

@@ -16,12 +16,15 @@ fleet's own daily total (the "global shape"), z-normalized the same
 way — so the top-k answers "which users track the fleet curve" and
 the bottom ranks are the anomalous cohort.
 
-Cross-engine float discipline (the emb_diag_mahalanobis rule): all
-sums happen in exact BIGINT centi-units; μ, σ, and each z-score derive
-from those integers through the same closed formulas (identical IEEE
-inputs → identical doubles), z rounds at 1e-6, each squared gap
-rounds at 1e-9 and sums as exact DECIMAL so partial order cannot move
-totals; final distances round at 1e-6.
+Cross-engine float discipline (the emb_diag_mahalanobis rule): value
+sums happen in exact BIGINT centi-units and SQUARE sums in exact
+DECIMAL(38,0) / HUGEINT (v_c² already sits at the int64 edge at
+sf0.1-like volumes — an int64 square-sum wraps silently with ansi
+off); μ, σ, and each z-score derive from those exact integers through
+the same closed formulas, converting to double at the same points in
+both engines (identical IEEE inputs → identical doubles); z rounds at
+1e-6, each squared gap rounds at 1e-9 and sums as exact DECIMAL so
+partial order cannot move totals; final distances round at 1e-6.
 
 Scale shape: the spine is |users| × |days| — days are
 calendar-bounded (30 here, 365 in production), so the dense grid is a
@@ -75,7 +78,7 @@ _SERIES_CTE = """
     ),
     ustat AS (
       SELECT user_id, count(*) AS n,
-             sum(v_c) AS s, sum(v_c * v_c) AS ss
+             sum(v_c) AS s, sum(cast(v_c AS HUGEINT) * v_c) AS ss
       FROM spine GROUP BY user_id
     ),
     uz AS (
@@ -90,7 +93,9 @@ _SERIES_CTE = """
       SELECT day, sum(v_c) AS v_c FROM spine GROUP BY day
     ),
     rstat AS (
-      SELECT count(*) AS n, sum(v_c) AS s, sum(v_c * v_c) AS ss FROM refd
+      SELECT count(*) AS n, sum(v_c) AS s,
+             sum(cast(v_c AS HUGEINT) * v_c) AS ss
+      FROM refd
     ),
     refz AS (
       SELECT r.day,
@@ -134,12 +139,21 @@ def _user_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, ["user_id", "day"], "left")
         .select("user_id", "day", F.coalesce("v_c", F.lit(0)).alias("v_c"))
     )
+    # exact DECIMAL square-sums (the emb_diag_mahalanobis discipline):
+    # v_c*v_c in int64 sits at the 9e18 edge by sf0.1-like volumes and
+    # wraps SILENTLY with ansi off while DuckDB's sum promotes to
+    # HUGEINT — so both the per-element square and the fleet square-sum
+    # run as decimal(38,0), converting to double at exactly the points
+    # DuckDB's `/` does (exact-int → double, then float division)
     ustat = spine.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v_c").alias("s"),
-        F.sum(F.col("v_c") * F.col("v_c")).alias("ss"),
+        F.sum(F.expr("cast(v_c as decimal(38,0)) * v_c")).alias("ss"),
     )
-    var = "(ss - (s * s) / n) / (n - 1)"
+    var = (
+        "(cast(ss as double)"
+        " - cast(cast(s as decimal(38,0)) * s as double) / n) / (n - 1)"
+    )
     return (
         spine.join(ustat, "user_id")
         .filter(F.expr(var) > 0)
@@ -180,12 +194,18 @@ def _ref_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     refd = days.join(by_day, "day", "left").select(
         "day", F.coalesce("v_c0", F.lit(0)).alias("v_c")
     )
+    # same exact-DECIMAL square-sum discipline as _user_z: the FLEET
+    # square-sum crosses the int64 edge first (it sums every user's
+    # volume), so overflow here would shift every z-score at once
     rstat = refd.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v_c").alias("s"),
-        F.sum(F.col("v_c") * F.col("v_c")).alias("ss"),
+        F.sum(F.expr("cast(v_c as decimal(38,0)) * v_c")).alias("ss"),
     )
-    var = "(ss - (s * s) / n) / (n - 1)"
+    var = (
+        "(cast(ss as double)"
+        " - cast(cast(s as decimal(38,0)) * s as double) / n) / (n - 1)"
+    )
     return refd.join(F.broadcast(rstat)).select(
         "day",
         F.round(
@@ -212,7 +232,7 @@ def _ref_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_series_znorm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TS_TOPK} users whose daily activity series most closely
+    """Top-10 (``_TS_TOPK``) users whose daily activity series most closely
     tracks the fleet's own daily curve, under z-normalized Euclidean
     distance — the whole-matching primitive of distributed time-series
     similarity search (UCR-suite/EDBT'19 lineage: z-normalization
@@ -223,7 +243,7 @@ def events_series_znorm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     under z-normalization).  Zero-variance users (flat series — σ=0)
     are excluded on both sides.  Plan: one user-keyed daily agg, a
     broadcast calendar spine, one user-keyed stats+distance agg
-    against the broadcast |days|-row reference, TakeOrdered({_TS_TOPK})
+    against the broadcast |days|-row reference, TakeOrdered(10)
     — at any scale the only data-sized stages are the two user-keyed
     passes on one shuffle key.  The elastic (DTW) refinement of the
     same series lives in ``events_series_dtw``."""
@@ -327,31 +347,159 @@ def events_series_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the fleet curve — the ELASTIC refinement of
     ``events_series_znorm_topk`` (Euclidean punishes a user whose
     weekly rhythm is the fleet's shifted by a day; DTW with a
-    Sakoe-Chiba band of ±{_DTW_BAND} days aligns small phase shifts
-    and keeps the O(n²) free-warping pathology out).  The reference
-    series joins onto the user rows by day, each user's aligned
-    (z, zr) pairs fold into two calendar-bounded ARRAYS on one
+    Sakoe-Chiba band of ±3 days (``_DTW_BAND``) aligns small phase
+    shifts and keeps the O(n²) free-warping pathology out).  The
+    reference series joins onto the user rows by day, each user's
+    aligned (z, zr) pairs fold into two calendar-bounded ARRAYS on one
     user-keyed shuffle, and the DP runs in ``mapInPandas`` VECTORIZED
     ACROSS the batch's users (``dtw_band_batch``: the 30×(2W+1) loop
-    is Python, every op inside it is a numpy vector over all series —
-    one-group-per-call applyInPandas paid ~2 ms of overhead per user
-    and probed 7.35× at 10× users; the batched kernel removes exactly
-    that).  Emitted beside it is the diagonal L1 (the W=0
+    is Python, every op inside it is a numpy vector over all series.
+    The REJECTED alternative — a one-group-per-call ``applyInPandas``
+    kernel — paid ~2 ms of overhead per user and probed 7.35× at 10×
+    users; the shipped ``mapInPandas`` form removes exactly that).  Emitted beside it is the diagonal L1 (the W=0
     degeneration, pytest-pinned to equal ``dtw_band(..., 0)``
     exactly).  Rows-only: DTW's DP is not SQL-expressible (DuckDB's
     recursive CTEs cannot carry the band matrix); the kernel is
     numpy-twin-verified and property-gated in
     tests/test_timeseries.py."""
+    return _aligned_seqs(spark, sf_dir).mapInPandas(
+        _dtw_map,
+        schema="user_id long, n_days long, dtw double, l1_diag double",
+    )
+
+
+def _aligned_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, za, zb): each user's day-sorted z-series aligned with
+    the broadcast reference series — the input shape of the batched
+    DTW kernel, shared by the exhaustive query and the pruned top-k."""
     uz = _user_z(spark, sf_dir)
     rz = _ref_z(spark, sf_dir)
     rows = uz.join(F.broadcast(rz), "day").select("user_id", "day", "z", "zr")
     # per-user arrays are calendar-bounded (30 days), so collect_list
     # is a bounded aggregate, not a data-growing one
-    seqs = rows.groupBy("user_id").agg(
+    return rows.groupBy("user_id").agg(
         F.expr("transform(sort_array(collect_list(struct(day, z, zr))), s -> s.z)").alias("za"),
         F.expr("transform(sort_array(collect_list(struct(day, z, zr))), s -> s.zr)").alias("zb"),
     )
-    return seqs.mapInPandas(
-        _dtw_map,
-        schema="user_id long, n_days long, dtw double, l1_diag double",
+
+
+#: Top-k results returned by the pruned DTW search.
+_DTW_TOPK = 10
+
+#: Float slack on LB-vs-threshold comparisons: LB_Keogh ≤ DTW is exact
+#: in real arithmetic; summation-order noise in the relational LB sum
+#: is ~1e-12 relative, so 1e-9 absolute slack can only ADMIT extra
+#: candidates (safe), never prune a true answer.
+_LB_EPS = 1e-9
+
+
+def _dtw_bounds(seqs: DataFrame) -> DataFrame:
+    """(user_id, lb, ub): LB_Keogh lower bound AND diagonal-L1 upper
+    bound of each user's banded DTW distance to the reference series,
+    as pure JVM-side array expressions over the ALREADY-ALIGNED
+    (za, zb) arrays — zero extra shuffles and zero Python.
+
+    Lower bound: for each position i the band envelope is the running
+    min/max of the reference over ±``_DTW_BAND`` positions (``slice``
+    + ``array_min``/``array_max`` — arrays are calendar-bounded, so
+    the O(n·(2W+1)) expression is a constant ~200 codegen ops per
+    user); lb = Σ max(za_i − hi_i, lo_i − za_i, 0) ≤ banded DTW with
+    |a−b| step cost, because every admissible warping path must pay at
+    least the distance from za_i to the envelope at i.
+
+    Upper bound: the W=0 diagonal Σ|za_i − zb_i| ≥ any wider-band DTW
+    (more admissible paths can only lower the optimum — the
+    monotonicity property test_dtw_monotone_in_band pins)."""
+    w = _DTW_BAND
+    win = (
+        f"slice(zb, greatest(1, i - {w}), "
+        f"least(i + {w}, size(zb)) - greatest(1, i - {w}) + 1)"
+    )
+    lb_expr = f"""
+      aggregate(
+        transform(sequence(1, size(za)), i ->
+          greatest(za[i-1] - array_max({win}),
+                   array_min({win}) - za[i-1],
+                   cast(0.0 as double))),
+        cast(0.0 as double), (acc, x) -> acc + x)
+    """
+    ub_expr = """
+      aggregate(zip_with(za, zb, (x, y) -> abs(x - y)),
+                cast(0.0 as double), (acc, x) -> acc + x)
+    """
+    return seqs.select(
+        "user_id", F.expr(lb_expr).alias("lb"), F.expr(ub_expr).alias("ub")
+    )
+
+
+@query("events_series_dtw_topk")
+def events_series_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 (``_DTW_TOPK``) users nearest the fleet curve under
+    banded DTW, found the UCR-suite way: a cheap O(n) LB_Keogh lower
+    bound prunes candidates before ANY dynamic programming runs —
+    the defining optimization of the time-series-search family that
+    ``events_series_dtw`` (exhaustive, one DP per user) deliberately
+    omits.  Three stages, all bounded or key-aligned:
+
+    1. **Bound**: LB_Keogh lower bound AND diagonal-L1 upper bound
+       per user, as JVM-side array expressions over the
+       already-aligned (za, zb) arrays (``_dtw_bounds``) — zero extra
+       shuffles beyond the series build itself.  No DP, no Python.
+    2. **Seed**: the k users with the SMALLEST UPPER bounds run the
+       batched DP (``dtw_band_batch``, k rows) and the worst seed DTW
+       becomes the threshold τ — one bounded collect (a single
+       scalar).  Seeding by the upper bound (not the lower) makes τ ≤
+       the k-th smallest upper bound unconditionally, since each
+       seed's DTW ≤ its diagonal L1.
+    3. **Prune + refine**: only users with lb ≤ τ (+1e-9 float slack)
+       run the DP; correctness is unconditional because lb ≤ dtw, so
+       any pruned user's true distance exceeds τ, which k users
+       already beat.
+
+    The prune rate is REGIME-DEPENDENT, and both regimes are measured
+    (tools/scale_probe.py dtw_topk, SCALING.md): when close matches
+    exist (the planted-seasonality fixture — the regime similarity
+    search exists for) τ is small and the bound eliminates ~all noise
+    users before any DP; on pure-noise fleets no user is near the
+    reference, τ is necessarily large, the envelope bound prunes ~0%,
+    and the search degrades to the exhaustive scan plus a negligible
+    relational bound pass — never worse than ``events_series_dtw``.
+
+    Rows-only: DTW's DP is not SQL-expressible; pytest pins the top-k
+    EQUAL to the exhaustive ranking on both the shared fixture and an
+    adversarial fixture whose bound ordering provably disagrees with
+    the DTW ordering (tests/test_timeseries.py)."""
+    from .dedup import materialized
+
+    # materialized: seqs feeds the bound, the seed DP, and the survivor
+    # DP — three actions over one (|users| × bounded-array) frame; the
+    # bounds frame additionally feeds the threshold scalar and the
+    # final join
+    seqs = materialized(_aligned_seqs(spark, sf_dir))
+    bounds = materialized(_dtw_bounds(seqs))
+    seed_ids = bounds.orderBy("ub", "user_id").limit(_DTW_TOPK).select("user_id")
+    seed_dtw = seed_ids.join(seqs, "user_id").mapInPandas(
+        _dtw_map, schema="user_id long, n_days long, dtw double, l1_diag double"
+    )
+    # bounded: one scalar — the max of the k seed distances
+    tau = seed_dtw.agg(F.max("dtw").alias("tau")).collect()[0]["tau"]
+    if tau is None:  # empty input: no users survive, schema preserved
+        survivors = bounds.filter(F.lit(False))
+    else:
+        survivors = bounds.filter(F.col("lb") <= tau + _LB_EPS)
+    refined = survivors.select("user_id").join(seqs, "user_id").mapInPandas(
+        _dtw_map, schema="user_id long, n_days long, dtw double, l1_diag double"
+    )
+    top = refined.orderBy("dtw", "user_id").limit(_DTW_TOPK)
+    # bounded: window ranks the top-k limit output only
+    wr = Window.orderBy("dtw", "user_id")
+    return (
+        top.join(bounds, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            "dtw",
+            F.round("lb", 6).alias("lb"),
+            F.row_number().over(wr).cast("long").alias("rn"),
+        )
     )

@@ -117,6 +117,16 @@ def test_theta_sketch_merge_is_lossless(spark):
 def test_theta_registry_query_exact_in_small_regime(spark, sf_dir):
     """At sf0.001 every set is smaller than K, so θ=1 and est == exact
     on every row — the sketch degrades to exact counting, which is the
-    correct small-set behavior."""
+    correct small-set behavior.  When SPARK_GRAFT_TEST_SF_DIR points
+    the suite at a bigger fixture (sf0.01+) some sets enter the
+    estimation regime (size ≥ K); those rows get the 5·RSE band
+    instead of hard equality (ADVICE r12, low)."""
+    rse = 1.0 / (S._THETA_K - 2) ** 0.5
     for r in S.agg_theta_sketch_setops(spark, sf_dir).collect():
-        assert r.est == r.exact, r
+        if r.exact < S._THETA_K:
+            assert r.est == r.exact, r
+        else:
+            # 8·RSE: set-op rows (θ-cut intersections/differences) have
+            # fewer effective samples than plain unions, same allowance
+            # as test_theta_sketch_accuracy_on_large_domain
+            assert abs(r.est - r.exact) <= 8 * rse * r.exact, r
