@@ -144,6 +144,9 @@ HEADLINE = [
     "agg_theta_sketch_setops",
     "events_series_znorm_topk",
     "events_series_dtw",
+    # round-13 flagship: the LB_Keogh-pruned DTW search (prune-regime
+    # evidence lives in SCALING.md's dtw_topk probe)
+    "events_series_dtw_topk",
 ]
 
 

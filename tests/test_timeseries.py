@@ -102,6 +102,139 @@ def test_dtw_batch_kernel_equals_scalar():
         assert got[i] == T.dtw_band(A[i], B[i], T._DTW_BAND)
 
 
+def _lb_np(a, b, w):
+    """Driver-side LB_Keogh twin: Σ max(a_i − max(env), min(env) − a_i, 0)
+    over the ±w envelope of b."""
+    n = len(a)
+    s = 0.0
+    for i in range(n):
+        seg = b[max(0, i - w) : min(n - 1, i + w) + 1]
+        s += max(a[i] - seg.max(), seg.min() - a[i], 0.0)
+    return s
+
+
+def test_dtw_bounds_sandwich_and_match_numpy(spark, sf_dir):
+    """The relational bounds (a) reproduce their numpy twins per user
+    and (b) sandwich the banded DTW — lb ≤ dtw ≤ ub, the admissibility
+    property the pruned search's correctness rests on."""
+    seqs = T._aligned_seqs(spark, sf_dir)
+    got = {r.user_id: (r.lb, r.ub) for r in T._dtw_bounds(seqs).collect()}
+    series = _series(spark, sf_dir)
+    assert set(got) == set(series) and len(got) > 0
+    for u, (a, b) in series.items():
+        lb, ub = got[u]
+        assert abs(lb - _lb_np(a, b, T._DTW_BAND)) < 1e-9, u
+        assert abs(ub - float(np.abs(a - b).sum())) < 1e-9, u
+        dtw = T.dtw_band(a, b, T._DTW_BAND)
+        assert lb - 1e-9 <= dtw <= ub + 1e-9, u
+        assert lb >= 0.0
+
+
+def test_dtw_topk_equals_exhaustive_ranking(spark, sf_dir):
+    """The pruned search returns EXACTLY the exhaustive DTW top-k —
+    same users, same distances, same rank order."""
+    exhaustive = sorted(
+        ((r.dtw, r.user_id) for r in T.events_series_dtw(spark, sf_dir).collect())
+    )[: T._DTW_TOPK]
+    got = sorted(
+        T.events_series_dtw_topk(spark, sf_dir).collect(), key=lambda r: r.rn
+    )
+    assert [(r.dtw, r.user_id) for r in got] == exhaustive
+    assert [r.rn for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert r.lb <= r.dtw + 1e-6  # rounded lb still below the distance
+
+
+def test_dtw_topk_survives_lb_dtw_rank_disagreement(spark, tmp_path, monkeypatch):
+    """Adversarial fixture shipped WITH the operator (VERDICT r12 rule):
+    a seeded random fleet where the LB_Keogh ordering DISAGREES with
+    the true DTW ordering inside the top-k boundary — a search that
+    trusted the bound as a ranking (instead of as a prune) would return
+    the wrong set; the query must still equal the exhaustive top-k."""
+    import pandas as pd
+
+    rs = np.random.RandomState(23)
+    n_users, n_days = 8, 14
+    recs = []
+    eid = 0
+    for u in range(n_users):
+        for d in range(n_days):
+            eid += 1
+            recs.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-03-01") + pd.Timedelta(days=d),
+                    u,
+                    "click",
+                    float(abs(rs.randn()) * 50 + 1),
+                    "{}",
+                )
+            )
+    df = pd.DataFrame(
+        recs,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "adv_sf"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+
+    k = 3
+    monkeypatch.setattr(T, "_DTW_TOPK", k)
+    dtw_rank = sorted(
+        (r.dtw, r.user_id) for r in T.events_series_dtw(spark, str(d)).collect()
+    )
+    lb_rank = sorted(
+        (r.lb, r.user_id)
+        for r in T._dtw_bounds(T._aligned_seqs(spark, str(d))).collect()
+    )
+    top_by_dtw = {u for _, u in dtw_rank[:k]}
+    top_by_lb = {u for _, u in lb_rank[:k]}
+    # the fixture genuinely creates the disagreement the test is about
+    assert top_by_dtw != top_by_lb, (dtw_rank, lb_rank)
+    got = sorted(
+        T.events_series_dtw_topk(spark, str(d)).collect(), key=lambda r: r.rn
+    )
+    assert [(r.dtw, r.user_id) for r in got] == dtw_rank[:k]
+
+
+def test_square_sums_exact_past_int64(spark, tmp_path):
+    """ss = Σ v_c² runs as exact DECIMAL(38,0): a fleet whose daily
+    centi-unit totals are ~4e9 pushes Σv² to ~4.8e19 — past the int64
+    edge where the previous int64 square-sum wrapped SILENTLY with
+    ansi off (ADVICE r12, medium) while the DuckDB oracle promoted to
+    HUGEINT.  Pinned against an exact-integer recompute that converts
+    to double at the same points both engines now do."""
+    import pandas as pd
+
+    d = tmp_path / "big_sf"
+    d.mkdir()
+    days = ["2024-05-01", "2024-05-02", "2024-05-03"]
+    vals = [4.0e7, 4.4e7, 3.6e7]  # centi-units: 4e9 / 4.4e9 / 3.6e9 per day
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([f"{dd} 10:00" for dd in days]),
+            "user_id": [7, 7, 7],
+            "event_type": ["click"] * 3,
+            "value": vals,
+            "props": ["{}"] * 3,
+        }
+    )
+    rows.to_parquet(d / "events.parquet")
+    v = [int(round(x * 100)) for x in vals]
+    n, s = len(v), sum(v)
+    ss = sum(x * x for x in v)  # python int: exact
+    assert ss > 2**63 - 1  # the fixture genuinely crosses the int64 edge
+    var = (float(ss) - float(s * s) / n) / (n - 1)
+    mu = s / n
+    exp = {dd: round((float(x) - mu) / var**0.5, 6) for dd, x in zip(days, v)}
+    got = {r.day.isoformat(): r.zr for r in T._ref_z(spark, str(d)).collect()}
+    assert got == exp
+    # the single user IS the fleet here, so the user series must agree
+    uz = {r.day.isoformat(): r.z for r in T._user_z(spark, str(d)).collect()}
+    assert uz == exp
+
+
 def test_dense_spine_includes_empty_calendar_days(spark, tmp_path):
     """A quiet calendar day must appear as an explicit zero in BOTH the
     user series and the fleet reference (the oracle sums over the

@@ -653,7 +653,118 @@ def cc_star_probe(spark, n: int) -> dict:
     return out
 
 
+def dtw_topk_stats(spark, sf_dir: str) -> dict:
+    """LB_Keogh prune-funnel diagnostic for events_series_dtw_topk:
+    how many users does the bound + seed-threshold eliminate before
+    any DP runs?  (The probe re-executes the search's bound/seed
+    stages standalone so the survivor count is observable — the query
+    itself never materializes it.)"""
+    from pyspark.sql import functions as F
+
+    from go_otel_clickhouse_ingestor_spark.operators import timeseries as T
+
+    t0 = time.time()
+    seqs = T._aligned_seqs(spark, sf_dir).localCheckpoint(eager=True)
+    bounds = T._dtw_bounds(seqs).localCheckpoint(eager=True)
+    total = bounds.count()
+    seed = bounds.orderBy("ub", "user_id").limit(T._DTW_TOPK).select("user_id")
+    seed_dtw = seed.join(seqs, "user_id").mapInPandas(
+        T._dtw_map, schema="user_id long, n_days long, dtw double, l1_diag double"
+    )
+    tau = seed_dtw.agg(F.max("dtw")).collect()[0][0]
+    survivors = bounds.filter(F.col("lb") <= tau + T._LB_EPS).count()
+    return {
+        "users": total,
+        "survivors": survivors,
+        "prune_rate": round(1.0 - survivors / total, 4) if total else None,
+        "tau": round(tau, 4) if tau is not None else None,
+        "t_funnel": round(time.time() - t0, 2),
+    }
+
+
+def build_dtw_planted(spark, n: int) -> str:
+    """The planted-match regime the UCR-style pruned search exists
+    for: 2000·n users over a 30-day calendar — 5% 'trackers' whose
+    daily series follows a 15-day fleet seasonality with small noise
+    (close matches: small DTW to the fleet curve) and 95% noise users
+    (uniform daily values, no shape).  The fleet total is
+    tracker-dominated in SHAPE (noise users' fluctuations average out
+    at √N), so τ lands near the trackers' tiny distances and the
+    envelope bound can actually cut.  All noise is hash-derived —
+    deterministic fixture, no RNG."""
+    out = f"{SCALE_ROOT}/dtw_planted_x{n}"
+    if os.path.exists(f"{out}/events.parquet/_SUCCESS"):
+        return out
+    n_users, days = 2000 * n, 30
+    grid = (
+        spark.range(n_users)
+        .selectExpr("id as user_id")
+        .crossJoin(spark.range(days).selectExpr("id as d"))
+    )
+    ev = grid.selectExpr(
+        "user_id * 100 + d as event_id",
+        "timestamp'2024-06-01 12:00:00' + make_interval(0,0,0,cast(d as int),0,0,0) as ts",
+        "user_id",
+        "'click' as event_type",
+        # hash-uniform u in [0,1)
+        "(pmod(xxhash64(user_id, d), 1000000) / 1000000.0d) as u",
+        "d",
+    ).selectExpr(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        """case when user_id % 20 = 0
+             then 1000.0d * (2.0d + sin(2.0d * pi() * d / 15.0d)) + 10.0d * (u - 0.5d)
+             else 2000.0d + 2000.0d * (u - 0.5d)
+           end as value""",
+        "'{}' as props",
+    )
+    ev.repartition(max(n, 4)).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    return out
+
+
+def dtw_topk_probe(spark, n: int) -> dict:
+    """Both regimes of the pruned DTW search, timed at 1× and n× users
+    (calendar fixed — the 100 TB shape):
+
+    - ``noise``: the standard scaled events fixture, where NO user
+      genuinely tracks the fleet curve — τ is necessarily large, the
+      envelope bound prunes ~0%, and the value of the probe is showing
+      the search never does worse than the exhaustive scan.
+    - ``planted``: the seasonality fixture with real close matches —
+      the regime the optimization exists for; prune rate should be
+      high and grow none worse with scale."""
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    reg = load_all()
+    out = {}
+    for regime, builder in (("noise", build_scaled), ("planted", build_dtw_planted)):
+        r = {}
+        for tag, sf in (("at1", builder(spark, 1)), (f"at{n}", builder(spark, n))):
+            t0 = time.time()
+            rows = reg["events_series_dtw_topk"].fn(spark, sf).count()
+            tq = time.time() - t0
+            stats = dtw_topk_stats(spark, sf)
+            stats["t_query"] = round(tq, 2)
+            stats["rows"] = rows
+            r[tag] = stats
+            print(f"# dtw_topk {regime} {tag}: {stats}", file=sys.stderr)
+        if r["at1"]["t_query"]:
+            r["ratio"] = round(r[f"at{n}"]["t_query"] / r["at1"]["t_query"], 2)
+        out[regime] = r
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "dtw_topk":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        print(json.dumps({"dtw_topk": dtw_topk_probe(get_spark("dtw-topk-probe"), n)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "cc_star":
         from go_otel_clickhouse_ingestor_spark.session import get_spark
 
