@@ -253,6 +253,27 @@ def main() -> None:
     # run each query REPS times and report the min (the least-interfered
     # run — the real cost of the plan) plus the median for context.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # Measured per-query SESSION FLOOR (r12 verdict ask #5): every timed
+    # query pays a fixed scheduler+plan+action round-trip that dominates
+    # sub-0.5 s rows (several 10x probes read sub-1x for exactly this
+    # reason).  Two floors, timed with the identical rep protocol, are
+    # recorded in the summary so ratios can be read NET of them:
+    # - floor_jvm_sec:   a minimal JVM-only action (range(1).count())
+    # - floor_arrow_sec: a minimal Arrow-batched Python pass (the extra
+    #   fixed cost any mapInPandas/applyInPandas query pays per action)
+    def _floor(action) -> float:
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            action()
+            samples.append(time.time() - t0)
+        return round(min(samples), 3)
+
+    floor_jvm = _floor(lambda: spark.range(1).count())
+    floor_arrow = _floor(
+        lambda: spark.range(32).mapInPandas(lambda it: it, "id long").count()
+    )
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in headline:
@@ -287,6 +308,10 @@ def main() -> None:
         # host noise (SCALING.md round-7 diagnosis); record the pre-run
         # load so cross-round comparisons can be sanity-checked
         "load1_start": round(load_start, 2),
+        # fixed per-action costs in THIS session (see _floor above):
+        # read sub-second query rows net of these
+        "floor_jvm_sec": floor_jvm,
+        "floor_arrow_sec": floor_arrow,
     }
     spark.stop()
     # Box-drift calibration: replay the previous round's tree (same box,

@@ -3009,3 +3009,178 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_estimate"),
         F.col("v").cast("long").alias("zero_registers"),
     )
+
+
+#: Market-basket knobs (orders_basket_lift).  Support floor: 0.2% of
+#: baskets, never below 5 — exact integer arithmetic in both engines.
+#: Basket cap: a basket with more distinct frequent items than this is
+#: dropped whole (standard market-basket practice — mega-baskets are
+#: non-informative and their C(n,2) pair fan-out is the operator's only
+#: quadratic term, so the cap IS the scale bound: ≤ C(256,2) ≈ 32k
+#: pairs per basket regardless of data volume).
+_BASKET_SUP_PPM = 2_000
+_BASKET_SUP_MIN = 5
+_BASKET_CAP = 256
+_BASKET_TOPK = 20
+
+
+@query(
+    "orders_basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT o.o_custkey AS basket, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    nb AS (SELECT count(DISTINCT basket) AS n FROM items),
+    ms AS (
+      SELECT greatest((n * {_BASKET_SUP_PPM}) // 1000000,
+                      {_BASKET_SUP_MIN}) AS m, n FROM nb
+    ),
+    freq AS (
+      SELECT item, count(*) AS sup FROM items
+      GROUP BY item HAVING count(*) >= (SELECT m FROM ms)
+    ),
+    fitems AS (
+      SELECT i.basket, i.item FROM items i
+      JOIN freq f ON f.item = i.item
+    ),
+    kept AS (
+      SELECT basket FROM fitems GROUP BY basket
+      HAVING count(*) <= {_BASKET_CAP}
+    ),
+    pitems AS (
+      SELECT fi.basket, fi.item FROM fitems fi
+      JOIN kept k ON k.basket = fi.basket
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_sup
+      FROM pitems a JOIN pitems b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= (SELECT m FROM ms)
+    ),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.pair_sup,
+             fa.sup AS sup_a, fb.sup AS sup_b,
+             round(cast(p.pair_sup AS DOUBLE) / fa.sup, 6) AS confidence,
+             round(cast(p.pair_sup AS DOUBLE) * (SELECT n FROM ms)
+                   / (fa.sup * fb.sup), 6) AS lift
+      FROM pairs p
+      JOIN freq fa ON fa.item = p.item_a
+      JOIN freq fb ON fb.item = p.item_b
+    )
+    SELECT item_a, item_b, pair_sup, sup_a, sup_b, confidence, lift,
+           cast(row_number() OVER (ORDER BY lift DESC, item_a, item_b)
+                AS BIGINT) AS rn
+    FROM scored ORDER BY rn LIMIT {_BASKET_TOPK}
+    """,
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (A-priori, 2-itemsets) over
+    customer purchase baskets — the co-purchase affinity query every
+    retail/recommendation pipeline derives from an orders feed (the
+    reference's events table is exactly such a feed;
+    internal/ingestion/clickhouse.go:74).  Basket = the distinct parts
+    a customer ever ordered; output = the top-20 part pairs by LIFT
+    (= P(a,b)/(P(a)P(b))) among pairs meeting the support floor, with
+    confidence and raw supports carried.
+
+    The A-priori structure is what makes this scale, and every prune
+    is deterministic and oracle-mirrored:
+
+    - **frequent-item prune** (downward closure): only items with
+      support ≥ max(0.2% of baskets, 5) can appear in a frequent
+      pair, so infrequent items never reach the pair join;
+    - **basket cap**: baskets with > 256 distinct frequent items are
+      dropped WHOLE — the C(n,2) per-basket fan-out is the only
+      quadratic term, so the cap bounds pair generation at ~32k pairs
+      per basket no matter the data (mega-baskets are bots/aggregators
+      and carry no affinity signal — standard practice);
+    - pair generation is a self-equi-join on the basket key (shuffle
+      co-partitioned, never cartesian), pair support a key-aligned
+      count, and the final scoring two key-aligned joins against the
+      bounded frequent-item table; top-20 is TakeOrdered.
+
+    All supports are exact integers; confidence/lift convert to double
+    at the same points in both engines and round at 1e-6."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    items = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    from .dedup import materialized
+
+    # materialized: items feeds the basket count, the item supports,
+    # and the pair join — three consumers of one distinct pass
+    items = materialized(items)
+    # bounded: single aggregate row (one scalar — the basket count)
+    n_baskets = items.select("basket").distinct().count()
+    minsup = max((n_baskets * _BASKET_SUP_PPM) // 1_000_000, _BASKET_SUP_MIN)
+    freq = materialized(
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= minsup)
+    )
+    fitems = items.join(freq.select("item"), "item")
+    kept = (
+        fitems.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _BASKET_CAP)
+        .select("basket")
+    )
+    pitems = materialized(fitems.join(kept, "basket").select("basket", "item"))
+    a = pitems.alias("a")
+    b = pitems.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_sup"))
+        .filter(F.col("pair_sup") >= minsup)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("sup").alias("sup_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("sup").alias("sup_b"))
+    scored = (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_sup",
+            "sup_a",
+            "sup_b",
+            F.round(
+                F.col("pair_sup").cast("double") / F.col("sup_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_sup").cast("double")
+                * F.lit(n_baskets)
+                / (F.col("sup_a") * F.col("sup_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(_BASKET_TOPK)
+    # bounded: window ranks the top-k limit output only
+    from pyspark.sql.window import Window as _Win
+
+    wr = _Win.orderBy(F.col("lift").desc(), "item_a", "item_b")
+    return top.select(
+        "item_a",
+        "item_b",
+        "pair_sup",
+        "sup_a",
+        "sup_b",
+        "confidence",
+        "lift",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    )
