@@ -144,9 +144,13 @@ HEADLINE = [
     "agg_theta_sketch_setops",
     "events_series_znorm_topk",
     "events_series_dtw",
-    # round-13 flagship: the LB_Keogh-pruned DTW search (prune-regime
-    # evidence lives in SCALING.md's dtw_topk probe)
+    # round-13 flagships: the LB_Keogh-pruned DTW search (prune-regime
+    # evidence lives in SCALING.md's dtw_topk probe), market-basket
+    # lift, seasonal anomalies, and lead-lag cross-correlation
     "events_series_dtw_topk",
+    "orders_basket_lift",
+    "events_seasonal_anomalies",
+    "events_series_crosscorr",
 ]
 
 

@@ -503,3 +503,287 @@ def events_series_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("long").alias("rn"),
         )
     )
+
+
+#: Seasonal-anomaly knobs: the analysis window is the LAST 28 calendar
+#: days (4 complete weeks), so every day-of-week group has EXACTLY 4
+#: members and the scaled residual 4·v − Σ_dow(v) is an exact integer —
+#: the trick that keeps the z-scores bit-identical across engines
+#: (dow-group sizes of 4-and-5 would give residuals dow-dependent
+#: scale factors that don't cancel in the z ratio).
+_SEASON_DAYS = 28
+_SEASON_TOPK = 10
+
+#: Per-(type, day) dense daily series over the last 28 days, SQL side.
+_TYPE_SERIES_CTE = f"""
+    bounds AS (SELECT max(ts::DATE) AS d1 FROM events),
+    days AS (
+      SELECT unnest(generate_series((SELECT d1 FROM bounds) - INTERVAL {_SEASON_DAYS - 1} DAY,
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(cast(round(value * 100) AS BIGINT)) AS v_c
+      FROM events
+      WHERE ts::DATE >= (SELECT d1 FROM bounds) - INTERVAL {_SEASON_DAYS - 1} DAY
+      GROUP BY event_type, ts::DATE
+    ),
+    tspine AS (
+      SELECT t.event_type, d.day, coalesce(dl.v_c, 0) AS v_c
+      FROM types t CROSS JOIN days d
+      LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day
+    )
+"""
+
+
+def _type_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-(event_type, day) daily centi-unit sums over the last
+    28 calendar days — the Spark twin of the ``tspine`` CTE.  The type
+    domain and the 28-day calendar are both bounded, so the spine is a
+    broadcast cross of two tiny frames left-joined against one
+    type-keyed daily agg."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(F.max(F.to_date("ts")).alias("d1"))
+    days = b.select(
+        F.explode(
+            F.sequence(
+                F.date_sub("d1", _SEASON_DAYS - 1), "d1", F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        ev.join(F.broadcast(b))
+        .filter(F.to_date("ts") >= F.date_sub("d1", _SEASON_DAYS - 1))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_c0"))
+    )
+    return (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("v_c0", F.lit(0)).alias("v_c")
+        )
+    )
+
+
+@query(
+    "events_seasonal_anomalies",
+    oracle=f"""
+    WITH {_TYPE_SERIES_CTE},
+    dowed AS (
+      SELECT event_type, day, v_c,
+             (day - DATE '1970-01-05') % 7 AS dow
+      FROM tspine
+    ),
+    dsum AS (
+      SELECT event_type, dow, sum(v_c) AS s_dow
+      FROM dowed GROUP BY event_type, dow
+    ),
+    resid AS (
+      SELECT d.event_type, d.day, d.v_c,
+             4 * d.v_c - ds.s_dow AS r
+      FROM dowed d JOIN dsum ds
+        ON ds.event_type = d.event_type AND ds.dow = d.dow
+    ),
+    stat AS (
+      SELECT event_type, count(*) AS n,
+             sum(cast(r AS HUGEINT)) AS s,
+             sum(cast(r AS HUGEINT) * r) AS ss
+      FROM resid GROUP BY event_type
+    ),
+    z AS (
+      SELECT r.event_type, r.day, r.v_c,
+             round(r.r / sqrt((cast(st.ss AS DOUBLE)
+                    - cast(st.s * st.s AS DOUBLE) / st.n) / (st.n - 1)),
+                   6) AS z
+      FROM resid r JOIN stat st ON st.event_type = r.event_type
+      WHERE (cast(st.ss AS DOUBLE)
+             - cast(st.s * st.s AS DOUBLE) / st.n) / (st.n - 1) > 0
+    )
+    SELECT event_type, epoch_us(day::TIMESTAMP)::BIGINT AS day_us,
+           cast(v_c AS BIGINT) AS v_c, z,
+           cast(row_number() OVER (ORDER BY abs(z) DESC, event_type, day)
+                AS BIGINT) AS rn
+    FROM z ORDER BY rn LIMIT {_SEASON_TOPK}
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware daily anomalies: the top-10 (event_type, day)
+    cells whose daily volume deviates most from that type's
+    DAY-OF-WEEK norm, in residual z-scores — the STL-lite monitor an
+    ops pipeline runs over an events feed (raw daily z-scores flag
+    every weekend as anomalous; removing the weekly component first is
+    the whole point).  The window is the last 4 COMPLETE weeks, so
+    each dow group has exactly 4 members and the scaled residual
+    4·v − Σ_dow(v) is an exact integer — both engines then derive the
+    z from identical exact sums (HUGEINT / decimal(38,0)) through
+    identical double conversions, the ``_user_z`` discipline.  Dow is
+    computed as days-since-a-fixed-Monday mod 7 (portable across
+    engines' dayofweek conventions).  Plan: one type-keyed daily agg
+    over a date-pruned scan, a broadcast 28-day × type spine, two
+    bounded-grid aggs, TakeOrdered(10) — nothing data-sized past the
+    first agg.  Zero-variance types (constant series) are excluded on
+    both sides."""
+    sp = _type_series(spark, sf_dir)
+    from .dedup import materialized
+
+    # materialized: the spine feeds the dow sums and the residual
+    # projection (the _user_z barrier rationale)
+    sp = materialized(
+        sp.select(
+            "event_type",
+            "day",
+            "v_c",
+            F.expr("pmod(datediff(day, date'1970-01-05'), 7)").alias("dow"),
+        )
+    )
+    dsum = sp.groupBy("event_type", "dow").agg(F.sum("v_c").alias("s_dow"))
+    resid = sp.join(dsum, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "v_c",
+        (F.lit(4) * F.col("v_c") - F.col("s_dow")).alias("r"),
+    )
+    stat = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(r as decimal(38,0))")).alias("s"),
+        F.sum(F.expr("cast(r as decimal(38,0)) * r")).alias("ss"),
+    )
+    var = (
+        "(cast(ss as double) - cast(s * s as double) / n) / (n - 1)"
+    )
+    z = (
+        resid.join(F.broadcast(stat), "event_type")
+        .filter(F.expr(var) > 0)
+        .select(
+            "event_type",
+            "day",
+            "v_c",
+            F.round(F.col("r") / F.sqrt(F.expr(var)), 6).alias("z"),
+        )
+    )
+    top = z.orderBy(F.abs(F.col("z")).desc(), "event_type", "day").limit(
+        _SEASON_TOPK
+    )
+    # bounded: window ranks the top-k limit output only
+    wr = Window.orderBy(F.abs(F.col("z")).desc(), "event_type", "day")
+    return top.select(
+        "event_type",
+        # dates cross the compare as epoch micros (the obs_day pattern)
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.col("v_c").cast("long").alias("v_c"),
+        "z",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    )
+
+
+#: Cross-correlation lag range: ±3 days, the _DTW_BAND rationale.
+_XCORR_MAX_LAG = 3
+
+
+@query(
+    "events_series_crosscorr",
+    oracle=f"""
+    WITH {_TYPE_SERIES_CTE},
+    lags AS (
+      SELECT unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) AS lag
+    ),
+    joined AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.v_c AS x, b.v_c AS y
+      FROM tspine a
+      CROSS JOIN lags l
+      JOIN tspine b
+        ON b.event_type > a.event_type
+       AND b.day = a.day + cast(l.lag AS INTEGER)
+    ),
+    sums AS (
+      SELECT type_a, type_b, lag, count(*) AS n,
+             sum(cast(x AS HUGEINT)) AS sx, sum(cast(y AS HUGEINT)) AS sy,
+             sum(cast(x AS HUGEINT) * y) AS sxy,
+             sum(cast(x AS HUGEINT) * x) AS sxx,
+             sum(cast(y AS HUGEINT) * y) AS syy
+      FROM joined GROUP BY type_a, type_b, lag
+    )
+    SELECT type_a, type_b, lag, n AS n_days,
+           round(cast(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(cast(n * sxx - sx * sx AS DOUBLE)
+                        * cast(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM sums
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY type_a, type_b, lag
+    """,
+)
+def events_series_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type daily series:
+    Pearson corr of (type_a at day t, type_b at day t+lag) for every
+    type pair and lag ∈ ±3 days — the "does signup volume lead
+    purchase volume by two days?" query, the relational complement of
+    the warping-based ``events_series_dtw`` (DTW aligns shapes; this
+    measures LINEAR lead-lag strength per exact lag, which is what a
+    capacity planner actually reads).  All five sums run exact
+    (HUGEINT / decimal(38,0)) over the dense 28-day type spine; the
+    corr converts to double at the same three points in both engines
+    (numerator, and each variance factor BEFORE their product — the
+    exact product can exceed even decimal(38) range, the double cast
+    cannot).  Constant series (zero variance at a lag) are excluded on
+    both sides.  Plan: the joined frame is (|types|² × lags × 28) rows
+    — type-domain-bounded, never data-sized; the only data-sized stage
+    is the one type-keyed daily agg in the spine."""
+    sp = _type_series(spark, sf_dir)
+    from .dedup import materialized
+
+    # materialized: both sides of the self-join read the same spine
+    sp = materialized(sp)
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = sp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("v_c").alias("x"),
+    )
+    b = sp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("v_c").alias("y"),
+    )
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("day_b") == F.expr("date_add(day_a, lag)")),
+        )
+    )
+    sums = joined.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    )
+    return (
+        sums.filter(
+            F.expr("(n * sxx - sx * sx) > 0 and (n * syy - sy * sy) > 0")
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_days"),
+            F.round(
+                F.expr("cast(n * sxy - sx * sy as double)")
+                / F.sqrt(
+                    F.expr("cast(n * sxx - sx * sx as double)")
+                    * F.expr("cast(n * syy - sy * sy as double)")
+                ),
+                6,
+            ).alias("corr"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )

@@ -38,18 +38,22 @@ _REGISTRY: dict[str, Query] = {}
 #: Driver-evidence rotation.  The driver writes at most 50 CORRECTNESS
 #: entries per round, taken in registry order; queries listed here are
 #: emitted FIRST (in this order) so each round's window covers the
-#: queries with the least driver-anchored evidence.  Round 13 rotation:
-#: ALL 395 registered queries now have driver evidence (every
-#: oracle-backed name hash-passed in some CORRECTNESS_r*.json; every
-#: rows-only name ran clean under the ``no_oracle`` marker —
-#: re-verified by ``tools/close_round.py``), so the backlog head is
-#: empty and the window is filled by this round's additions via
-#: :func:`driver_priority_append` in registration order.
-#: ``tools/verify_round.py`` fails loudly if any name at the head of
-#: this list is already green in a CORRECTNESS_r*.json; run
-#: ``python tools/close_round.py`` at round close to perform this
-#: rotation mechanically instead of by hand.
-_DRIVER_PRIORITY: list[str] = []
+#: queries with the least driver-anchored evidence.  The list literal
+#: below is MACHINE-MAINTAINED: ``tools/close_round.py`` recomputes
+#: the still-unevidenced backlog from every committed
+#: CORRECTNESS_r*.json and rewrites it (oracle-backed names first —
+#: hash evidence outranks rows-only slots), so run it whenever new
+#: queries register or a round closes.  ``tools/verify_round.py``
+#: fails loudly if any name at the head is already green or any
+#: unevidenced oracle-backed name is missing.
+_DRIVER_PRIORITY: list[str] = [
+    # oracle-backed, no hash evidence yet
+    "orders_basket_lift",
+    "events_seasonal_anomalies",
+    "events_series_crosscorr",
+    # rows-only, no clean driver run yet
+    "events_series_dtw_topk",
+]
 
 #: Names appended here by round-5 modules land right after the backlog
 #: in the driver window.  Kept as a mutation hook so operator modules

@@ -1,0 +1,115 @@
+"""Adversarial fixtures for events_seasonal_anomalies and
+events_series_crosscorr, shipped with the operators (VERDICT r12
+rule): each fixture is engineered against the query's sharpest
+assumption — the 28-day window truncation, the dense zero-fill, the
+lag-direction convention, and the constant-series exclusion."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from go_otel_clickhouse_ingestor_spark.operators import timeseries as T
+
+_D0 = dt.date(2024, 5, 1)  # fixture calendar start
+
+
+def _write_events(tmp_path, rows):
+    d = tmp_path / "season_sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def _expected_z(day_values: dict[dt.date, int]) -> dict[dt.date, float]:
+    """Exact-integer recompute of the scaled-residual z — the same
+    double-conversion points as both engines."""
+    dow = {d: (d - dt.date(1970, 1, 5)).days % 7 for d in day_values}
+    s_dow: dict[int, int] = {}
+    for d, v in day_values.items():
+        s_dow[dow[d]] = s_dow.get(dow[d], 0) + v
+    r = {d: 4 * v - s_dow[dow[d]] for d, v in day_values.items()}
+    n = len(r)
+    s = sum(r.values())
+    ss = sum(x * x for x in r.values())
+    var = (float(ss) - float(s * s) / n) / (n - 1)
+    return {d: round(x / var**0.5, 6) for d, x in r.items()}
+
+
+def test_seasonal_window_truncation_and_zero_fill(spark, tmp_path):
+    """35 days of data: a HUGE spike on day 2 (outside the last-28-day
+    window) must be invisible; a planted in-window spike must rank
+    rn=1; and one in-window day with NO events must enter its dow
+    group as an explicit zero (shifting that group's norm)."""
+    rows = []
+    eid = 0
+    spike_day = _D0 + dt.timedelta(days=20)      # inside the window
+    quiet_day = _D0 + dt.timedelta(days=25)      # inside, no events
+    old_spike = _D0 + dt.timedelta(days=1)       # outside the window
+    for i in range(35):
+        day = _D0 + dt.timedelta(days=i)
+        if day == quiet_day:
+            continue
+        eid += 1
+        value = 500.0 if day == old_spike else (
+            10.0 if day == spike_day else 1.0
+        )
+        rows.append(
+            (eid, pd.Timestamp(day) + pd.Timedelta(hours=12), 1, "click",
+             value, "{}")
+        )
+    sf = _write_events(tmp_path, rows)
+    out = sorted(
+        T.events_seasonal_anomalies(spark, sf).collect(), key=lambda r: r.rn
+    )
+    # expected: last 28 days = d7..d34; centi-units; quiet day = 0
+    window = [_D0 + dt.timedelta(days=i) for i in range(7, 35)]
+    vals = {
+        d: (0 if d == quiet_day else (1000 if d == spike_day else 100))
+        for d in window
+    }
+    exp_z = _expected_z(vals)
+    got_days = {
+        dt.datetime.utcfromtimestamp(r.day_us / 1e6).date(): r for r in out
+    }
+    assert dt.date(2024, 5, 2) not in got_days, "out-of-window spike leaked"
+    assert out[0].v_c == 1000  # the in-window spike ranks first
+    top_day = dt.datetime.utcfromtimestamp(out[0].day_us / 1e6).date()
+    assert top_day == spike_day
+    for d, r in got_days.items():
+        assert r.z == exp_z[d], d
+    # the quiet day's explicit zero must be visible in the output set
+    # (it is the second-strongest deviation in this fixture)
+    assert quiet_day in got_days and got_days[quiet_day].v_c == 0
+
+
+def test_crosscorr_lag_direction_and_constant_exclusion(spark, tmp_path):
+    """type 'b' is type 'a' delayed by exactly 2 days, so the corr at
+    lag = +2 (y at t+lag tracks x at t) must be exactly 1.0 — an
+    off-by-sign lag convention would put the 1.0 at lag = -2.  A
+    constant type 'c' must be excluded everywhere (zero variance)."""
+    rows = []
+    eid = 0
+    for i in range(30):
+        day = _D0 + dt.timedelta(days=i)
+        va = 100.0 + (i * 37) % 50            # varying, deterministic
+        vb = 100.0 + ((i - 2) * 37) % 50      # a delayed by 2 days
+        for typ, v in (("a", va), ("b", vb), ("c", 5.0)):
+            eid += 1
+            rows.append(
+                (eid, pd.Timestamp(day) + pd.Timedelta(hours=6), 1, typ, v, "{}")
+            )
+    sf = _write_events(tmp_path, rows)
+    out = T.events_series_crosscorr(spark, sf).collect()
+    assert {(r.type_a, r.type_b) for r in out} == {("a", "b")}, "constant not excluded"
+    by_lag = {r.lag: r for r in out}
+    assert by_lag[2].corr == 1.0, by_lag
+    # no other lag may reach 1.0 (the delayed copy is unique)
+    assert all(r.corr < 1.0 for lag, r in by_lag.items() if lag != 2)
+    # overlap length shrinks by |lag|
+    assert by_lag[2].n_days == T._SEASON_DAYS - 2
+    assert by_lag[0].n_days == T._SEASON_DAYS
