@@ -11,6 +11,7 @@ prefixes) plus seeded random ones.
 
 from __future__ import annotations
 
+import pytest
 import random
 from collections import Counter
 
@@ -100,6 +101,7 @@ def test_encode_with_trained_table_reaches_whole_words():
     assert len(bpe_encode_with("lowest", ranks)) >= 1
 
 
+@pytest.mark.slow  # corpus-wide train+encode quality gate (~14 s with setup): full tier
 def test_trained_table_beats_frozen_on_its_corpus(spark, sf_dir):
     """The trained tokenizer must compress the corpus it learned at
     least as well as the frozen English table, with every per-row

@@ -38,6 +38,7 @@ def test_star_chain_components(spark):
     assert all(lab == 100 for n, lab in labels.items() if 100 <= n <= 120 and n != 100)
 
 
+@pytest.mark.slow  # runs the contraction loop 3x to measure + pin the budget (~14 s): full tier
 def test_star_converges_on_final_budgeted_round(spark, monkeypatch):
     """The budget counts fingerprint-ADVANCING rounds only: with the
     cap pinned to exactly the number of advancing rounds a chain

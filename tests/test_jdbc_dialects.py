@@ -172,6 +172,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow  # live-JDBC e2e (~15 s): full tier; PR tier keeps the contract-level sink tests
 def test_jdbc_sink_live_roundtrip_duckdb_dialect(tmp_path):
     jar = _find_duckdb_jar()
     if jar is None:
