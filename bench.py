@@ -149,7 +149,7 @@ HEADLINE = [
     # lift, seasonal anomalies, and lead-lag cross-correlation
     "events_series_dtw_topk",
     "orders_basket_lift",
-    "events_seasonal_anomalies",
+    "events_dow_anomalies_by_type",
     "events_series_crosscorr",
 ]
 

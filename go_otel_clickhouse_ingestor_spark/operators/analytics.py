@@ -5107,7 +5107,9 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trend+weekly decomposition (events_seasonal_decompose's exact
     pipeline) sits beyond 3σ of the residual distribution — the
     statistically honest alert (a raw-value detector fires every
-    weekend; deseasonalizing first is why STL exists).  Residuals are
+    weekend; deseasonalizing first is why STL exists).  The PER-TYPE
+    twin (which event type broke, fixed 4-week window, no trend term)
+    is ``events_dow_anomalies_by_type`` in timeseries.py.  Residuals are
     already quantized at 1e-4, so scaling by 10⁴ makes them exact
     integers and the 3σ test multiplies out to
     (n−1)·(n·r−s1)² > 9·n·(n·s2−s1²) — no σ, no float in the
@@ -6257,7 +6259,10 @@ def stat_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lags −3..+3 days) — the lead/lag detector incident analysis runs
     after events_correlated_anomalies says types move together ("do
     errors LEAD purchases dropping, and by how many days?"), and the
-    cross-series complement of stat_autocorr_lag.  Series are daily
+    cross-series complement of stat_autocorr_lag.  The VALUE-MASS
+    twin (centi-unit daily sums over the trailing 28-day seasonal
+    window, not counts) is ``events_series_crosscorr`` in
+    timeseries.py.  Series are daily
     COUNTS on a zero-filled day spine (absence is signal — leaving
     missing days out would bias every covariance toward co-presence),
     so ALL five Pearson moment sums are exact BIGINT integer

@@ -3083,7 +3083,11 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal/ingestion/clickhouse.go:74).  Basket = the distinct parts
     a customer ever ordered; output = the top-20 part pairs by LIFT
     (= P(a,b)/(P(a)P(b))) among pairs meeting the support floor, with
-    confidence and raw supports carried.
+    confidence and raw supports carried.  Complements
+    ``orders_market_basket`` (category-coarsened order-level pairs, no
+    pruning): THIS query works at raw part granularity, where the item
+    domain is unbounded and the A-priori prunes below are what make
+    the computation possible at all.
 
     The A-priori structure is what makes this scale, and every prune
     is deterministic and oracle-mirrored:

@@ -570,7 +570,7 @@ def _type_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_seasonal_anomalies",
+    "events_dow_anomalies_by_type",
     oracle=f"""
     WITH {_TYPE_SERIES_CTE},
     dowed AS (
@@ -610,13 +610,19 @@ def _type_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM z ORDER BY rn LIMIT {_SEASON_TOPK}
     """,
 )
-def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonality-aware daily anomalies: the top-10 (event_type, day)
+def events_dow_anomalies_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-TYPE day-of-week anomalies: the top-10 (event_type, day)
     cells whose daily volume deviates most from that type's
-    DAY-OF-WEEK norm, in residual z-scores — the STL-lite monitor an
-    ops pipeline runs over an events feed (raw daily z-scores flag
+    DAY-OF-WEEK norm, in residual z-scores (raw daily z-scores flag
     every weekend as anomalous; removing the weekly component first is
-    the whole point).  The window is the last 4 COMPLETE weeks, so
+    the whole point).  Two deliberate deltas from the fleet-level
+    ``events_seasonal_anomaly``/``events_seasonal_decompose`` pair in
+    analytics.py: this one localizes the alert to WHICH event type
+    broke (the fleet residual dilutes a single type's break by the
+    fleet's mass), and its fixed 4-complete-weeks window needs no
+    trend term, buying bit-exact cross-engine z-scores instead of the
+    decompose pipeline's round-before-combine quantization.  The
+    window is the last 4 COMPLETE weeks, so
     each dow group has exactly 4 members and the scaled residual
     4·v − Σ_dow(v) is an exact integer — both engines then derive the
     z from identical exact sums (HUGEINT / decimal(38,0)) through
@@ -718,13 +724,18 @@ _XCORR_MAX_LAG = 3
     """,
 )
 def events_series_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lead-lag cross-correlation between event-type daily series:
-    Pearson corr of (type_a at day t, type_b at day t+lag) for every
-    type pair and lag ∈ ±3 days — the "does signup volume lead
-    purchase volume by two days?" query, the relational complement of
-    the warping-based ``events_series_dtw`` (DTW aligns shapes; this
-    measures LINEAR lead-lag strength per exact lag, which is what a
-    capacity planner actually reads).  All five sums run exact
+    """Lead-lag cross-correlation between event-type daily VALUE-MASS
+    series: Pearson corr of (type_a value total at day t, type_b value
+    total at day t+lag) for every type pair and lag ∈ ±3 days — "does
+    signup REVENUE lead purchase REVENUE by two days?".  Two deliberate
+    deltas from ``stat_cross_correlation`` (the count-based detector in
+    analytics.py, cross-referenced there): this one correlates
+    centi-unit VALUE sums, not event counts (traffic can lead while
+    spend lags — they answer different planning questions), and runs on
+    the trailing 28-day window the rest of the seasonal family uses
+    rather than the full calendar.  It is also the relational
+    complement of the warping-based ``events_series_dtw`` (DTW aligns
+    shapes; this measures LINEAR lead-lag strength per exact lag).  All five sums run exact
     (HUGEINT / decimal(38,0)) over the dense 28-day type spine; the
     corr converts to double at the same three points in both engines
     (numerator, and each variance factor BEFORE their product — the

@@ -49,7 +49,7 @@ _REGISTRY: dict[str, Query] = {}
 _DRIVER_PRIORITY: list[str] = [
     # oracle-backed, no hash evidence yet
     "orders_basket_lift",
-    "events_seasonal_anomalies",
+    "events_dow_anomalies_by_type",
     "events_series_crosscorr",
     # rows-only, no clean driver run yet
     "events_series_dtw_topk",

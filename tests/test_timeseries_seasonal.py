@@ -1,4 +1,4 @@
-"""Adversarial fixtures for events_seasonal_anomalies and
+"""Adversarial fixtures for events_dow_anomalies_by_type and
 events_series_crosscorr, shipped with the operators (VERDICT r12
 rule): each fixture is engineered against the query's sharpest
 assumption — the 28-day window truncation, the dense zero-fill, the
@@ -64,7 +64,7 @@ def test_seasonal_window_truncation_and_zero_fill(spark, tmp_path):
         )
     sf = _write_events(tmp_path, rows)
     out = sorted(
-        T.events_seasonal_anomalies(spark, sf).collect(), key=lambda r: r.rn
+        T.events_dow_anomalies_by_type(spark, sf).collect(), key=lambda r: r.rn
     )
     # expected: last 28 days = d7..d34; centi-units; quiet day = 0
     window = [_D0 + dt.timedelta(days=i) for i in range(7, 35)]
