@@ -3176,10 +3176,22 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_seasonal_decompose",
     oracle="""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    byday AS (
       SELECT cast(ts AS DATE) AS day,
              cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.x, 0) AS x
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     tr AS (
       SELECT day, x, date_part('dow', day) AS dow,
@@ -3217,8 +3229,22 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan, then day-grain windows (calendar-bounded — the documented
     global-window exception); corpus size only touches the first agg."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    # DENSE day spine (the znorm/dow-anomalies discipline): a quiet
+    # calendar day must enter the decomposition as an explicit 0 —
+    # grouping only PRESENT days silently stretches the 7-day trend
+    # window across calendar gaps and biases trend, seasonal, and
+    # every residual the moment any day has no events
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("x0", F.lit(0)).alias("x")
     )
     wtr = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
@@ -5061,10 +5087,22 @@ def orders_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "events_seasonal_anomaly",
     oracle="""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    byday AS (
       SELECT cast(ts AS DATE) AS day,
              cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.x, 0) AS x
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     tr AS (
       SELECT day, x, date_part('dow', day) AS dow,
@@ -5117,8 +5155,22 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the day-grain decompose windows feed one residual-moment
     agg; everything after the first partial agg is calendar-bounded."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    # DENSE day spine (the znorm/dow-anomalies discipline): a quiet
+    # calendar day must enter the decomposition as an explicit 0 —
+    # grouping only PRESENT days silently stretches the 7-day trend
+    # window across calendar gaps and biases trend, seasonal, and
+    # every residual the moment any day has no events
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("x0", F.lit(0)).alias("x")
     )
     wtr = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(

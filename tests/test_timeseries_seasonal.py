@@ -113,3 +113,47 @@ def test_crosscorr_lag_direction_and_constant_exclusion(spark, tmp_path):
     # overlap length shrinks by |lag|
     assert by_lag[2].n_days == T._SEASON_DAYS - 2
     assert by_lag[0].n_days == T._SEASON_DAYS
+
+
+def test_seasonal_decompose_dense_spine_gap_day(spark, tmp_path):
+    """events_seasonal_decompose (and the anomaly gate built on it)
+    must treat a quiet calendar day as an explicit observed=0 row —
+    grouping only PRESENT days silently stretched the 7-day trend
+    window across the gap (the r12 znorm bug class).  Pinned against a
+    full python recompute of trend/seasonal/residual with the same
+    rounding points."""
+    from go_otel_clickhouse_ingestor_spark.operators import analytics as A
+
+    days = [_D0 + dt.timedelta(days=i) for i in range(10)]
+    gap = _D0 + dt.timedelta(days=4)
+    rows = []
+    for i, day in enumerate(days):
+        if day == gap:
+            continue
+        rows.append(
+            (i + 1, pd.Timestamp(day) + pd.Timedelta(hours=9), 1, "click",
+             float(10 + 3 * i), "{}")
+        )
+    sf = _write_events(tmp_path, rows)
+    out = {r.day: r for r in A.events_seasonal_decompose(spark, sf).collect()}
+    assert len(out) == 10, sorted(out)
+    assert out[gap.isoformat()].observed == 0.0
+
+    # python recompute with the identical formula + rounding points
+    x = {d: (0 if d == gap else (10 + 3 * days.index(d)) * 100) for d in days}
+    trend = {}
+    for i, d in enumerate(days):
+        win = days[max(0, i - 3) : i + 4]
+        trend[d] = round(sum(x[w] for w in win) / len(win) / 100.0, 4)
+    by_dow: dict[int, list] = {}
+    for d in days:
+        by_dow.setdefault(d.weekday(), []).append(x[d] / 100.0 - trend[d])
+    seasonal = {
+        d: round(sum(by_dow[d.weekday()]) / len(by_dow[d.weekday()]), 4)
+        for d in days
+    }
+    for d in days:
+        r = out[d.isoformat()]
+        assert r.trend == trend[d], d
+        assert r.seasonal == seasonal[d], d
+        assert r.residual == round(x[d] / 100.0 - trend[d] - seasonal[d], 4), d
