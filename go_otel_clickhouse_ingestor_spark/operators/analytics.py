@@ -2718,10 +2718,22 @@ _TWO_PI = 6.283185307179586  # literal, not pi()/F.pi — same double both engin
 @query(
     "stat_dft_power",
     oracle=f"""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    byday AS (
       SELECT cast(ts AS DATE) AS day,
              cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.x, 0) AS x
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     idx AS (
       SELECT x,
@@ -2766,8 +2778,20 @@ def stat_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by days×8 — corpus size only affects the day-grain partial
     agg that feeds it."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    # DENSE day spine (the seasonal-decompose discipline): the daily
+    # VOLUME series is defined over the CALENDAR — a quiet day is a
+    # true 0, and present-days-only indexing would misalign the series
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("x0", F.lit(0)).alias("x")
     )
     o = Window.orderBy("day")
     g = Window.orderBy(F.lit(1)).rowsBetween(
@@ -3669,10 +3693,22 @@ def events_conversion_latency_curve(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "stat_runs_test",
     oracle="""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    byday AS (
       SELECT cast(ts AS DATE) AS day,
              cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.x, 0) AS x
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     moves AS (
       SELECT day, x,
@@ -3715,8 +3751,20 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     one day-grain partial agg over the scan, then calendar-bounded
     windows and a single-row reduction."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    # DENSE day spine (the seasonal-decompose discipline): the daily
+    # VOLUME series is defined over the CALENDAR — a quiet day is a
+    # true 0, and present-days-only indexing would misalign the series
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("x0", F.lit(0)).alias("x")
     )
     o = Window.orderBy("day")
     moves = daily.select(

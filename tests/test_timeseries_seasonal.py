@@ -157,3 +157,56 @@ def test_seasonal_decompose_dense_spine_gap_day(spark, tmp_path):
         assert r.trend == trend[d], d
         assert r.seasonal == seasonal[d], d
         assert r.residual == round(x[d] / 100.0 - trend[d] - seasonal[d], 4), d
+
+
+def test_dft_and_runs_dense_spine_gap_day(spark, tmp_path):
+    """stat_dft_power's frequency bins assume UNIFORM sampling and
+    stat_runs_test's moves assume consecutive calendar days — both now
+    zero-fill quiet days.  The DFT is pinned against a decimal-exact
+    python recompute over the DENSE calendar (15 samples including the
+    gap), which a present-days-only index (14 samples, shifted t)
+    cannot reproduce; the runs test must see the gap day's drop and
+    recovery as two real moves."""
+    import math
+    from decimal import Decimal
+
+    from go_otel_clickhouse_ingestor_spark.operators import analytics as A
+
+    days = [_D0 + dt.timedelta(days=i) for i in range(15)]
+    gap = days[7]
+    rows = []
+    for i, day in enumerate(days):
+        if day == gap:
+            continue
+        v = 100.0 if i % 5 == 0 else 10.0 + i  # 5-day periodicity + drift
+        rows.append(
+            (i + 1, pd.Timestamp(day) + pd.Timedelta(hours=8), 1, "click", v, "{}")
+        )
+    sf = _write_events(tmp_path, rows)
+
+    xs = [0 if d == gap else (10000 if days.index(d) % 5 == 0
+          else int(round((10.0 + days.index(d)) * 100))) for d in days]
+    n = len(xs)
+    exp = {}
+    for k in range(1, 9):
+        sc = sum(
+            (Decimal(str(round(math.cos(6.283185307179586 * k * t / n), 6))) * x)
+            .quantize(Decimal("1.0000000000"))
+            for t, x in enumerate(xs)
+        )
+        ss = sum(
+            (Decimal(str(round(math.sin(6.283185307179586 * k * t / n), 6))) * x)
+            .quantize(Decimal("1.0000000000"))
+            for t, x in enumerate(xs)
+        )
+        exp[k] = round(
+            (float(sc) * float(sc) + float(ss) * float(ss)) / (n * n * 10000.0), 4
+        )
+    got = {r.k: r.power for r in A.stat_dft_power(spark, sf).collect()}
+    assert got == exp
+
+    r = A.stat_runs_test(spark, sf).collect()[0]
+    # dense series has 14 moves (no ties in this fixture); the gap
+    # day's plunge-to-zero and recovery are real sign changes
+    assert r.n_moves == 14
+    assert r.n_up + r.n_down == 14
