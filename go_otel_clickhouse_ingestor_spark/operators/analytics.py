@@ -816,10 +816,24 @@ def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stat_autocorr_lag",
     oracle="""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(date_trunc('day', ts)) AS d0,
+             max(date_trunc('day', ts)) AS d1
+      FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    byday AS (
       SELECT date_trunc('day', ts) AS day,
              cast(sum(cast(value AS DECIMAL(24,10))) AS DOUBLE) AS total
       FROM events GROUP BY date_trunc('day', ts)
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.total, 0.0) AS total
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     lags AS (SELECT unnest([1, 7]) AS lag_k),
     pairs AS (
@@ -856,8 +870,22 @@ def stat_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus-sized agg to day grain; everything after is
     days×lags rows."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.expr("cast(sum(cast(value as decimal(24,10))) as double)").alias("total")
+    # DENSE day spine (the seasonal-decompose discipline): the lagged
+    # equi-join is calendar-keyed, so a quiet day does not MISALIGN
+    # pairs — but it silently drops two real (zero-volume) samples per
+    # lag, biasing the correlation; zero-fill keeps every calendar pair
+    b = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("cast(sum(cast(value as decimal(24,10))) as double)").alias("t0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("t0", F.lit(0.0)).alias("total")
     )
     lags = spark.createDataFrame([(1,), (7,)], "lag_k int")
     a = daily.alias("a")
@@ -1757,10 +1785,22 @@ def events_rate_limit_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_changepoint_cusum",
     oracle="""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    byday AS (
       SELECT cast(ts AS DATE) AS day,
              cast(sum(cast(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS x
       FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.x, cast(0 AS DECIMAL(18,4))) AS x
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     stats AS (
       SELECT count(*) AS n,
@@ -1818,10 +1858,24 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    # DENSE day spine (the seasonal-decompose discipline): a quiet day
+    # is a true zero-revenue sample — its standardized residual is a
+    # REAL negative deviation the chart must accumulate, and skipping
+    # it would splice the prefix sums across the gap
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(14,4)"))
         .cast("decimal(18,4)")
-        .alias("x")
+        .alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day",
+        F.coalesce("x0", F.lit(0).cast("decimal(18,4)")).alias("x"),
     )
     stats = daily.agg(
         F.count(F.lit(1)).alias("n"),

@@ -210,3 +210,28 @@ def test_dft_and_runs_dense_spine_gap_day(spark, tmp_path):
     # day's plunge-to-zero and recovery are real sign changes
     assert r.n_moves == 14
     assert r.n_up + r.n_down == 14
+
+
+def test_cusum_and_autocorr_dense_spine_gap_day(spark, tmp_path):
+    """events_changepoint_cusum must chart the gap day as a real
+    zero-revenue sample (one row per CALENDAR day); stat_autocorr_lag
+    must keep every calendar pair — n = span − lag exactly, where
+    present-days-only would silently drop two samples per lag."""
+    from go_otel_clickhouse_ingestor_spark.operators import analytics as A
+
+    days = [_D0 + dt.timedelta(days=i) for i in range(12)]
+    gap = days[5]
+    rows = [
+        (i + 1, pd.Timestamp(day) + pd.Timedelta(hours=10), 1, "click",
+         float(20 + 7 * i), "{}")
+        for i, day in enumerate(days)
+        if day != gap
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    cus = {r.day: r for r in A.events_changepoint_cusum(spark, sf).collect()}
+    assert len(cus) == 12
+    assert cus[gap.isoformat()].daily_value == 0.0
+
+    ac = {r.lag_k: r.n for r in A.stat_autocorr_lag(spark, sf).collect()}
+    assert ac == {1: 11, 7: 5}
