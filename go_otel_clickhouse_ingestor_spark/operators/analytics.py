@@ -1921,11 +1921,25 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_forecast_holt",
     oracle="""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    etypes AS (SELECT DISTINCT event_type FROM events),
+    byday AS (
       SELECT event_type, cast(ts AS DATE) AS day,
              cast(cast(sum(cast(value AS DECIMAL(14,4))) AS DECIMAL(18,4))
                   AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT t.event_type, d.day, coalesce(b.x, 0.0) AS x
+      FROM etypes t CROSS JOIN dayspine d
+      LEFT JOIN byday b ON b.event_type = t.event_type AND b.day = d.day
     ),
     serie AS (
       SELECT event_type, day, x,
@@ -1972,14 +1986,28 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar; the heavy lifting is the partial-aggregated daily
     rollup."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    # DENSE per-type day spine (the seasonal-decompose discipline): a
+    # quiet (type, day) is a true zero-volume sample; skipping it
+    # splices the smoothing recursion across the gap and shifts every
+    # later level/trend state
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    etypes = ev.select("event_type").distinct()
+    by_day = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(
         F.sum(F.col("value").cast("decimal(14,4)"))
         .cast("decimal(18,4)")
         .cast("double")
-        .alias("x")
+        .alias("x0")
     )
+    daily = etypes.crossJoin(F.broadcast(dayspine)).join(
+        by_day, ["event_type", "day"], "left"
+    ).select("event_type", "day", F.coalesce("x0", F.lit(0.0)).alias("x"))
     serie = daily.groupBy("event_type").agg(
         F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
         .alias("xs")
@@ -6139,11 +6167,25 @@ def events_p99_of_user_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_holt_winters",
     oracle="""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    etypes AS (SELECT DISTINCT event_type FROM events),
+    byday AS (
       SELECT event_type, cast(ts AS DATE) AS day,
              cast(cast(sum(cast(value AS DECIMAL(14,4))) AS DECIMAL(18,4))
                   AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT t.event_type, d.day, coalesce(b.x, 0.0) AS x
+      FROM etypes t CROSS JOIN dayspine d
+      LEFT JOIN byday b ON b.event_type = t.event_type AND b.day = d.day
     ),
     serie AS (
       SELECT event_type, day, x,
@@ -6209,14 +6251,28 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grain — calendar-bounded; the corpus-sized work is the
     partial-aggregated daily rollup."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    # DENSE per-type day spine (the seasonal-decompose discipline): a
+    # quiet (type, day) is a true zero-volume sample; skipping it
+    # splices the smoothing recursion across the gap and shifts every
+    # later level/trend state
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    etypes = ev.select("event_type").distinct()
+    by_day = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(
         F.expr(
             "cast(cast(sum(cast(value as decimal(14,4))) as decimal(18,4))"
             " as double)"
-        ).alias("x")
+        ).alias("x0")
     )
+    daily = etypes.crossJoin(F.broadcast(dayspine)).join(
+        by_day, ["event_type", "day"], "left"
+    ).select("event_type", "day", F.coalesce("x0", F.lit(0.0)).alias("x"))
     arr = (
         daily.groupBy("event_type")
         .agg(

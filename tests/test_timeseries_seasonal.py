@@ -235,3 +235,34 @@ def test_cusum_and_autocorr_dense_spine_gap_day(spark, tmp_path):
 
     ac = {r.lag_k: r.n for r in A.stat_autocorr_lag(spark, sf).collect()}
     assert ac == {1: 11, 7: 5}
+
+
+def test_holt_dense_spine_gap_day(spark, tmp_path):
+    """events_forecast_holt must smooth THROUGH a quiet day as a real
+    zero sample: n_days = calendar span, and the final state equals a
+    python recompute of the recurrence over the dense series (a
+    present-days fold would skip the zero and land on a different
+    level/trend)."""
+    from go_otel_clickhouse_ingestor_spark.operators import analytics as A
+
+    days = [_D0 + dt.timedelta(days=i) for i in range(9)]
+    gap = days[4]
+    rows = [
+        (i + 1, pd.Timestamp(day) + pd.Timedelta(hours=11), 1, "click",
+         float(50 + 11 * i), "{}")
+        for i, day in enumerate(days)
+        if day != gap
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {r.event_type: r for r in A.events_forecast_holt(spark, sf).collect()}
+    r = out["click"]
+    assert r.n_days == 9
+    xs = [0.0 if d == gap else float(50 + 11 * days.index(d)) for d in days]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+    assert r.level == round(l, 6)
+    assert r.trend == round(b, 6)
+    assert r.forecast_next == round(l + b, 6)
