@@ -2541,10 +2541,22 @@ def events_exemplar_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_peak_detection",
     oracle="""
-    WITH daily AS (
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    dayspine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    byday AS (
       SELECT cast(ts AS DATE) AS day,
              cast(sum(cast(value AS DECIMAL(14,4))) AS DOUBLE) AS x
       FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.day, coalesce(b.x, 0.0) AS x
+      FROM dayspine d LEFT JOIN byday b ON b.day = d.day
     ),
     n AS (
       SELECT day, x,
@@ -2578,8 +2590,21 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("x")
+    # DENSE day spine (the seasonal-decompose discipline): "local
+    # maximum" is a CALENDAR-neighbor notion — with gaps, lag/lead
+    # compared non-adjacent days, and a busy day flanked by quiet days
+    # (a true peak) could be suppressed by a far-away neighbor
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("x0", F.lit(0.0)).alias("x")
     )
     w = Window.orderBy("day")
     n = daily.select(
@@ -4604,8 +4629,21 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection runs in one Arrow-grouped kernel over the
     calendar-bounded series."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+    # DENSE day spine (the seasonal-decompose discipline): LTTB's
+    # triangle areas are computed in (t, x) coordinates — gaps used to
+    # enter as long flat edges between non-adjacent t values, hiding
+    # the true plunge-to-zero shape the sparkline should keep
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    dayspine = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x0")
+    )
+    daily = dayspine.join(by_day, "day", "left").select(
+        "day", F.coalesce("x0", F.lit(0)).alias("x")
     )
     series = daily.select(
         F.lit(1).alias("g"),

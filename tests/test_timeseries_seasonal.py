@@ -266,3 +266,41 @@ def test_holt_dense_spine_gap_day(spark, tmp_path):
     assert r.level == round(l, 6)
     assert r.trend == round(b, 6)
     assert r.forecast_next == round(l + b, 6)
+
+
+def test_peak_and_lttb_dense_spine_gap_day(spark, tmp_path):
+    """events_peak_detection: a busy day flanked by QUIET days is a
+    true local peak — present-days-only neighbors used to compare it
+    against far-away busy days and suppress it.  events_lttb_downsample:
+    the dense series length (calendar span) is what the bucketer sees,
+    and the endpoint t-index spans the full calendar."""
+    from go_otel_clickhouse_ingestor_spark.operators import analytics as A
+
+    days = [_D0 + dt.timedelta(days=i) for i in range(12)]
+    # busy plateau everywhere except: gaps at days 5 and 7 flanking a
+    # moderate day 6 — day 6 (50.0) is a TRUE local peak between two
+    # zero days even though the plateau (100.0) dwarfs it
+    gaps = {days[5], days[7]}
+    rows = []
+    for i, day in enumerate(days):
+        if day in gaps:
+            continue
+        v = 50.0 if i == 6 else 100.0
+        rows.append(
+            (i + 1, pd.Timestamp(day) + pd.Timedelta(hours=13), 1, "click", v, "{}")
+        )
+    sf = _write_events(tmp_path, rows)
+    peaks = {r.day for r in A.events_peak_detection(spark, sf).collect()}
+    assert days[6].isoformat() in peaks, peaks
+
+    out = sorted(
+        A.events_lttb_downsample(spark, sf).collect(), key=lambda r: r.rank
+    )
+    # endpoints pinned to the first and last CALENDAR day
+    t0 = (days[0] - dt.date(2020, 1, 1)).days
+    t1 = (days[-1] - dt.date(2020, 1, 1)).days
+    assert out[0].day_index == t0 and out[-1].day_index == t1
+    # the gap days are real candidate points now; with n_out >= series
+    # length the output is the full dense series including both zeros
+    zeros = [r for r in out if r.total_value == 0.0]
+    assert len(zeros) == 2
