@@ -48,11 +48,8 @@ _REGISTRY: dict[str, Query] = {}
 #: unevidenced oracle-backed name is missing.
 _DRIVER_PRIORITY: list[str] = [
     # oracle-backed, no hash evidence yet
-    "orders_basket_lift",
-    "events_dow_anomalies_by_type",
-    "events_series_crosscorr",
-    # rows-only, no clean driver run yet
-    "events_series_dtw_topk",
+    "events_lttb_downsample",
+    "events_matrix_profile",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
