@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,10 +61,32 @@ def _fixture_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _cache_path(prefix: str, sf_dir: str) -> str:
+    """Fingerprint-keyed cache dir for ``prefix``, pruning stale
+    siblings.  Every fixture regeneration mints a new suffix; without
+    pruning the old ``{prefix}_*`` copies strand forever and the
+    per-uid cache root grows without bound (ADVICE r13).  A sibling is
+    stale iff it has the same prefix and a different (hex) suffix —
+    the prefix IS the content recipe, so same-prefix dirs are always
+    regenerable copies of each other.  Known residual: the fingerprint
+    uses size+mtime_ns, not bytes, so a restore preserving both reuses
+    a stale copy — accepted; hashing fixture bytes on every call would
+    cost a full fixture read per query."""
+    suffix = _fixture_fingerprint(sf_dir)
+    current = f"{prefix}_{suffix}"
+    try:
+        for name in os.listdir(_CACHE_ROOT):
+            stem, _, tail = name.rpartition("_")
+            if stem == prefix and name != current and len(tail) == 12:
+                shutil.rmtree(os.path.join(_CACHE_ROOT, name), ignore_errors=True)
+    except FileNotFoundError:
+        pass  # first write creates the root
+    return f"{_CACHE_ROOT}/{current}"
+
+
 def _text_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the events fixture once as JSON/CSV; reuse across calls."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/{fmt}_{suffix}"
+    path = _cache_path(fmt, sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         ev = table(spark, sf_dir, "events").select(
             "event_id",
@@ -103,8 +126,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC → read back.  Unlike the text formats ORC is a real
     columnar serving format (pruning + pushdown work), so this is the
     parquet-alternative read path, not a landing-zone path."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/orc_{suffix}"
+    path = _cache_path("orc", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -138,8 +160,7 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     table turns a full scan into a directory listing plus the matching
     files — pruning happens before any IO, unlike row-group pushdown
     which still opens every footer."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/part_{suffix}"
+    path = _cache_path("part", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -209,8 +230,7 @@ def source_text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's shortest-roundtrip string form.  Scale: text+regex is a
     map-only scan — no pruning, no pushdown (documented landing-zone
     trade); the pattern is parse once → parquet, serve columnar."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/log_{suffix}"
+    path = _cache_path("log", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -253,8 +273,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the other text sources: no pruning/pushdown, parse-whole-row,
     convert to parquet once; event time crosses as unix_micros BIGINT
     because XML timestamp round-trips are where precision dies."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/xml_{suffix}"
+    path = _cache_path("xml", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -301,8 +320,7 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one task per file (small-file problem is real — at 100 TB
     you pack media into WebDataset-style tar shards or parquet BLOBs,
     which is exactly the ``multimodal_cols`` layout this feeds)."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/bin_{suffix}"
+    path = _cache_path("bin", sf_dir)
     if not os.path.exists(f"{path}/_DONE"):
         rows = (
             table(spark, sf_dir, "documents")
@@ -371,8 +389,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     with zero query rewrite.  The static twin (literal IN on the
     partition column) is source_partitioned_pruning; here pruning
     survives the indirection through a join."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/part_{suffix}"
+    path = _cache_path("part", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             table(spark, sf_dir, "events")
@@ -518,8 +535,7 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical classification relationally from the parquet truth.
     Scale: map-only parse; the quarantine column rides the scan, no
     extra pass."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/corrupt_{suffix}"
+    path = _cache_path("corrupt", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         line = F.to_json(
             F.struct("event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value")
@@ -678,8 +694,7 @@ def source_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sums instead of one global window; everything after is
     record-keyed.  The fixture writes one file, for which the
     per-file form is identical to a global window."""
-    suffix = _fixture_fingerprint(sf_dir)
-    path = f"{_CACHE_ROOT}/mlog_{suffix}"
+    path = _cache_path("mlog", sf_dir)
     if not os.path.exists(f"{path}/_SUCCESS"):
         ev = table(spark, sf_dir, "events")
         head = F.concat(
@@ -1077,7 +1092,6 @@ def source_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined scan per codec, no shuffle wider than one
     row."""
     base = table(spark, sf_dir, "orders")
-    suffix = _fixture_fingerprint(sf_dir)
     rh = F.expr(
         "cast(conv(substring(md5(concat_ws('|', "
         + ", ".join(_ORD_COLS_SPARK)
@@ -1085,7 +1099,7 @@ def source_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for codec in _CODECS:
-        path = f"{_CACHE_ROOT}/orders_{codec}_{suffix}"
+        path = _cache_path(f"orders_{codec}", sf_dir)
         if not os.path.exists(f"{path}/_SUCCESS"):
             base.write.mode("overwrite").option("compression", codec).parquet(
                 path

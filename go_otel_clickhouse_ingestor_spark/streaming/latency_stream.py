@@ -101,7 +101,14 @@ def _fold(
     if state.hasTimedOut:
         n, means, weights = state.get
         state.remove()
-        yield _emit(key, int(n), np.asarray(means), np.asarray(weights))
+        # n == 0 means every row for this key had a null dur_us — the
+        # digest is empty and the estimates would be NaN.  Suppress the
+        # emission instead of publishing a meaningless grid row
+        # (ADVICE r13, low).
+        if int(n) > 0:
+            yield _emit(key, int(n), np.asarray(means), np.asarray(weights))
+        else:
+            yield _empty_out()
         return
     if state.exists:
         n, s_means, s_weights = state.get

@@ -126,3 +126,77 @@ def r(counts):
         assert check_unpartitioned_windows([pg]) == []
     # and the live tree is clean
     assert check_unpartitioned_windows() == []
+
+
+def test_close_round_stageable_paths_exact_matching():
+    """stage_artifacts parses porcelain -z records into exact paths:
+    renames keep only the NEW path (source consumed), spaces survive
+    unsplit, and substring look-alikes (a path merely CONTAINING
+    'registry.py' or 'BENCH_r') are not staged (ADVICE r13)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from close_round import stageable_paths
+
+    z = "\0".join(
+        [
+            " M go_otel_clickhouse_ingestor_spark/registry.py",
+            "?? BENCH_r14.json",
+            "?? CORRECTNESS_r14.json",
+            " M BENCH_SUMMARY.json",
+            # rename: new path first, then the source — source must be
+            # consumed, not treated as its own record
+            "R  BENCH_r02.json",
+            "notes/old BENCH_r02 copy.json",
+            # substring traps
+            "?? docs/registry.py.md",
+            "?? tools/registry.pyx",
+            "?? notes/BENCH_r99.json.bak",
+            "?? dir with space/BENCH_SUMMARY.json",
+            "",
+        ]
+    )
+    got = stageable_paths(z)
+    assert got == [
+        "go_otel_clickhouse_ingestor_spark/registry.py",
+        "BENCH_r14.json",
+        "CORRECTNESS_r14.json",
+        "BENCH_SUMMARY.json",
+        "BENCH_r02.json",
+    ], got
+
+
+def test_formats_cache_path_prunes_stale_siblings(tmp_path, monkeypatch):
+    """_cache_path removes same-prefix dirs with a different fingerprint
+    suffix (fixture regenerated in place) and leaves other prefixes and
+    the current entry alone (ADVICE r13: unbounded /tmp growth)."""
+    import os
+
+    from go_otel_clickhouse_ingestor_spark.operators import formats as FM
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x" * 64)
+    root = tmp_path / "cache"
+    root.mkdir()
+    monkeypatch.setattr(FM, "_CACHE_ROOT", str(root))
+
+    cur = FM._cache_path("json", str(sf))
+    suffix = os.path.basename(cur).split("_", 1)[1]
+    os.makedirs(cur)
+    # stale same-prefix sibling, a different prefix, and a non-cache dir
+    (root / "json_aaaaaaaaaaaa").mkdir()
+    (root / "csv_bbbbbbbbbbbb").mkdir()
+    (root / "scratch").mkdir()
+
+    again = FM._cache_path("json", str(sf))
+    assert again == cur and os.path.isdir(cur)
+    assert not (root / "json_aaaaaaaaaaaa").exists(), "stale sibling kept"
+    assert (root / "csv_bbbbbbbbbbbb").exists(), "other prefix pruned"
+    assert (root / "scratch").exists()
+    # regenerating the fixture mints a new suffix and prunes the old one
+    os.utime(sf / "events.parquet", (1, 1))
+    moved = FM._cache_path("json", str(sf))
+    assert os.path.basename(moved).split("_", 1)[1] != suffix
+    assert not os.path.isdir(cur), "old fingerprint dir kept after regen"

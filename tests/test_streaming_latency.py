@@ -54,6 +54,19 @@ def streamed(spark, tmp_path_factory):
             rows.append(
                 {"service": svc, "dur_us": int(d), "ts": ts.isoformat(sep=" ")}
             )
+    # a key fed ONLY null durations: state is created (n=0) and its
+    # window closes, but the empty digest must be suppressed, not
+    # emitted as NaN rows (ADVICE r13)
+    for i in range(8):
+        rows.append(
+            {
+                "service": "nullonly",
+                "dur_us": None,
+                "ts": (pd.Timestamp(_WIN1[0]) + pd.Timedelta(seconds=i)).isoformat(
+                    sep=" "
+                ),
+            }
+        )
     # interleave so every group straddles the trigger boundary
     batches = [rows[::2], rows[1::2]]
     # sentinels: push the watermark past every real window's end (the
@@ -102,6 +115,8 @@ def test_stream_quantiles_within_band_of_exact(streamed):
     # watermark passes it) — but the final sentinel window, which
     # nothing ever passes, must stay open and emit NOTHING
     assert ("zz", "2024-01-03 00:00:00") not in emitted, "open window emitted"
+    # the all-null key's window DID close — emission must be suppressed
+    assert not any(svc == "nullonly" for svc, _ in emitted), "empty digest emitted"
     for (svc, (w0, _w1)), durs in groups.items():
         got = emitted[(svc, w0)]
         assert set(got) == set(S._QS), (svc, w0)

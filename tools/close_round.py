@@ -106,18 +106,42 @@ def rotate(dry_run: bool = False) -> list[str]:
     return backlog
 
 
+#: Exact repo-relative paths this tool is allowed to stage, as
+#: predicates over NUL-split porcelain paths (ADVICE r13: substring
+#: matching on whole status lines mis-parsed renames and could stage
+#: unrelated paths that merely contain "registry.py").
+_STAGEABLE = (
+    re.compile(r"^BENCH_r\d+\.json$"),
+    re.compile(r"^CORRECTNESS_r\d+\.json$"),
+    re.compile(r"^BENCH_SUMMARY\.json$"),
+    re.compile(r"^go_otel_clickhouse_ingestor_spark/registry\.py$"),
+)
+
+
+def stageable_paths(porcelain_z: str) -> list[str]:
+    """Exact repo-relative stageable paths from ``git status
+    --porcelain -z`` output (NUL-separated records, paths verbatim —
+    no quoting; renames/copies as ``XY new\\0old\\0``)."""
+    paths: list[str] = []
+    records = iter(porcelain_z.split("\0"))
+    for rec in records:
+        if len(rec) < 4:
+            continue
+        status, path = rec[:2], rec[3:]
+        paths.append(path)
+        if status[0] in "RC":  # rename/copy: next NUL field is the source
+            next(records, None)
+    return [p for p in paths if any(rx.match(p) for rx in _STAGEABLE)]
+
+
 def stage_artifacts(dry_run: bool = False) -> list[str]:
     out = subprocess.run(
-        ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+        ["git", "status", "--porcelain", "-z"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
     ).stdout
-    loose = [
-        line.split()[-1]
-        for line in out.splitlines()
-        if any(
-            tag in line
-            for tag in ("BENCH_r", "CORRECTNESS_r", "BENCH_SUMMARY", "registry.py")
-        )
-    ]
+    loose = stageable_paths(out)
     if loose and not dry_run:
         subprocess.run(["git", "add", *loose], cwd=REPO, check=True)
     verb = "would stage" if dry_run else "staged"
