@@ -323,6 +323,63 @@ def dtw_band_batch(A: np.ndarray, B: np.ndarray, w: int) -> np.ndarray:
     return prev[:, n]
 
 
+def dtw_band_batch_ea(
+    A: np.ndarray, B: np.ndarray, w: int, tau: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """``dtw_band_batch`` with UCR-style EARLY ABANDONING: a warping
+    path visits at least one cell in every DP row i (the first index
+    advances 0 or 1 per step from 1 to n), and cell costs are
+    non-negative, so ``min_j cur[i][j]`` over the band is a lower
+    bound of the final distance.  Once a series' row minimum exceeds
+    ``tau`` its DP stops — the series provably cannot beat the
+    threshold.  This bounds the NOISE regime of the pruned top-k
+    search, where LB_Keogh prunes ~0% (no user is near the reference,
+    τ is large relative to the envelope gap) but per-row partial sums
+    still cross τ early for most users (VERDICT r13 ask #2; the other
+    half of the UCR suite next to the LB_Keogh funnel).
+
+    Vectorized the same way as the full kernel (numpy across series
+    inside the bounded 30×(2W+1) Python loop); abandoned series are
+    COMPACTED OUT of the live matrices once per row (≤ n boolean
+    slices, amortized negligible), so saved DP rows are genuinely not
+    computed.  Abandonment uses ``tau + _LB_EPS`` so float noise can
+    only keep a borderline series alive, never drop a true answer.
+
+    Returns ``(dtw, rows_run)``: ``dtw[s]`` is the exact banded
+    distance for completed series and ``+inf`` for abandoned ones
+    (whose true distance is provably > tau); ``rows_run[s]`` is the
+    number of DP rows executed (== n for completed series) — the
+    probe's abandonment measurement."""
+    n_all, n = A.shape
+    out = np.full(n_all, np.inf)
+    rows_run = np.full(n_all, n, dtype=np.int64)
+    idx = np.arange(n_all)
+    prev = np.full((n_all, n + 1), np.inf)
+    prev[:, 0] = 0.0
+    for i in range(1, n + 1):
+        lo = max(1, i - w)
+        hi = min(n, i + w)
+        cur = np.full((idx.size, n + 1), np.inf)
+        for j in range(lo, hi + 1):
+            cost = np.abs(A[idx, i - 1] - B[idx, j - 1])
+            best = np.minimum(prev[:, j - 1], prev[:, j])
+            np.minimum(best, cur[:, j - 1], out=best)
+            cur[:, j] = cost + best
+        if i == n:
+            out[idx] = cur[:, n]
+            break
+        dead = cur[:, lo : hi + 1].min(axis=1) > tau + _LB_EPS
+        if dead.any():
+            rows_run[idx[dead]] = i
+            keep = ~dead
+            idx = idx[keep]
+            cur = cur[keep]
+            if idx.size == 0:
+                break
+        prev = cur
+    return out, rows_run
+
+
 def _dtw_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
@@ -339,6 +396,36 @@ def _dtw_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "l1_diag": np.round(l1, 6),
             }
         )
+
+
+def _dtw_map_pruned(tau: float):
+    """``_dtw_map`` twin for the top-k REFINE stage: runs the
+    early-abandoning kernel against the seed threshold and drops
+    abandoned series (their true distance is provably > τ, and the k
+    seeds — never abandoned, each seed dtw ≤ τ — already beat them, so
+    they cannot appear in the top-k under the (dtw, user_id) order)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["za"]])
+            B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["zb"]])
+            dtw, _rows_run = dtw_band_batch_ea(A, B, _DTW_BAND, tau)
+            keep = np.isfinite(dtw)
+            if not keep.any():
+                continue
+            l1 = np.abs(A[keep] - B[keep]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy()[keep].astype("int64"),
+                    "n_days": np.full(int(keep.sum()), A.shape[1], dtype="int64"),
+                    "dtw": np.round(dtw[keep], 6),
+                    "l1_diag": np.round(l1, 6),
+                }
+            )
+
+    return fn
 
 
 @query("events_series_dtw")
@@ -452,18 +539,26 @@ def events_series_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        the k-th smallest upper bound unconditionally, since each
        seed's DTW ≤ its diagonal L1.
     3. **Prune + refine**: only users with lb ≤ τ (+1e-9 float slack)
-       run the DP; correctness is unconditional because lb ≤ dtw, so
-       any pruned user's true distance exceeds τ, which k users
-       already beat.
+       reach the DP, and each survivor's DP runs EARLY-ABANDONING
+       (``dtw_band_batch_ea``): every warping path pays at least the
+       band row-minimum at each i, so once a survivor's partial
+       row-minimum exceeds τ its DP stops.  Correctness is
+       unconditional on both cuts because lb ≤ dtw and row-min ≤ dtw:
+       anything dropped has true distance > τ, which k users already
+       beat.
 
     The prune rate is REGIME-DEPENDENT, and both regimes are measured
     (tools/scale_probe.py dtw_topk, SCALING.md): when close matches
     exist (the planted-seasonality fixture — the regime similarity
     search exists for) τ is small and the bound eliminates ~all noise
     users before any DP; on pure-noise fleets no user is near the
-    reference, τ is necessarily large, the envelope bound prunes ~0%,
-    and the search degrades to the exhaustive scan plus a negligible
-    relational bound pass — never worse than ``events_series_dtw``.
+    reference, τ is necessarily large and the envelope bound prunes
+    ~0% — there the early-abandoning DP is the binding cut: a
+    survivor's partial row-minimum crosses τ partway through the
+    grid and the rest of its DP is skipped (dp_rows_saved measured
+    per regime by the probe), so the noise regime no longer pays the
+    full exhaustive DP (the two halves of the UCR suite: LB_Keogh
+    for the match-rich regime, abandonment for the match-free one).
 
     Rows-only: DTW's DP is not SQL-expressible; pytest pins the top-k
     EQUAL to the exhaustive ranking on both the shared fixture and an
@@ -485,10 +580,18 @@ def events_series_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = seed_dtw.agg(F.max("dtw").alias("tau")).collect()[0]["tau"]
     if tau is None:  # empty input: no users survive, schema preserved
         survivors = bounds.filter(F.lit(False))
+        tau = float("inf")  # the pruned kernel still needs a real τ
     else:
         survivors = bounds.filter(F.col("lb") <= tau + _LB_EPS)
+    # survivors run the EARLY-ABANDONING DP against τ: in the noise
+    # regime (LB prunes ~0%) a survivor's partial row-minimum crosses
+    # τ partway through the grid and its DP stops — the UCR suite's
+    # other half, bounding exactly the regime the envelope bound
+    # cannot (VERDICT r13 ask #2).  Seeds are never abandoned
+    # (dtw ≤ τ), so ≥ k rows always remain.
     refined = survivors.select("user_id").join(seqs, "user_id").mapInPandas(
-        _dtw_map, schema="user_id long, n_days long, dtw double, l1_diag double"
+        _dtw_map_pruned(float(tau)),
+        schema="user_id long, n_days long, dtw double, l1_diag double",
     )
     top = refined.orderBy("dtw", "user_id").limit(_DTW_TOPK)
     # bounded: window ranks the top-k limit output only
@@ -797,4 +900,198 @@ def events_series_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
         .orderBy("type_a", "type_b", "lag")
+    )
+
+
+#: Matrix-profile motif length (one week at day grain) and the
+#: trivial-match exclusion half-width: neighbors with |i-j| < ceil(m/2)
+#: overlap the query window by more than half and are near-identical by
+#: construction, so the standard self-join exclusion zone removes them.
+_MP_M = 7
+_MP_EXCL = 4
+
+
+@query(
+    "events_matrix_profile",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    fleet AS (
+      SELECT row_number() OVER (ORDER BY d.day) - 1 AS idx, d.day,
+             coalesce(b.v_c, 0) AS v
+      FROM days d
+      LEFT JOIN (SELECT ts::DATE AS day,
+                        sum(cast(round(value * 100) AS BIGINT)) AS v_c
+                 FROM events GROUP BY 1) b USING (day)
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM fleet),
+    pos AS (
+      SELECT unnest(generate_series(0, (SELECT n FROM nn) - {_MP_M})) AS p
+      WHERE (SELECT n FROM nn) >= {_MP_M}
+    ),
+    wstat AS (
+      SELECT p.p,
+             sum(cast(f.v AS HUGEINT)) AS sx,
+             sum(cast(f.v AS HUGEINT) * f.v) AS sxx
+      FROM pos p JOIN fleet f ON f.idx BETWEEN p.p AND p.p + {_MP_M - 1}
+      GROUP BY p.p
+    ),
+    live AS (
+      SELECT p, sx, sxx, {_MP_M} * sxx - sx * sx AS den
+      FROM wstat WHERE {_MP_M} * sxx - sx * sx > 0
+    ),
+    pairs AS (
+      SELECT i.p AS pi, j.p AS pj, i.sx AS sxi, j.sx AS sxj,
+             i.den AS deni, j.den AS denj,
+             (SELECT sum(cast(a.v AS HUGEINT) * b.v)
+              FROM fleet a JOIN fleet b ON b.idx = a.idx - i.p + j.p
+              WHERE a.idx BETWEEN i.p AND i.p + {_MP_M - 1}) AS sxy
+      FROM live i JOIN live j ON abs(i.p - j.p) >= {_MP_EXCL}
+    ),
+    dists AS (
+      SELECT pi, pj,
+             sqrt(greatest(
+               2.0 * {_MP_M}
+                 * (1.0 - cast({_MP_M} * sxy - sxi * sxj AS DOUBLE)
+                        / sqrt(cast(deni AS DOUBLE) * cast(denj AS DOUBLE))),
+               0.0)) AS d
+      FROM pairs
+    ),
+    best AS (
+      SELECT pi, pj, d,
+             row_number() OVER (PARTITION BY pi ORDER BY d, pj) AS rn
+      FROM dists
+    )
+    SELECT b.pi AS pos,
+           (SELECT day FROM fleet WHERE idx = b.pi)::TIMESTAMP AS win_start,
+           b.pj AS nn_pos,
+           round(b.d, 6) AS nn_dist
+    FROM best b WHERE b.rn = 1
+    """,
+)
+def events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the fleet's daily total series (UCR STOMP
+    semantics at day grain): for every length-7 (``_MP_M``) window, the
+    z-normalized Euclidean distance to its nearest NON-TRIVIAL
+    neighbor window (exclusion zone |i-j| < ceil(m/2)) — low profile
+    values mark MOTIFS (repeating weekly shapes), high values mark
+    DISCORDS (the week that looks like no other), the classic
+    anomaly-hunting primitive neither ClickHouse nor TimescaleDB
+    ships.  Sits beside the round-13/14 DTW search: that family asks
+    "which USERS track the fleet curve", this asks "which WEEK inside
+    the fleet curve is unlike every other week".
+
+    Cross-engine exactness comes from the integer sufficient-statistic
+    identity the cross-correlation op proved out: for z-normalized
+    windows, d²(i,j) = 2m(1 − corr(i,j)), and corr derives from exact
+    per-window sums Sx, Sxx and the pair dot Sxy (all centi-unit
+    DECIMAL(38,0) / HUGEINT integers), converting to double at the
+    same two points in both engines — one division, one sqrt.
+    Flat windows (zero variance, undefined z) are excluded on both
+    sides by the same exact-integer ``m·Sxx − Sx² > 0`` predicate.
+
+    Scale shape: corpus-sized work is ONE day-keyed partial agg; the
+    profile itself is (n_windows)² pairs over a CALENDAR-BOUNDED
+    series (24² here, 359² at a production year) computed as JVM
+    array expressions on a one-row frame — no shuffle, no Python, no
+    data-sized join.  At sub-day grain (n no longer calendar-small)
+    the right algorithm changes shape entirely (STOMP's O(n²) rolling
+    dot products, or the MASS FFT trick) — documented boundary, not
+    this operator's regime."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    by_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_c0")
+    )
+    fleet = days.join(by_day, "day", "left").select(
+        "day", F.coalesce("v_c0", F.lit(0)).alias("v")
+    )
+    # the calendar-bounded series folds into ONE row (30 longs here,
+    # 365 in production) — every stage below is bounded-domain math
+    ser = fleet.agg(
+        F.expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").alias("va"),
+        F.min("day").alias("d0"),
+    )
+    pos = ser.select(
+        "va",
+        "d0",
+        F.explode(
+            F.when(
+                F.size("va") >= _MP_M,
+                F.sequence(F.lit(0), F.size("va") - _MP_M),
+            ).otherwise(F.expr("array()"))
+        ).alias("p"),
+    )
+    w = f"slice(va, p + 1, {_MP_M})"
+    stats = pos.select(
+        "d0",
+        "p",
+        F.expr(w).alias("w"),
+        F.expr(
+            f"aggregate({w}, cast(0 as decimal(38,0)), (a, x) -> a + x)"
+        ).alias("sx"),
+        F.expr(
+            f"aggregate({w}, cast(0 as decimal(38,0)),"
+            " (a, x) -> a + cast(x as decimal(19,0)) * x)"
+        ).alias("sxx"),
+    ).withColumn("den", F.expr(f"{_MP_M} * sxx - sx * sx"))
+    live = stats.filter(F.col("den") > 0)
+    i = live.select(
+        "d0",
+        F.col("p").alias("pi"),
+        F.col("w").alias("wi"),
+        F.col("sx").alias("sxi"),
+        F.col("den").alias("deni"),
+    )
+    j = live.select(
+        F.col("p").alias("pj"),
+        F.col("w").alias("wj"),
+        F.col("sx").alias("sxj"),
+        F.col("den").alias("denj"),
+    )
+    pairs = i.join(j, F.abs(F.col("pi") - F.col("pj")) >= _MP_EXCL).withColumn(
+        "sxy",
+        F.expr(
+            "aggregate(zip_with(wi, wj, (x, y) -> cast(x as decimal(19,0)) * y),"
+            " cast(0 as decimal(38,0)), (a, t) -> a + t)"
+        ),
+    )
+    d = F.sqrt(
+        F.greatest(
+            F.lit(2.0 * _MP_M)
+            * (
+                F.lit(1.0)
+                - F.expr(f"cast({_MP_M} * sxy - sxi * sxj as double)")
+                / F.sqrt(
+                    F.expr("cast(deni as double)") * F.expr("cast(denj as double)")
+                )
+            ),
+            F.lit(0.0),
+        )
+    )
+    dists = pairs.select("d0", "pi", "pj", d.alias("d"))
+    # bounded: the window ranks (n_windows)² calendar-bounded pairs
+    wr = Window.partitionBy("pi").orderBy("d", "pj")
+    return (
+        dists.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("pi").cast("long").alias("pos"),
+            F.expr("cast(date_add(d0, cast(pi as int)) as timestamp)").alias(
+                "win_start"
+            ),
+            F.col("pj").cast("long").alias("nn_pos"),
+            F.round("d", 6).alias("nn_dist"),
+        )
     )

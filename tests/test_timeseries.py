@@ -102,6 +102,33 @@ def test_dtw_batch_kernel_equals_scalar():
         assert got[i] == T.dtw_band(A[i], B[i], T._DTW_BAND)
 
 
+def test_dtw_ea_kernel_exact_or_provably_over_tau():
+    """Early-abandoning kernel contract (VERDICT r13 ask #2): for any
+    τ, completed series return EXACTLY the full kernel's distance;
+    abandoned series (dtw=inf) provably exceed τ under the full
+    kernel; rows_run counts abandonment honestly (== n iff completed);
+    and a τ below every distance abandons everything at the grid's
+    first rows while τ=inf degenerates to the full kernel."""
+    rs = np.random.RandomState(29)
+    A = rs.randn(60, 30)
+    B = rs.randn(60, 30)
+    full = T.dtw_band_batch(A, B, T._DTW_BAND)
+    for q in (0.1, 0.5, 0.9):
+        tau = float(np.quantile(full, q))
+        got, rows_run = T.dtw_band_batch_ea(A, B, T._DTW_BAND, tau)
+        fin = np.isfinite(got)
+        assert np.array_equal(got[fin], full[fin]), q
+        assert (full[~fin] > tau).all(), q
+        assert (rows_run[fin] == A.shape[1]).all(), q
+        assert (rows_run[~fin] < A.shape[1]).all(), q
+        # everything at or below τ must complete (row-min ≤ dtw ≤ τ)
+        assert fin[full <= tau].all(), q
+    all_done, _ = T.dtw_band_batch_ea(A, B, T._DTW_BAND, float("inf"))
+    assert np.array_equal(all_done, full)
+    none_done, rr = T.dtw_band_batch_ea(A, B, T._DTW_BAND, -1.0)
+    assert not np.isfinite(none_done).any() and (rr == 1).all()
+
+
 def _lb_np(a, b, w):
     """Driver-side LB_Keogh twin: Σ max(a_i − max(env), min(env) − a_i, 0)
     over the ±w envelope of b."""
@@ -271,3 +298,89 @@ def test_dense_spine_includes_empty_calendar_days(spark, tmp_path):
         7: {"2024-05-01", "2024-05-02", "2024-05-03"},
         8: {"2024-05-01", "2024-05-02", "2024-05-03"},
     }
+
+
+def _mp_brute(v: np.ndarray, m: int, excl: int):
+    """Brute-force z-normalized matrix profile twin (numpy, float64):
+    same sufficient-statistic formula as both engines."""
+    n = len(v)
+    ps = list(range(n - m + 1))
+    res = {}
+    stats = {}
+    for p in ps:
+        w = v[p : p + m].astype(np.float64)
+        sx = float(w.sum())
+        sxx = float((w * w).sum())
+        stats[p] = (sx, m * sxx - sx * sx)
+    for p in ps:
+        sxp, denp = stats[p]
+        if denp <= 0:
+            continue
+        best = None
+        for q in ps:
+            sxq, denq = stats[q]
+            if abs(p - q) < excl or denq <= 0:
+                continue
+            sxy = float((v[p : p + m] * v[q : q + m]).sum())
+            corr = (m * sxy - sxp * sxq) / np.sqrt(denp * denq)
+            d = float(np.sqrt(max(2.0 * m * (1.0 - corr), 0.0)))
+            if best is None or (d, q) < best:
+                best = (d, q)
+        res[p] = best
+    return res
+
+
+def test_matrix_profile_motif_discord_and_numpy_twin(spark, tmp_path):
+    """Planted fixture: weeks 0, 1 and 3 share an identical shape, so
+    the week-aligned windows 0/7/21 are mutual nearest neighbors at
+    profile ≈ 0 (motif); week 2 is a monotone ramp no other week
+    resembles, so its aligned window (pos 14) carries the largest
+    profile among the aligned windows (discord).  NOT asserted: that a
+    spike week is the global discord — a single spike slides through
+    m overlapping windows and makes them mutually similar one-hot
+    shapes, the classic matrix-profile gotcha this fixture's smooth
+    ramp avoids.  Every emitted row must equal the numpy brute-force
+    twin's distance and neighbor choice."""
+    import pandas as pd
+
+    # 28 days: weeks 0..3; weeks 0, 1, 3 identical; week 2 a ramp
+    base = [100, 120, 140, 130, 110, 90, 80]
+    vals = base + base + [20, 60, 100, 140, 180, 220, 260] + base
+    recs = []
+    for d, v in enumerate(vals):
+        recs.append(
+            (
+                d + 1,
+                pd.Timestamp("2024-07-01") + pd.Timedelta(days=d),
+                1,
+                "click",
+                float(v),
+                "{}",
+            )
+        )
+    df = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "mp_sf"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+
+    got = {
+        r.pos: (r.nn_pos, r.nn_dist)
+        for r in T.events_matrix_profile(spark, str(d)).collect()
+    }
+    v = np.array([x * 100 for x in vals], dtype=np.float64)  # centi-units
+    ref = _mp_brute(v, T._MP_M, T._MP_EXCL)
+    assert set(got) == set(ref)
+    for p, (dist, q) in ref.items():
+        assert got[p][0] == q, (p, got[p], (q, dist))
+        assert abs(got[p][1] - dist) < 1e-6, (p, got[p], (q, dist))
+    # motif: the three identical week-aligned windows are each other's
+    # nearest neighbors at ~0 (0's NN must be one of 7/21, etc.)
+    assert got[0][0] in (7, 21) and got[0][1] < 1e-6
+    assert got[7][0] in (0, 21) and got[7][1] < 1e-6
+    assert got[21][0] in (0, 7) and got[21][1] < 1e-6
+    # discord: the ramp week's aligned window has the largest profile
+    # among the week-aligned windows
+    assert got[14][1] > max(got[0][1], got[7][1], got[21][1])
+    assert got[14][1] > 1.0

@@ -165,6 +165,75 @@ def build_scaled(spark, n: int) -> str:
     return out
 
 
+def build_perm_scaled(spark, n: int) -> str:
+    """N×-scaled documents with NON-ALIASING per-copy substitution
+    ciphers — the 100×-capable variant of ``build_scaled``'s rotation
+    rule (SCALING.md Round 13 caveat: rotations alias at N > 26, so
+    copies k and k+26 share text verbatim and similarity ops gain
+    fabricated cross-copy duplicates).  Each copy applies a seeded
+    Fisher-Yates permutation of [a-z0-9] via ``translate`` — within-
+    copy duplicate structure is preserved exactly (translate is a
+    bijection on the alphabet), while two independent random
+    permutations agree on ~1 symbol on average, so cross-copy shingle
+    sharing is measure-zero at any N.  Digits are permuted too
+    (rotation left them fixed, so all-digit shingles aliased across
+    every copy even at N ≤ 26)."""
+    import random
+
+    out = f"{SCALE_ROOT}/perm_x{n}"
+    if os.path.exists(f"{out}/documents.parquet/_SUCCESS"):
+        return out
+    alpha = string.ascii_lowercase + string.digits
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    copies = []
+    for k in range(n):
+        sym = list(alpha)
+        random.Random(10_000 + k).shuffle(sym)
+        copies.append(
+            base.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                F.translate("text", alpha, "".join(sym)).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_copies(copies).repartition(max(n // 2, 8)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+    return out
+
+
+def linear100_probe(spark, n: int, ops: list[str]) -> dict:
+    """The 100× scaling point (VERDICT r13 ask #3): time document-path
+    ops at 1× (the raw sf0.1 fixture) and at n× on the permutation-
+    scaled corpus, reporting per-unit ratios.  Sub-linear per unit
+    (ratio ≪ n) is the pass bar for a linear-path operator."""
+    from go_otel_clickhouse_ingestor_spark.registry import load_all
+
+    reg = load_all()
+    big = build_perm_scaled(spark, n)
+    out = {}
+    for op in ops:
+        q = reg[op]
+        t0 = time.time()
+        r1 = q.fn(spark, BASE_SF).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        rn = q.fn(spark, big).count()
+        tn = time.time() - t0
+        out[op] = {
+            "t1": round(t1, 2),
+            "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2) if t1 else None,
+            "per_unit": round(tn / t1 / n, 4) if t1 else None,
+            "rows1": r1,
+            "rowsN": rn,
+        }
+        print(f"# linear100 {op}: {out[op]}", file=sys.stderr)
+    return out
+
+
 def sem_cell_stats(spark, sf_dir: str) -> dict:
     """SemDeDup blocking diagnostics at this scale: the chosen K, the
     max/mean cell size, and the intra-cell candidate-pair volume
@@ -672,12 +741,53 @@ def dtw_topk_stats(spark, sf_dir: str) -> dict:
         T._dtw_map, schema="user_id long, n_days long, dtw double, l1_diag double"
     )
     tau = seed_dtw.agg(F.max("dtw")).collect()[0][0]
-    survivors = bounds.filter(F.col("lb") <= tau + T._LB_EPS).count()
+    surv_ids = bounds.filter(F.col("lb") <= tau + T._LB_EPS).select("user_id")
+    survivors = surv_ids.count()
+    # early-abandoning measurement (VERDICT r13 ask #2): run the EA
+    # kernel over the survivors and aggregate per-batch abandonment
+    # stats distributed — never collecting the series themselves
+    import numpy as np
+    import pandas as pd
+
+    def ea_stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["za"]])
+            B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["zb"]])
+            dtw, rows_run = T.dtw_band_batch_ea(A, B, T._DTW_BAND, float(tau))
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "abandoned": [int((~np.isfinite(dtw)).sum())],
+                    "rows_run": [int(rows_run.sum())],
+                    "rows_full": [len(pdf) * A.shape[1]],
+                }
+            )
+
+    ea = {"n": 0, "abandoned": 0, "rows_run": 0, "rows_full": 0}
+    if tau is not None:
+        agg = (
+            surv_ids.join(seqs, "user_id")
+            .mapInPandas(
+                ea_stats,
+                schema="n long, abandoned long, rows_run long, rows_full long",
+            )
+            .agg(
+                F.sum("n"), F.sum("abandoned"), F.sum("rows_run"), F.sum("rows_full")
+            )
+            .collect()[0]
+        )
+        ea = dict(zip(("n", "abandoned", "rows_run", "rows_full"), agg))
     return {
         "users": total,
         "survivors": survivors,
         "prune_rate": round(1.0 - survivors / total, 4) if total else None,
         "tau": round(tau, 4) if tau is not None else None,
+        "abandon_rate": round(ea["abandoned"] / ea["n"], 4) if ea["n"] else None,
+        "dp_rows_saved": (
+            round(1.0 - ea["rows_run"] / ea["rows_full"], 4) if ea["rows_full"] else None
+        ),
         "t_funnel": round(time.time() - t0, 2),
     }
 
@@ -782,6 +892,15 @@ def main() -> None:
         from go_otel_clickhouse_ingestor_spark.session import get_spark
 
         print(json.dumps({"skew": skew_stress(get_spark("skew-probe"))}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "linear100":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        ops = sys.argv[3:] or ["dedup_near_e2e", "dedup_minhash_lsh", "text_quality_score"]
+        spark = get_spark("linear100-probe")
+        spark.range(32).mapInPandas(lambda it: it, "id long").count()
+        print(json.dumps({"linear100": {"n": n, "ops": linear100_probe(spark, n, ops)}}))
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ops = sys.argv[2:] or DEFAULT_OPS
