@@ -4613,7 +4613,91 @@ def _lttb_select(pdf):
     return out[["rank", "t", "x"]]
 
 
-@query("events_lttb_downsample")  # rows-only: greedy selection has no SQL twin
+@query(
+    "events_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    by_day AS (
+      SELECT ts::DATE AS day,
+             sum(cast(round(value * 100) AS BIGINT)) AS x0
+      FROM events GROUP BY 1
+    ),
+    ser AS (
+      SELECT row_number() OVER (ORDER BY d.day) - 1 AS idx,
+             cast(d.day - DATE '2020-01-01' AS DOUBLE) AS t,
+             cast(coalesce(b.x0, 0) AS DOUBLE) AS x
+      FROM days d LEFT JOIN by_day b USING (day)
+    ),
+    nn AS (
+      SELECT count(*)::BIGINT AS n,
+             least({_LTTB_N_OUT}, count(*))::BIGINT AS n_out
+      FROM ser
+    ),
+    -- bucket geometry mirrors the kernel's float math exactly:
+    -- every = (n-2)/(n_out-2) in double, floor() per boundary
+    buckets AS (
+      SELECT g.i,
+             cast(floor(g.i * e.every) + 1 AS BIGINT)                      AS lo,
+             least(cast(floor((g.i + 1) * e.every) + 1 AS BIGINT), e.n - 1) AS hi,
+             cast(floor((g.i + 1) * e.every) + 1 AS BIGINT)                AS nlo,
+             least(cast(floor((g.i + 2) * e.every) + 1 AS BIGINT), e.n)    AS nhi
+      FROM (SELECT n, n_out,
+                   (n - 2) / (n_out - 2.0) AS every
+            FROM nn WHERE n > n_out) e,
+           (SELECT unnest(generate_series(0, (SELECT n_out FROM nn) - 3)) AS i) g
+    ),
+    bavg AS (
+      SELECT b.i, b.lo, b.hi,
+             coalesce((SELECT avg(s.t) FROM ser s
+                       WHERE s.idx >= b.nlo AND s.idx < b.nhi),
+                      (SELECT t FROM ser
+                       WHERE idx = (SELECT n - 1 FROM nn))) AS avg_t,
+             coalesce((SELECT avg(s.x) FROM ser s
+                       WHERE s.idx >= b.nlo AND s.idx < b.nhi),
+                      (SELECT x FROM ser
+                       WHERE idx = (SELECT n - 1 FROM nn))) AS avg_x
+      FROM buckets b
+    ),
+    -- the greedy walk: each step's pick depends ONLY on the previous
+    -- pick and the (precomputed) next-bucket mean, so the recursion
+    -- carries a single index — the Holt-oracle technique applied to
+    -- an argmax instead of a smoothing fold
+    sel AS (
+      SELECT -1::BIGINT AS i, 0::BIGINT AS a
+      UNION ALL
+      SELECT b.i,
+             (SELECT s.idx
+              FROM ser s, ser pa
+              WHERE s.idx >= b.lo AND s.idx < b.hi AND pa.idx = sel.a
+              ORDER BY abs((pa.t - b.avg_t) * (s.x - pa.x)
+                           - (pa.t - s.t) * (b.avg_x - pa.x)) DESC,
+                       s.idx ASC
+              LIMIT 1) AS a
+      FROM sel JOIN bavg b ON b.i = sel.i + 1
+    ),
+    picks AS (
+      SELECT idx FROM ser
+      WHERE (SELECT n FROM nn) <= (SELECT n_out FROM nn)
+      UNION ALL
+      SELECT a FROM sel
+      WHERE (SELECT n FROM nn) > (SELECT n_out FROM nn)
+      UNION ALL
+      SELECT (SELECT n - 1 FROM nn)
+      WHERE (SELECT n FROM nn) > (SELECT n_out FROM nn)
+    )
+    SELECT cast(row_number() OVER (ORDER BY p.idx) AS BIGINT) AS rank,
+           cast(s.t AS BIGINT) AS day_index,
+           s.x / 100.0 AS total_value
+    FROM picks p JOIN ser s ON s.idx = p.idx
+    """,
+)
 def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling of the daily
     total-value series to {_LTTB_N_OUT} points — ClickHouse's ``lttb``
@@ -4623,10 +4707,15 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     spikes; LTTB keeps the visually-dominant extremes by maximizing
     triangle area against the previous pick and the next bucket's
     mean).  Greedy with a sequential dependency on the previous
-    selection — no SQL twin, so rows-only with a structural pytest
-    gate (pinned endpoints, one pick per bucket, ordered output).
-    Plan: corpus-sized work is only the day-grain partial agg; the
-    selection runs in one Arrow-grouped kernel over the
+    selection — but each step depends ONLY on (previous pick,
+    precomputed next-bucket mean), so a recursive CTE carrying the
+    single pick index expresses it in SQL (the Holt-oracle technique
+    applied to an argmax instead of a smoothing fold — VERDICT r13
+    ask #5; hash-checked at sf0.001/0.01/0.1), closing the timeseries
+    family's last oracle-less daily-series op.  The structural pytest
+    gate (pinned endpoints, one pick per bucket, ordered output)
+    stays.  Plan: corpus-sized work is only the day-grain partial
+    agg; the selection runs in one Arrow-grouped kernel over the
     calendar-bounded series."""
     ev = table(spark, sf_dir, "events")
     # DENSE day spine (the seasonal-decompose discipline): LTTB's
