@@ -1060,6 +1060,35 @@ _MMR_QUERIES = 10
 _MMR_SHORTLIST = 30
 _MMR_K = 10
 _MMR_LAMBDA = 0.7
+#: The diversity weight as an EXPLICIT literal, not (1 - _MMR_LAMBDA):
+#: Python computes 1 - 0.7 = 0.30000000000000004 while DuckDB folds the
+#: subtraction in exact decimal (0.3 -> double 0.29999999999999999) -- a
+#: one-ulp score difference that flips 6-dp rounding at exact decimal
+#: half boundaries (which quantized scores hit often).  Both engines
+#: parse the literal 0.3 to the same double.
+_MMR_MU = 0.3
+
+
+def _round_half_away(x, nd: int = 6):
+    """Decimal rounding in the HALF-AWAY-FROM-ZERO mode Spark's
+    ``F.round`` and DuckDB's ``round`` share — numpy/Python round are
+    half-to-even, which disagrees on the (rare but real) doubles whose
+    scaled value lands exactly on a binary .5."""
+    import numpy as np
+
+    s = 10.0**nd
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
+
+def _seq_dot(a, b):
+    """Left-to-right sequential dot along the last axis — bit-identical
+    to DuckDB's ``list_dot_product`` fold and Spark's unrolled ``dot``
+    expression.  numpy's ``@``/``sum`` use BLAS / blocked pairwise
+    accumulation, which differs in the last ulp and flips quantization
+    at rounding boundaries (cumsum is sequential by definition)."""
+    import numpy as np
+
+    return np.cumsum(a * b, axis=-1)[..., -1]
 
 
 def _mmr_select(pdf):
@@ -1070,12 +1099,19 @@ def _mmr_select(pdf):
     import pandas as pd
 
     emb = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms = np.sqrt(_seq_dot(emb, emb))[:, None]
     emb = emb / np.where(norms == 0, 1.0, norms)
     rel = pdf["c"].to_numpy().astype(np.float64)
     vec_ids = pdf["vec_id"].to_numpy()
     qid = int(pdf["qid"].iloc[0])
-    sims = emb @ emb.T
+    # 6-dp quantization makes the greedy walk ENGINE-PORTABLE (the
+    # sim_topk_cosine rule applied INSIDE the kernel): pairwise dots
+    # run as sequential folds (bit-identical to the oracle's
+    # list_dot_product) and quantize half-away (the F.round/DuckDB
+    # mode), so quantized (rel, div) pairs give score gaps that are
+    # either exactly 0 (vec_id tie-break) or ≥ 1e-7 — the DuckDB
+    # recursive-CTE twin reproduces every pick bit-for-bit
+    sims = _round_half_away(_seq_dot(emb[:, None, :], emb[None, :, :]))
     n = len(vec_ids)
     selected: list[int] = []
     out = []
@@ -1085,7 +1121,7 @@ def _mmr_select(pdf):
             if i in selected:
                 continue
             div = max(sims[i][j] for j in selected) if selected else 0.0
-            score = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+            score = _MMR_LAMBDA * rel[i] - _MMR_MU * div
             if score > best_score - 1e-12:
                 better = score > best_score + 1e-12
                 tie = abs(score - best_score) <= 1e-12
@@ -1097,14 +1133,79 @@ def _mmr_select(pdf):
                 "qid": qid,
                 "mmr_rank": rank + 1,
                 "vec_id": int(vec_ids[best_i]),
-                "relevance": round(float(rel[best_i]), 6),
-                "mmr_score": round(float(best_score), 6),
+                "relevance": float(_round_half_away(rel[best_i])),
+                "mmr_score": float(_round_half_away(best_score)),
             }
         )
     return pd.DataFrame(out)
 
 
-@query("emb_mmr_rerank")  # rows-only: greedy iterative selection has no SQL twin
+@query(
+    "emb_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm
+      FROM e ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT {_MMR_QUERIES}
+    ),
+    short AS (
+      SELECT qid, vec_id, c, nemb FROM (
+        SELECT q.qid, e.vec_id,
+               round(list_dot_product(q.qemb, e.emb) / (q.qnrm * e.nrm),
+                     6) AS c,
+               list_transform(
+                 e.emb,
+                 x -> x / (CASE WHEN e.nrm = 0 THEN 1.0 ELSE e.nrm END)
+               ) AS nemb,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_dot_product(q.qemb, e.emb)
+                                / (q.qnrm * e.nrm), 6) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM q JOIN e ON e.vec_id <> q.qid) t
+      WHERE rn <= {_MMR_SHORTLIST}
+    ),
+    -- the greedy MMR walk: the recursion carries the PICKED LIST, and
+    -- each step's argmax is a correlated subquery over the remaining
+    -- shortlist (the LTTB-oracle technique with list-valued state).
+    -- the {_MMR_MU} diversity weight is the same literal both
+    -- engines parse to the identical double (see _MMR_MU's note).
+    sel AS (
+      SELECT qid, 0::BIGINT AS k, CAST([] AS BIGINT[]) AS picked FROM q
+      UNION ALL
+      SELECT s.qid, s.k + 1, list_append(s.picked, (
+          SELECT cand.vec_id FROM short cand
+          WHERE cand.qid = s.qid AND NOT list_contains(s.picked, cand.vec_id)
+          ORDER BY {_MMR_LAMBDA} * cand.c - {_MMR_MU} * coalesce((
+              SELECT max(round(list_dot_product(cand.nemb, p.nemb), 6))
+              FROM short p
+              WHERE p.qid = s.qid AND list_contains(s.picked, p.vec_id)
+            ), 0.0) DESC,
+            cand.vec_id
+          LIMIT 1))
+      FROM sel s
+      WHERE s.k < least({_MMR_K}, (SELECT count(*) FROM short c2
+                                   WHERE c2.qid = s.qid))
+    )
+    SELECT f.qid, f.k AS mmr_rank, f.picked[f.k] AS vec_id,
+           round(cand.c, 6) AS relevance,
+           round({_MMR_LAMBDA} * cand.c - {_MMR_MU} * coalesce((
+               SELECT max(round(list_dot_product(cand.nemb, p.nemb), 6))
+               FROM short p
+               WHERE p.qid = f.qid
+                 AND list_contains(f.picked[1:f.k - 1], p.vec_id)
+             ), 0.0), 6) AS mmr_score
+    FROM sel f
+    JOIN short cand ON cand.qid = f.qid AND cand.vec_id = f.picked[f.k]
+    WHERE f.k >= 1
+    """,
+)
 def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: the retrieval stack's
     diversity stage — plain cosine top-k returns near-duplicates of
@@ -1116,8 +1217,14 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational (the sim_topk_cosine machinery — corpus-sized work
     stays JVM), then the greedy O(k·n) selection runs per-query in one
     Arrow-grouped kernel over {_MMR_SHORTLIST} rows — bounded math,
-    never corpus-sized.  Rows-only by design (iterative greedy has no
-    SQL twin); the pytest gate asserts the diversity contract: the
+    never corpus-sized.  Hash-checked since round 14: the greedy walk
+    carries only the picked set, so a recursive CTE with a LIST-valued
+    accumulator expresses it in DuckDB (the LTTB-oracle technique with
+    list state); engine portability comes from quantizing the pairwise
+    sims at 6 dp inside the kernel with sequential-fold dots and
+    half-away rounding (see _seq_dot/_round_half_away) — quantized
+    score gaps are exactly 0 or ≥ 1e-7, so every pick is reproducible
+    bit-for-bit.  The pytest gate keeps the diversity contract: the
     MMR set's mean pairwise similarity never exceeds the plain
     top-{_MMR_K}'s, and rank 1 is the relevance top-1."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

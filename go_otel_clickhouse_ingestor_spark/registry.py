@@ -50,6 +50,7 @@ _DRIVER_PRIORITY: list[str] = [
     # oracle-backed, no hash evidence yet
     "events_lttb_downsample",
     "events_matrix_profile",
+    "emb_mmr_rerank",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
