@@ -152,10 +152,12 @@ HEADLINE = [
     "events_dow_anomalies_by_type",
     "events_series_crosscorr",
     # round-14 flagships: the fleet-curve matrix profile (motif/discord
-    # primitive; bounded-pair math after one day-keyed agg) and the
-    # now-oracle-backed LTTB downsampler
+    # primitive; bounded-pair math after one day-keyed agg), the
+    # now-oracle-backed LTTB downsampler, and the Mann-Kendall trend
+    # significance test beside Theil-Sen's slope
     "events_matrix_profile",
     "events_lttb_downsample",
+    "stat_mann_kendall",
 ]
 
 

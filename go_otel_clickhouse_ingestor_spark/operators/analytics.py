@@ -6548,6 +6548,167 @@ def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stat_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(round(cast(sum(cast(value AS DECIMAL(14,4)))
+                             AS DECIMAL(18,4)) * 10000) AS BIGINT) AS x_u
+      FROM events GROUP BY 1, 2
+    ),
+    serie AS (
+      SELECT event_type, x_u,
+             cast(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    nn AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+    s AS (
+      SELECT a.event_type,
+             sum(CASE WHEN b.x_u > a.x_u THEN 1
+                      WHEN b.x_u < a.x_u THEN -1 ELSE 0 END)::BIGINT AS s_stat
+      FROM serie a JOIN serie b
+        ON a.event_type = b.event_type AND b.i > a.i
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+      FROM (SELECT event_type, x_u, count(*)::BIGINT AS t
+            FROM daily GROUP BY 1, 2) g
+      GROUP BY 1
+    ),
+    mk AS (
+      SELECT nn.event_type, nn.n,
+             coalesce(s.s_stat, 0) AS s_stat,
+             nn.n * (nn.n - 1) * (2 * nn.n + 5)
+               - coalesce(t.tie_term, 0) AS var18
+      FROM nn
+      LEFT JOIN s ON s.event_type = nn.event_type
+      LEFT JOIN ties t ON t.event_type = nn.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat, var18,
+           round(CASE WHEN s_stat > 0
+                        THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                      WHEN s_stat < 0
+                        THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN s_stat > 0 AND (s_stat - 1) / sqrt(var18 / 18.0) > 1.96
+                  THEN 'up'
+                WHEN s_stat < 0 AND (s_stat + 1) / sqrt(var18 / 18.0) < -1.96
+                  THEN 'down'
+                ELSE 'no-trend' END AS trend
+    FROM mk
+    """,
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type — the nonparametric
+    SIGNIFICANCE companion to ``stat_theil_sen_trend``'s robust slope
+    (the pairing every hydrology/monitoring stack ships together):
+    S = Σ_{i<j} sign(x_j − x_i) over the day-ordered daily totals,
+    tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5),
+    and the continuity-corrected z = (S∓1)/√Var classified at the
+    two-sided 5% level (±1.96).  Exactness: S, the tie term, and the
+    18-scaled variance are all exact BIGINT arithmetic on the same
+    1e-4-scaled daily integers Theil–Sen uses; floats appear only in
+    the final z (one division by 18.0, one sqrt, one division — the
+    identical IEEE ops in both engines).  The test runs on OBSERVED
+    days deliberately: MK depends only on the observed sequence's
+    order, and padding quiet calendar days with zeros would inject
+    artificial ties and drops into S — the opposite of the z-norm
+    family, where the dense spine is the correct fix (SCALING.md
+    Round 13).  Scale: the quadratic lives in CALENDAR space (day
+    pairs per type, the stat_kendall_tau rule); corpus-sized work is
+    the partial-agged daily rollup."""
+    from .dedup import materialized
+
+    ev = table(spark, sf_dir, "events")
+    # materialized: the (types × days)-bounded rollup feeds FOUR
+    # branches (serie, the self-join's probe side, nn, ties) — without
+    # the barrier each branch re-scans the events table
+    daily = materialized(
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+            F.expr(
+                "cast(round(cast(sum(cast(value as decimal(14,4)))"
+                " as decimal(18,4)) * 10000) as bigint)"
+            ).alias("x_u")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    serie = daily.select(
+        "event_type", "x_u", F.row_number().over(w).cast("long").alias("i")
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    b = serie.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x_u").alias("xb"),
+        F.col("i").alias("j"),
+    )
+    s = (
+        # broadcast: the build side is calendar-bounded (types × days)
+        serie.join(
+            F.broadcast(b),
+            (serie.event_type == b.et_b) & (F.col("j") > F.col("i")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("x_u"), 1)
+                .when(F.col("xb") < F.col("x_u"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x_u")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tie_term")
+        )
+    )
+    mk = (
+        # broadcast: both sides are type-keyed (≤ |types| rows)
+        nn.join(F.broadcast(s), "event_type", "left")
+        .join(F.broadcast(ties), "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            F.expr(
+                "n * (n - 1) * (2 * n + 5) - coalesce(tie_term, 0)"
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    zc = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return mk.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        F.round(zc, 6).alias("z"),
+        F.when((F.col("s_stat") > 0) & (zc > 1.96), "up")
+        .when((F.col("s_stat") < 0) & (zc < -1.96), "down")
+        .otherwise("no-trend")
+        .alias("trend"),
+    )
+
+
+@query(
     "stat_cross_correlation",
     oracle="""
     WITH days AS (SELECT DISTINCT cast(ts AS DATE) AS day FROM events),

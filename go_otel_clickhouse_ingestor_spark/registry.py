@@ -51,6 +51,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_lttb_downsample",
     "events_matrix_profile",
     "emb_mmr_rerank",
+    "stat_mann_kendall",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

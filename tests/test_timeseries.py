@@ -384,3 +384,56 @@ def test_matrix_profile_motif_discord_and_numpy_twin(spark, tmp_path):
     # among the week-aligned windows
     assert got[14][1] > max(got[0][1], got[7][1], got[21][1])
     assert got[14][1] > 1.0
+
+
+def test_mann_kendall_planted_trends(spark, tmp_path):
+    """Planted fixture: a strictly increasing type (S = n(n-1)/2,
+    trend 'up'), a strictly decreasing one ('down'), and an all-tied
+    one (S = 0, var18 fully consumed by the tie term, 'no-trend') —
+    each z hand-computed from the exact formula."""
+    import math
+
+    import pandas as pd
+
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        stat_mann_kendall,
+    )
+
+    n = 12
+    recs, eid = [], 0
+    for d in range(n):
+        for etype, v in (
+            ("up", 10.0 + d),
+            ("down", 50.0 - 2 * d),
+            ("flat", 7.0),
+        ):
+            eid += 1
+            recs.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-02-01") + pd.Timedelta(days=d),
+                    1,
+                    etype,
+                    v,
+                    "{}",
+                )
+            )
+    df = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "mk_sf"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    got = {r.event_type: r.asDict() for r in stat_mann_kendall(spark, str(d)).collect()}
+
+    s_max = n * (n - 1) // 2
+    var18 = n * (n - 1) * (2 * n + 5)  # no ties in the monotone series
+    z_up = (s_max - 1) / math.sqrt(var18 / 18.0)
+    assert got["up"]["s_stat"] == s_max and got["up"]["trend"] == "up"
+    assert abs(got["up"]["z"] - round(z_up, 6)) < 1e-9
+    assert got["down"]["s_stat"] == -s_max and got["down"]["trend"] == "down"
+    assert abs(got["down"]["z"] + round(z_up, 6)) < 1e-9
+    # all-tied: one tie group of size n consumes the whole variance
+    assert got["flat"]["s_stat"] == 0
+    assert got["flat"]["var18"] == var18 - n * (n - 1) * (2 * n + 5) == 0
+    assert got["flat"]["z"] == 0.0 and got["flat"]["trend"] == "no-trend"
