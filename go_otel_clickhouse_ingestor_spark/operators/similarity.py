@@ -270,10 +270,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF parameters: cells come from the ``label`` column (deterministic
-#: coarse quantizer seeds — real deployments run k-means iterations),
-#: queries probe the _IVF_NPROBE nearest cells.
+#: IVF parameters: coarse cells come from the ``label`` column
+#: (deterministic quantizer seeds — real deployments run k-means
+#: iterations), then each coarse cell SUBDIVIDES adaptively by leading
+#: sign bits until posting lists are ≈ _IVF_CELL_TARGET vectors (the
+#: emb_mutual_knn_graph rule).  Queries probe the _IVF_NPROBE nearest
+#: final cells; the query set is CONSTANT-Q (md5-ranked cap), because a
+#: search service's query volume does not scale with corpus size.
 _IVF_NPROBE = 3
+_IVF_CELL_TARGET = 256
+_IVF_MAX_BITS = 8
+_IVF_Q = 40
 
 
 @query("sim_ann_ivf")  # rows-only: recall depends on the quantizer, engine-specific
@@ -283,21 +290,33 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Structure — exactly what a 100 TB vector store does:
 
-    1. **coarse quantizer**: one centroid per cell (here: the mean
-       vector per ``label``; production runs k-means but the probe
-       structure is identical).  Centroids are tiny and broadcast.
-    2. **assignment**: every vector joins its nearest centroid —
-       map-side argmin against the broadcast centroids, one shuffle to
-       group the posting lists.  At scale this is the partitioning key
-       of the vector table itself (write-time bucketing).
-    3. **probe**: each query ranks cells by centroid distance and
-       searches only the top ``_IVF_NPROBE`` posting lists; exact
-       cosine reranks the candidates.
+    1. **coarse quantizer**: one centroid per coarse cell (here: the
+       mean vector per ``label``; production runs k-means but the
+       probe structure is identical).  Centroids are tiny and
+       broadcast.
+    2. **assignment**: every vector joins its nearest coarse centroid
+       — map-side argmin against the broadcast centroids — then the
+       assigned cell SUBDIVIDES by the vector's leading sign bits with
+       adaptive depth (bits = ceil(log2(n_cell / 256))), so posting
+       lists stay ≈ ``_IVF_CELL_TARGET`` vectors NO MATTER the corpus
+       size.  The round-14 100× probe caught the fixed-cell version
+       red-handed: label-bounded cells made posting lists grow
+       linearly and collapsed the rerank join into one task — the
+       same quadratic the r4 SemDeDup finding and the mutual-kNN
+       sub-cells already fixed elsewhere.
+    3. **probe**: each query ranks FINAL-cell centroids (means over
+       members, broadcast; their count is ≤ n/256) and searches only
+       the top ``_IVF_NPROBE`` posting lists; exact cosine reranks the
+       candidates.  The query set is capped at ``_IVF_Q`` by md5 rank
+       — a search tier's query volume is an independent knob, not a
+       function of corpus size (the sim_ann_pq rule).
 
     Recall on the driver fixtures is bounded by probed-fraction
     (~nprobe/ncells) because the synthetic embeddings are uniform
     random — the honest worst case, stated rather than hidden; on real
     clustered corpora IVF recall at nprobe/ncells=0.3 is far higher.
+    At fixture scales every coarse cell is under the target, so the
+    sign-bit depth is 0 and behavior equals the pre-r14 operator.
     Candidates always carry TRUE cosines (the rerank is exact)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     dim = embedding_dim(e)
@@ -316,27 +335,65 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cell"), "centroid")
     )
 
-    # 2. assignment: nearest centroid per vector (broadcast argmin);
-    # fanned out of the single input split so the argmin parallelizes
+    # 2. assignment: nearest coarse centroid per vector (broadcast
+    # argmin, fanned out of the single input split), then adaptive
+    # sign-bit subdivision so no posting list outgrows the target
+    from .dedup import materialized
+
     d2 = sq_dist(F.col("embedding"), F.col("centroid"), dim)
-    assigned = (
+    coarse = (
         e.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(cent))
         .groupBy("vec_id")
         .agg(
-            F.min_by("cell", d2).alias("cell"),
+            F.min_by("cell", d2).alias("pcell"),
             F.first("embedding").alias("embedding"),
         )
     )
+    depth = coarse.groupBy("pcell").agg(
+        F.expr(
+            f"greatest(0, least({_IVF_MAX_BITS}, "
+            f"cast(ceil(log2(count(1) / {_IVF_CELL_TARGET}.0)) as int)))"
+        ).alias("bits")
+    )
+    sub = None
+    for i in range(_IVF_MAX_BITS):
+        term = F.when(
+            (F.lit(i) < F.col("bits")) & (F.col("embedding")[i] >= 0),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        sub = term if sub is None else sub + term
+    assigned = materialized(
+        coarse.join(F.broadcast(depth), "pcell").select(
+            "vec_id",
+            "embedding",
+            F.concat_ws("|", F.col("pcell"), sub.cast("string")).alias("cell"),
+        )
+    )
+    # final-cell centroids: means over members (≤ n/target cells)
+    cent2 = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
 
-    # 3. probe: top-nprobe cells per query, exact rerank inside them
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    # 3. probe: constant-Q query set, top-nprobe final cells per query
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_IVF_Q)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
     )
     qd2 = sq_dist(F.col("qemb"), F.col("centroid"), dim)
     wq = Window.partitionBy("query_id").orderBy(qd2.asc(), F.col("cell").asc())
     probes = (
-        q.crossJoin(F.broadcast(cent))
+        q.crossJoin(F.broadcast(cent2))
         .withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= _IVF_NPROBE)
         .select("query_id", "qemb", "cell")

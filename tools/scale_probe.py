@@ -181,26 +181,57 @@ def build_perm_scaled(spark, n: int) -> str:
     import random
 
     out = f"{SCALE_ROOT}/perm_x{n}"
-    if os.path.exists(f"{out}/documents.parquet/_SUCCESS"):
-        return out
-    alpha = string.ascii_lowercase + string.digits
-    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
-    copies = []
-    for k in range(n):
-        sym = list(alpha)
-        random.Random(10_000 + k).shuffle(sym)
-        copies.append(
-            base.select(
-                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-                F.translate("text", alpha, "".join(sym)).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
+    if not os.path.exists(f"{out}/documents.parquet/_SUCCESS"):
+        alpha = string.ascii_lowercase + string.digits
+        base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+        copies = []
+        for k in range(n):
+            sym = list(alpha)
+            random.Random(10_000 + k).shuffle(sym)
+            copies.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                    F.translate("text", alpha, "".join(sym)).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
             )
+        _union_copies(copies).repartition(max(n // 2, 8)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/documents.parquet")
+    if not os.path.exists(f"{out}/embeddings.parquet/_SUCCESS"):
+        # embeddings analogue of the cipher rule: a per-copy seeded ±1
+        # SIGN MASK — elementwise sign flips preserve norms and every
+        # within-copy dot exactly (workload shape constant per copy),
+        # while cross-copy dots become random-sign sums ≈ 0; 2^dim
+        # masks, so no aliasing at any realistic N (the coordinate
+        # ROTATION rule of build_scaled aliases at N > dim)
+        base = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+        dim = len(base.select("embedding").first()[0])
+        # masks as a joined TABLE, not n union branches of 64-element
+        # literal arrays — the literal-branch form sent Catalyst into a
+        # multi-minute single-threaded optimization spin at n=100
+        masks = []
+        for k in range(n):
+            rng = random.Random(20_000 + k)
+            masks.append((k, [rng.choice((1.0, -1.0)) for _ in range(dim)]))
+        mdf = spark.createDataFrame(masks, "k long, mask array<double>")
+        (
+            base.crossJoin(F.broadcast(mdf))
+            .select(
+                (F.col("vec_id") + F.col("k") * 10_000_000).alias("vec_id"),
+                F.zip_with(
+                    "embedding",
+                    "mask",
+                    lambda x, m: (x * m).cast("float"),  # keep base dtype
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(max(n // 2, 8))
+            .write.mode("overwrite")
+            .parquet(f"{out}/embeddings.parquet")
         )
-    _union_copies(copies).repartition(max(n // 2, 8)).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/documents.parquet")
     return out
 
 
