@@ -158,6 +158,11 @@ HEADLINE = [
     "events_matrix_profile",
     "events_lttb_downsample",
     "stat_mann_kendall",
+    # round-14: the incremental near-dup probe and the re-celled IVF
+    # (its fixed-cell predecessor collapsed at the 100x probe; the
+    # bench row guards the adaptive version's constant stays sane)
+    "dedup_near_incremental",
+    "sim_ann_ivf",
 ]
 
 

@@ -52,6 +52,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_matrix_profile",
     "emb_mmr_rerank",
     "stat_mann_kendall",
+    # rows-only, no clean driver run yet
+    "dedup_near_incremental",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
