@@ -163,6 +163,7 @@ HEADLINE = [
     # bench row guards the adaptive version's constant stays sane)
     "dedup_near_incremental",
     "sim_ann_ivf",
+    "orders_croston_demand",
 ]
 
 

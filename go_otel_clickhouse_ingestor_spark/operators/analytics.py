@@ -7107,3 +7107,116 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share_ppm"),
         )
     )
+
+
+@query(
+    "orders_croston_demand",
+    oracle="""
+    WITH RECURSIVE demand AS (
+      SELECT l.l_partkey AS partkey,
+             cast(date_diff('day', DATE '1992-01-01',
+                            cast(o.o_orderdate AS DATE)) AS BIGINT) AS d,
+             cast(round(sum(l.l_quantity)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    serie AS (
+      SELECT partkey, d, q,
+             cast(row_number() OVER (PARTITION BY partkey ORDER BY d)
+                  AS BIGINT) AS k,
+             count(*) OVER (PARTITION BY partkey) AS n
+      FROM demand
+    ),
+    -- init at k = 2 (parts with a single demand day have no interval
+    -- and are excluded): z = q_1, p = the FIRST interval i_2, prev = d_1;
+    -- folding k = 2 first gives p_2 = 0.5 i_2 + 0.5 i_2 = i_2 exactly
+    state AS (
+      SELECT s2.partkey, 1::BIGINT AS k, s2.n,
+             cast(s1.q AS DOUBLE) AS z,
+             cast(s2.d - s1.d AS DOUBLE) AS p,
+             s1.d AS prev_d
+      FROM serie s1 JOIN serie s2
+        ON s2.partkey = s1.partkey AND s1.k = 1 AND s2.k = 2
+      UNION ALL
+      SELECT st.partkey, st.k + 1, st.n,
+             0.5 * s.q + 0.5 * st.z,
+             0.5 * (s.d - st.prev_d) + 0.5 * st.p,
+             s.d
+      FROM state st JOIN serie s
+        ON s.partkey = st.partkey AND s.k = st.k + 1
+    )
+    SELECT partkey,
+           n AS n_demand_days,
+           round(z, 6) AS demand_level,
+           round(p, 6) AS mean_interval_days,
+           round(z / p, 6) AS forecast_per_day
+    FROM state WHERE k = n
+    """,
+)
+def orders_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) per part — THE forecasting model for
+    INTERMITTENT demand, which is exactly what a TPC-H part's order
+    stream is (most parts sell on a handful of days): separate
+    exponential smoothing of the nonzero demand sizes (z) and of the
+    intervals between demand days (p), forecast = z/p units/day.
+    Plain EWMA/Holt over the daily series (events_ewma,
+    events_forecast_holt) is biased toward zero on sparse series —
+    the zeros crush the level — which is why inventory stacks carry
+    Croston beside them.
+
+    Exactness without transcendentals: α = 0.5, so every state update
+    is a HALVING FOLD over integer demand sizes and integer day
+    intervals — dyadic rationals with bit-identical IEEE evaluation in
+    both engines (and when terms age below the ulp the rounding is
+    identical too, because the fold order is identical — the Holt
+    oracle's argument).  The Spark side folds each part's sorted
+    demand-day array with one ``aggregate`` expression carrying
+    (z, p, prev_day); the oracle is the same recursion as a recursive
+    CTE.  Parts with a single demand day have no interval and are
+    excluded on both sides.
+
+    Scale: corpus-sized work is the (part, day) partial agg; each
+    part's fold is calendar-bounded (≤ |dates| points) and runs as one
+    JVM array expression — no Python, no per-part shuffle beyond the
+    one groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    demand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d"),
+        )
+        .agg(F.expr("cast(round(sum(l_quantity)) as bigint)").alias("q"))
+    )
+    pts = demand.groupBy("partkey").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, q))),"
+            " s -> struct(s.d as d, s.q as q))"
+        ).alias("pts")
+    ).filter(F.size("pts") >= 2)
+    fold = F.expr(
+        """
+        aggregate(
+          slice(pts, 2, size(pts) - 1),
+          struct(cast(pts[0].q as double) as z,
+                 cast(pts[1].d - pts[0].d as double) as p,
+                 pts[0].d as prev_d),
+          (acc, s) -> struct(
+            0.5d * s.q + 0.5d * acc.z,
+            0.5d * (s.d - acc.prev_d) + 0.5d * acc.p,
+            s.d)
+        )
+        """
+    )
+    return pts.select(
+        "partkey",
+        F.size("pts").cast("long").alias("n_demand_days"),
+        fold.alias("st"),
+    ).select(
+        "partkey",
+        "n_demand_days",
+        F.round(F.col("st.z"), 6).alias("demand_level"),
+        F.round(F.col("st.p"), 6).alias("mean_interval_days"),
+        F.round(F.col("st.z") / F.col("st.p"), 6).alias("forecast_per_day"),
+    )

@@ -52,6 +52,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_matrix_profile",
     "emb_mmr_rerank",
     "stat_mann_kendall",
+    "orders_croston_demand",
     # rows-only, no clean driver run yet
     "dedup_near_incremental",
 ]

@@ -437,3 +437,62 @@ def test_mann_kendall_planted_trends(spark, tmp_path):
     assert got["flat"]["s_stat"] == 0
     assert got["flat"]["var18"] == var18 - n * (n - 1) * (2 * n + 5) == 0
     assert got["flat"]["z"] == 0.0 and got["flat"]["trend"] == "no-trend"
+
+
+def test_croston_planted_and_sequential_twin(spark, tmp_path):
+    """Croston fold contract: a perfectly regular part (demand q every
+    3 days) converges to z = q, p = 3, forecast = q/3 exactly; an
+    irregular part must equal a sequential Python recomputation of the
+    same α=0.5 recursion; single-demand-day parts are excluded."""
+    import pandas as pd
+
+    from go_otel_clickhouse_ingestor_spark.operators.analytics import (
+        orders_croston_demand,
+    )
+
+    base = pd.Timestamp("1995-01-01")
+    orders, lines = [], []
+    ok = 0
+
+    def add(pk, day, qty):
+        nonlocal ok
+        ok += 1
+        orders.append((ok, base + pd.Timedelta(days=day)))
+        lines.append((ok, pk, float(qty)))
+
+    for i in range(12):  # part 1: regular, every 3 days, q=6
+        add(1, 3 * i, 6)
+    irregular = [(0, 4), (2, 9), (7, 1), (8, 12), (20, 3)]
+    for d, q in irregular:  # part 2: irregular
+        add(2, d, q)
+    add(3, 5, 9)  # part 3: single demand day -> excluded
+
+    d = tmp_path / "croston_sf"
+    d.mkdir()
+    odf = pd.DataFrame(orders, columns=["o_orderkey", "o_orderdate"])
+    # microsecond precision: pandas defaults to nanos, which Spark's
+    # vectorized parquet reader rejects (the tables.py sniff gotcha)
+    odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
+    odf.to_parquet(d / "orders.parquet")
+    pd.DataFrame(lines, columns=["l_orderkey", "l_partkey", "l_quantity"]).to_parquet(
+        d / "lineitem.parquet"
+    )
+    got = {r.partkey: r.asDict() for r in orders_croston_demand(spark, str(d)).collect()}
+
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1["n_demand_days"] == 12
+    assert r1["demand_level"] == 6.0
+    assert r1["mean_interval_days"] == 3.0
+    assert r1["forecast_per_day"] == 2.0
+    # sequential twin for the irregular part
+    z, p, prev = float(irregular[0][1]), float(irregular[1][0] - irregular[0][0]), irregular[0][0]
+    for day, q in irregular[1:]:
+        z = 0.5 * q + 0.5 * z
+        p = 0.5 * (day - prev) + 0.5 * p
+        prev = day
+    r2 = got[2]
+    assert r2["n_demand_days"] == len(irregular)
+    assert r2["demand_level"] == round(z, 6)
+    assert r2["mean_interval_days"] == round(p, 6)
+    assert r2["forecast_per_day"] == round(z / p, 6)
