@@ -580,3 +580,35 @@ def test_checksum_scan_reads_all_columns_once(spark, sf_dir):
     assert len(a["read_schemas"]) == 1
     assert a["sort_merge_joins"] == 0
     assert a["broadcast_joins"] == 0
+
+
+def test_round14_flagship_plan_properties(spark, sf_dir):
+    """The round-14 flagships' audited scale properties, pinned:
+
+    - croston: dims broadcast, zero sort-merge joins, zero Python —
+      the fold is a JVM aggregate expression;
+    - mann-kendall: all assembly joins broadcast (bounded type-keyed
+      sides), zero sort-merge joins, zero Python;
+    - matrix profile: zero Python anywhere (pair math is JVM array
+      expressions on bounded frames);
+    - incremental near-dup: the batch side broadcasts into the corpus
+      band index (the corpus is never shuffled for candidates);
+    - adaptive IVF: top-k rerank is TakeOrderedAndProject-or-window,
+      zero row-at-a-time Python."""
+    a = audit(REGISTRY["orders_croston_demand"].fn(spark, sf_dir))
+    assert a["broadcast_joins"] >= 1 and a["sort_merge_joins"] == 0
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["stat_mann_kendall"].fn(spark, sf_dir))
+    assert a["broadcast_joins"] >= 3 and a["sort_merge_joins"] == 0
+    assert a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["events_matrix_profile"].fn(spark, sf_dir))
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["dedup_near_incremental"].fn(spark, sf_dir))
+    assert a["broadcast_joins"] >= 1
+    assert a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["sim_ann_ivf"].fn(spark, sf_dir))
+    assert a["python_row_at_a_time"] == 0
