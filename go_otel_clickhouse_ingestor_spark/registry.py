@@ -46,16 +46,7 @@ _REGISTRY: dict[str, Query] = {}
 #: queries register or a round closes.  ``tools/verify_round.py``
 #: fails loudly if any name at the head is already green or any
 #: unevidenced oracle-backed name is missing.
-_DRIVER_PRIORITY: list[str] = [
-    # oracle-backed, no hash evidence yet
-    "events_lttb_downsample",
-    "events_matrix_profile",
-    "emb_mmr_rerank",
-    "stat_mann_kendall",
-    "orders_croston_demand",
-    # rows-only, no clean driver run yet
-    "dedup_near_incremental",
-]
+_DRIVER_PRIORITY: list[str] = []
 
 #: Names appended here by round-5 modules land right after the backlog
 #: in the driver window.  Kept as a mutation hook so operator modules

@@ -167,6 +167,58 @@ def test_close_round_stageable_paths_exact_matching():
     ], got
 
 
+def test_rotation_handoff_state_is_ok_not_red():
+    """The rotation gate must report the post-driver terminal state —
+    priority-window heads green ONLY in uncommitted driver artifacts —
+    as handoff (exit 0), while heads green in COMMITTED evidence stay a
+    hard error (VERDICT r14 #1: five consecutive rounds ended RED on
+    the expected handoff, training everyone to ignore red)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from verify_round import rotation_errs
+
+    reg = {"q_old", "q_new", "q_rows"}
+    oracle = {"q_old", "q_new"}
+
+    # normal mid-round state: head not green anywhere -> GREEN, no handoff
+    errs, handoff = rotation_errs(
+        ["q_new", "q_rows"], reg, oracle, {"q_old"}, {"q_old"}
+    )
+    assert errs == [] and not handoff
+
+    # post-driver terminal state: head green only in the uncommitted
+    # artifact (disk-green, not committed-green) -> HANDOFF-OK
+    errs, handoff = rotation_errs(
+        ["q_new", "q_rows"], reg, oracle, {"q_old"}, {"q_old", "q_new"}
+    )
+    assert errs == [] and handoff
+
+    # genuinely stale: head green in COMMITTED evidence -> RED
+    errs, handoff = rotation_errs(
+        ["q_new", "q_rows"],
+        reg,
+        oracle,
+        {"q_old", "q_new"},
+        {"q_old", "q_new"},
+    )
+    assert any("COMMITTED" in e for e in errs) and not handoff
+
+    # mixed: one committed-stale head keeps RED even with a fresh one
+    errs, handoff = rotation_errs(
+        ["q_old", "q_new"], reg, oracle, {"q_old"}, {"q_old", "q_new"}
+    )
+    assert errs and not handoff
+
+    # missing check still uses disk evidence: a name the driver just
+    # proved green (uncommitted) is NOT demanded back into the list
+    errs, handoff = rotation_errs(
+        [], reg, oracle, {"q_old"}, {"q_old", "q_new"}
+    )
+    assert errs == [] and not handoff
+
+
 def test_formats_cache_path_prunes_stale_siblings(tmp_path, monkeypatch):
     """_cache_path removes same-prefix dirs with a different fingerprint
     suffix (fixture regenerated in place) and leaves other prefixes and

@@ -7,9 +7,14 @@ window on names already proven green in earlier rounds, yielding zero
 new evidence.  Checks, in order of cheapness:
 
 1. **rotation gate** — fail if any name in the head (first 50) of
-   ``_DRIVER_PRIORITY`` is already green in a committed
+   ``_DRIVER_PRIORITY`` is already green in a COMMITTED
    CORRECTNESS_r*.json, or if a never-green oracle-backed query exists
-   that is missing from the list entirely.
+   that is missing from the list entirely.  Heads green only in
+   UNCOMMITTED driver artifacts (the driver writes them after the
+   builder's last commit) are the expected terminal state of every
+   round — reported as ``HANDOFF-OK (run close_round)``, exit 0, not
+   RED (r10-r14 all ended red on exactly this, training reviewers to
+   ignore the gate).
 2. **artifact gate** — warn (not fail) when BENCH_r*/CORRECTNESS_r*
    artifacts sit uncommitted in the working tree.
 3. **pytest** — the full suite (skippable with --fast).
@@ -38,10 +43,14 @@ sys.path.insert(0, REPO)
 WINDOW = 50  # driver CORRECTNESS slots per round
 
 
-def driver_green() -> set[str]:
-    """Names proven green in any committed CORRECTNESS_r*.json."""
+def driver_green(exclude: frozenset[str] = frozenset()) -> set[str]:
+    """Names proven green in any CORRECTNESS_r*.json on disk, skipping
+    files whose basename is in ``exclude`` (the uncommitted driver
+    artifacts at handoff time)."""
     green: set[str] = set()
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        if os.path.basename(f) in exclude:
+            continue
         with open(f) as fh:
             for name, r in json.load(fh).items():
                 if r.get("hash_match") or (
@@ -53,22 +62,66 @@ def driver_green() -> set[str]:
     return green
 
 
-def check_rotation() -> list[str]:
-    from go_otel_clickhouse_ingestor_spark.registry import _DRIVER_PRIORITY, load_all
+def uncommitted_correctness() -> frozenset[str]:
+    """Basenames of CORRECTNESS_r*.json files the driver wrote AFTER
+    the builder's last commit (untracked or modified in the working
+    tree) — the post-driver terminal state close_round resolves."""
+    import re
 
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "-z"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout
+    rx = re.compile(r"^CORRECTNESS_r\d+\.json$")
+    names: set[str] = set()
+    records = iter(out.split("\0"))
+    for rec in records:
+        if len(rec) < 4:
+            continue
+        status, path = rec[:2], rec[3:]
+        if status[0] in "RC":  # rename/copy: consume the source field
+            next(records, None)
+        if rx.match(path):
+            names.add(path)
+    return frozenset(names)
+
+
+def rotation_errs(
+    priority: list[str],
+    reg_names: set[str],
+    oracle_backed: set[str],
+    green_committed: set[str],
+    green_disk: set[str],
+) -> tuple[list[str], bool]:
+    """Pure rotation gate.  Returns ``(errors, handoff)``.
+
+    ``handoff`` is True for the post-driver terminal state: every
+    stale head name is green ONLY in uncommitted driver artifacts
+    (``green_disk`` minus ``green_committed``).  Five consecutive
+    rounds (r10-r14) ended RED on exactly this expected state, which
+    teaches people to ignore red — it is now reported as
+    ``HANDOFF-OK (run close_round)`` instead (VERDICT r14 #1).  A head
+    name green in COMMITTED evidence is still a hard error: it wastes
+    a driver window slot and close_round should already have removed
+    it."""
     errs: list[str] = []
-    green = driver_green()
-    reg = load_all()
-    head = _DRIVER_PRIORITY[:WINDOW]
-    stale = [n for n in head if n in green]
-    if stale:
+    head = priority[:WINDOW]
+    stale_committed = [n for n in head if n in green_committed]
+    stale_new = [
+        n for n in head if n in green_disk and n not in green_committed
+    ]
+    handoff = bool(stale_new) and not stale_committed
+    if stale_committed:
         errs.append(
-            f"ROTATION: {len(stale)} of the first {WINDOW} _DRIVER_PRIORITY "
-            f"names are already driver-green and would waste window slots: "
-            f"{stale[:10]}{'...' if len(stale) > 10 else ''} "
+            f"ROTATION: {len(stale_committed)} of the first {WINDOW} "
+            f"_DRIVER_PRIORITY names are already driver-green in COMMITTED "
+            f"evidence and would waste window slots: "
+            f"{stale_committed[:10]}{'...' if len(stale_committed) > 10 else ''} "
             f"(go_otel_clickhouse_ingestor_spark/registry.py)"
         )
-    unknown = [n for n in _DRIVER_PRIORITY if n not in reg]
+    unknown = [n for n in priority if n not in reg_names]
     if unknown:
         errs.append(f"ROTATION: priority names not in the registry: {unknown}")
     # Rows-only names in the window are only a waste while never-green
@@ -78,10 +131,10 @@ def check_rotation() -> list[str]:
     # the driver records their clean runs (round-9 endgame: 338/338).
     oracle_backlog_outside = [
         n
-        for n, q in reg.items()
-        if q.oracle is not None and n not in green and n not in head
+        for n in oracle_backed
+        if n not in green_disk and n not in head
     ]
-    rows_only = [n for n in head if n in reg and reg[n].oracle is None]
+    rows_only = [n for n in head if n in reg_names and n not in oracle_backed]
     if rows_only and oracle_backlog_outside:
         errs.append(
             f"ROTATION: rows-only queries in the window (burn slots as "
@@ -90,8 +143,8 @@ def check_rotation() -> list[str]:
         )
     missing = [
         n
-        for n, q in reg.items()
-        if q.oracle is not None and n not in green and n not in _DRIVER_PRIORITY
+        for n in sorted(oracle_backed)
+        if n not in green_disk and n not in priority
     ]
     if missing:
         errs.append(
@@ -99,7 +152,25 @@ def check_rotation() -> list[str]:
             f"are MISSING from _DRIVER_PRIORITY (driver will never sample "
             f"them early): {missing}"
         )
-    return errs
+    return errs, handoff
+
+
+def check_rotation() -> tuple[list[str], bool]:
+    from go_otel_clickhouse_ingestor_spark.registry import _DRIVER_PRIORITY, load_all
+
+    reg = load_all()
+    uncommitted = uncommitted_correctness()
+    green_disk = driver_green()
+    green_committed = (
+        green_disk if not uncommitted else driver_green(exclude=uncommitted)
+    )
+    return rotation_errs(
+        list(_DRIVER_PRIORITY),
+        set(reg),
+        {n for n, q in reg.items() if q.oracle is not None},
+        green_committed,
+        green_disk,
+    )
 
 
 def check_plans_table() -> list[str]:
@@ -491,7 +562,7 @@ def run_plan_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
 
 def main() -> None:
     fast = "--fast" in sys.argv
-    errs = check_rotation()
+    errs, handoff = check_rotation()
     errs += check_plans_table()
     errs += check_readme_counts()
     errs += check_unbounded_broadcasts()
@@ -506,6 +577,13 @@ def main() -> None:
         for e in errs:
             print(" -", e)
         sys.exit(1)
+    if handoff:
+        print(
+            "== verify_round: HANDOFF-OK — driver artifacts newer than HEAD "
+            "prove the priority-window heads green; open the next round "
+            "with `python tools/close_round.py` =="
+        )
+        return
     print(f"== verify_round: GREEN ({'fast' if fast else 'full'}) ==")
 
 
