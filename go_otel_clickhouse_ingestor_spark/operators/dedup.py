@@ -635,9 +635,20 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("grams_c", "grams_b"))
     jac = inter / (F.size("grams_c") + F.size("grams_b") - inter)
+    # exact-verify without EVER shuffling a corpus- or batch-sized
+    # side (ADVICE r14: the unhinted join let Catalyst sort-merge the
+    # corpus gram table): (1) the LSH-bounded pair set broadcasts into
+    # the corpus gram table, which is scanned map-side — this is the
+    # "fetch the touched postings" step, pairs are two longs each;
+    # (2) the surviving (pair + grams_c) rows — LSH-bounded COUNT, and
+    # the only gram sets carried are the touched corpus docs' —
+    # broadcast into the batch gram table, scanned map-side likewise.
+    # At an ingest-batch size where the touched gram sets outgrow the
+    # broadcast budget, stage (2) degrades to a shuffle of two
+    # O(batch) sides — still never O(corpus).
+    cva = ga.join(F.broadcast(cand), "corpus_doc")
     verified = (
-        cand.join(ga, "corpus_doc")
-        .join(gb, "batch_doc")
+        gb.join(F.broadcast(cva), "batch_doc")
         .filter(jac >= 0.3)
         .select("batch_doc", "corpus_doc", F.round(jac, 6).alias("jaccard_sim"))
     )
@@ -652,7 +663,14 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         batch_sig.select(F.col("doc_id").alias("batch_doc"))
-        .join(best.select("batch_doc", "corpus_doc", "jaccard_sim"), "batch_doc", "left")
+        # the match table is ≤ one 3-scalar row per MATCHED batch doc
+        # (LSH-bounded) — broadcast it so the emission join scans the
+        # batch map-side instead of sort-merging two batch-sized sides
+        .join(
+            F.broadcast(best.select("batch_doc", "corpus_doc", "jaccard_sim")),
+            "batch_doc",
+            "left",
+        )
         .select(
             F.col("batch_doc").alias("doc_id"),
             F.col("corpus_doc").alias("matched_doc"),

@@ -64,20 +64,27 @@ def _fixture_fingerprint(sf_dir: str) -> str:
 def _cache_path(prefix: str, sf_dir: str) -> str:
     """Fingerprint-keyed cache dir for ``prefix``, pruning stale
     siblings.  Every fixture regeneration mints a new suffix; without
-    pruning the old ``{prefix}_*`` copies strand forever and the
-    per-uid cache root grows without bound (ADVICE r13).  A sibling is
-    stale iff it has the same prefix and a different (hex) suffix —
-    the prefix IS the content recipe, so same-prefix dirs are always
-    regenerable copies of each other.  Known residual: the fingerprint
-    uses size+mtime_ns, not bytes, so a restore preserving both reuses
-    a stale copy — accepted; hashing fixture bytes on every call would
-    cost a full fixture read per query."""
+    pruning the old copies strand forever and the per-uid cache root
+    grows without bound (ADVICE r13).  The stem carries BOTH the
+    format prefix and a hash of the fixture directory's identity
+    (realpath), so two sessions working different sf_dirs — or one
+    driver alternating sf0.001/0.01/0.1 — never evict each other's
+    live cache dirs (ADVICE r14: the old prefix-only prune let a
+    concurrent session rmtree a directory an in-flight job was still
+    reading).  A sibling is stale iff it shares the full stem (format
+    AND sf_dir) with a different (hex) fingerprint — same stem means a
+    regenerable copy of the same fixture.  Known residual: the
+    fingerprint uses size+mtime_ns, not bytes, so a restore preserving
+    both reuses a stale copy — accepted; hashing fixture bytes on
+    every call would cost a full fixture read per query."""
+    sf_id = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    stem_key = f"{prefix}-{sf_id}"
     suffix = _fixture_fingerprint(sf_dir)
-    current = f"{prefix}_{suffix}"
+    current = f"{stem_key}_{suffix}"
     try:
         for name in os.listdir(_CACHE_ROOT):
             stem, _, tail = name.rpartition("_")
-            if stem == prefix and name != current and len(tail) == 12:
+            if stem == stem_key and name != current and len(tail) == 12:
                 shutil.rmtree(os.path.join(_CACHE_ROOT, name), ignore_errors=True)
     except FileNotFoundError:
         pass  # first write creates the root

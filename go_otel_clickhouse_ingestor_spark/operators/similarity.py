@@ -1165,9 +1165,11 @@ def _mmr_select(pdf):
     # sim_topk_cosine rule applied INSIDE the kernel): pairwise dots
     # run as sequential folds (bit-identical to the oracle's
     # list_dot_product) and quantize half-away (the F.round/DuckDB
-    # mode), so quantized (rel, div) pairs give score gaps that are
-    # either exactly 0 (vec_id tie-break) or ≥ 1e-7 — the DuckDB
-    # recursive-CTE twin reproduces every pick bit-for-bit
+    # mode), so both engines combine IDENTICAL (rel, div) floats into
+    # identical scores — note λ·rel and μ·div can cancel to scores
+    # that are real-equal on the 1e-6 grid yet ~1e-16 apart in float,
+    # which is why the compare below is exact, not banded — and the
+    # DuckDB recursive-CTE twin reproduces every pick bit-for-bit
     sims = _round_half_away(_seq_dot(emb[:, None, :], emb[None, :, :]))
     n = len(vec_ids)
     selected: list[int] = []
@@ -1179,11 +1181,19 @@ def _mmr_select(pdf):
                 continue
             div = max(sims[i][j] for j in selected) if selected else 0.0
             score = _MMR_LAMBDA * rel[i] - _MMR_MU * div
-            if score > best_score - 1e-12:
-                better = score > best_score + 1e-12
-                tie = abs(score - best_score) <= 1e-12
-                if better or (tie and vec_ids[i] < vec_ids[best_i]):
-                    best_i, best_score = i, score
+            # EXACT float compare, vec_id tie-break only on exact
+            # equality — both engines compute bit-identical scores from
+            # the same quantized (rel, div) pairs, so this is precisely
+            # the oracle's ORDER BY score DESC, vec_id.  A tolerance
+            # band here is a latent flake, not a safety net: when
+            # λ·rel and μ·div cancel on the 1e-6 grid the two floats
+            # can be real-equal yet differ by ~1e-16, and a ±1e-12
+            # band would tie-break by vec_id while the oracle picks
+            # the bit-greater score (ADVICE r14).
+            if score > best_score or (
+                score == best_score and vec_ids[i] < vec_ids[best_i]
+            ):
+                best_i, best_score = i, score
         selected.append(best_i)
         out.append(
             {

@@ -135,8 +135,16 @@ def _fold(
         purchases = [p for p in purchases if p <= end]
         close_ms = end // 1_000 + 1
     else:
-        # no view yet: keep the buffer one horizon past the watermark,
-        # then age out silently (no funnel ever started)
+        # no view yet: steps at or before the watermark can never count
+        # — any future on-time view has t1 >= wm, and depth needs
+        # t1 < step strictly — so drop them; without this a chatty
+        # view-less key re-arms its timeout every batch and its buffer
+        # grows with stream lifetime instead of rate × horizon
+        # (ADVICE r14).  The remainder ages out one horizon past the
+        # watermark, silently (no funnel ever started).
+        wm_us = wm * 1_000
+        clicks = [c for c in clicks if c > wm_us]
+        purchases = [p for p in purchases if p > wm_us]
         close_ms = wm + HORIZON_US // 1_000
     state.update((-1 if t1 is None else t1, clicks, purchases))
     state.setTimeoutTimestamp(max(close_ms, wm + 1))

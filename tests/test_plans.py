@@ -607,7 +607,11 @@ def test_round14_flagship_plan_properties(spark, sf_dir):
     assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
 
     a = audit(REGISTRY["dedup_near_incremental"].fn(spark, sf_dir))
-    assert a["broadcast_joins"] >= 1
+    # candidate probe + both exact-verify gram joins broadcast the
+    # LSH-bounded side; NOTHING sort-merges (a SMJ here would mean a
+    # corpus- or batch-sized shuffle crept back in — ADVICE r14)
+    assert a["broadcast_joins"] >= 3
+    assert a["sort_merge_joins"] == 0
     assert a["python_row_at_a_time"] == 0
 
     a = audit(REGISTRY["sim_ann_ivf"].fn(spark, sf_dir))

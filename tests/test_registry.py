@@ -220,9 +220,12 @@ def test_rotation_handoff_state_is_ok_not_red():
 
 
 def test_formats_cache_path_prunes_stale_siblings(tmp_path, monkeypatch):
-    """_cache_path removes same-prefix dirs with a different fingerprint
-    suffix (fixture regenerated in place) and leaves other prefixes and
-    the current entry alone (ADVICE r13: unbounded /tmp growth)."""
+    """_cache_path removes same-(format, sf_dir) dirs with a different
+    fingerprint suffix (fixture regenerated in place) and leaves other
+    formats, other sf_dirs, and the current entry alone (ADVICE r13:
+    unbounded /tmp growth; ADVICE r14: the prefix-only prune let
+    concurrent sessions on different sf_dirs evict each other's live
+    cache dirs)."""
     import os
 
     from go_otel_clickhouse_ingestor_spark.operators import formats as FM
@@ -230,25 +233,33 @@ def test_formats_cache_path_prunes_stale_siblings(tmp_path, monkeypatch):
     sf = tmp_path / "sf"
     sf.mkdir()
     (sf / "events.parquet").write_bytes(b"x" * 64)
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    (sf2 / "events.parquet").write_bytes(b"y" * 32)
     root = tmp_path / "cache"
     root.mkdir()
     monkeypatch.setattr(FM, "_CACHE_ROOT", str(root))
 
     cur = FM._cache_path("json", str(sf))
-    suffix = os.path.basename(cur).split("_", 1)[1]
+    stem, suffix = os.path.basename(cur).rsplit("_", 1)
     os.makedirs(cur)
-    # stale same-prefix sibling, a different prefix, and a non-cache dir
-    (root / "json_aaaaaaaaaaaa").mkdir()
+    # a concurrent session's live cache for a DIFFERENT sf_dir
+    other_sf = FM._cache_path("json", str(sf2))
+    os.makedirs(other_sf)
+    # stale same-(format, sf_dir) sibling, a different format, junk
+    (root / f"{stem}_aaaaaaaaaaaa").mkdir()
     (root / "csv_bbbbbbbbbbbb").mkdir()
     (root / "scratch").mkdir()
 
     again = FM._cache_path("json", str(sf))
     assert again == cur and os.path.isdir(cur)
-    assert not (root / "json_aaaaaaaaaaaa").exists(), "stale sibling kept"
-    assert (root / "csv_bbbbbbbbbbbb").exists(), "other prefix pruned"
+    assert not (root / f"{stem}_aaaaaaaaaaaa").exists(), "stale sibling kept"
+    assert os.path.isdir(other_sf), "other sf_dir's live cache evicted"
+    assert (root / "csv_bbbbbbbbbbbb").exists(), "other format pruned"
     assert (root / "scratch").exists()
     # regenerating the fixture mints a new suffix and prunes the old one
     os.utime(sf / "events.parquet", (1, 1))
     moved = FM._cache_path("json", str(sf))
-    assert os.path.basename(moved).split("_", 1)[1] != suffix
+    assert os.path.basename(moved).rsplit("_", 1)[1] != suffix
     assert not os.path.isdir(cur), "old fingerprint dir kept after regen"
+    assert os.path.isdir(other_sf), "other sf_dir's cache evicted on regen"

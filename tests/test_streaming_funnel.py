@@ -130,3 +130,74 @@ def test_stream_funnel_census_equals_batch_twin(streamed, spark, tmp_path):
     for r in streamed.values():
         census[r["depth"]] = census.get(r["depth"], 0) + 1
     assert census == batch, (census, batch)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving _fold."""
+
+    def __init__(self, value=None, wm_ms=0):
+        self._v = value
+        self._wm = wm_ms
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def test_viewless_key_state_is_pruned_below_watermark():
+    """A chatty key that never produces a 'view' must not grow state
+    without bound: buffered clicks/purchases at or before the
+    watermark can never satisfy t1 < step for any future on-time view,
+    so each fold drops them (ADVICE r14 — before the fix the buffer
+    grew with stream lifetime because pruning only ran once t1 was
+    set, while the timeout was re-armed every batch)."""
+    from go_otel_clickhouse_ingestor_spark.streaming.funnel_stream import _fold
+
+    wm_ms = 10_000_000  # watermark at 10,000 s
+    wm_us = wm_ms * 1_000
+    state = _FakeState(
+        value=(-1, [wm_us - 5, wm_us - 1, wm_us], [wm_us - 2]), wm_ms=wm_ms
+    )
+    batch = pd.DataFrame(
+        {
+            # one more below-watermark straggler, one live click
+            "ts_us": [wm_us - 3, wm_us + 7],
+            "event_type": ["purchase", "click"],
+        }
+    )
+    list(_fold((99,), iter([batch]), state))
+    t1, clicks, purchases = state._v
+    assert t1 == -1
+    assert list(clicks) == [wm_us + 7], clicks
+    assert list(purchases) == [], purchases
+
+    # and a key WITH a view keeps its in-horizon buffer untouched
+    from go_otel_clickhouse_ingestor_spark.streaming.funnel_stream import (
+        HORIZON_US,
+    )
+
+    t1_us = wm_us - 100
+    state2 = _FakeState(value=(t1_us, [t1_us + 50], []), wm_ms=wm_ms)
+    list(_fold((7,), iter([pd.DataFrame({"ts_us": [t1_us + HORIZON_US + 1], "event_type": ["click"]})]), state2))
+    _, clicks2, _ = state2._v
+    assert list(clicks2) == [t1_us + 50], clicks2
