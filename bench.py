@@ -164,6 +164,9 @@ HEADLINE = [
     "dedup_near_incremental",
     "sim_ann_ivf",
     "orders_croston_demand",
+    # round-15 flagships: the composed FAISS-shaped IVFPQ (codes-only
+    # scan, exact rerank of the ADC shortlist)
+    "sim_ann_ivfpq",
 ]
 
 

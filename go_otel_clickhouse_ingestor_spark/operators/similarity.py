@@ -283,45 +283,18 @@ _IVF_MAX_BITS = 8
 _IVF_Q = 40
 
 
-@query("sim_ann_ivf")  # rows-only: recall depends on the quantizer, engine-specific
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: the other standard scale path next to
-    hyperplane LSH (``sim_ann_lsh``).
+def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
+    """The IVF index build shared by ``sim_ann_ivf`` and
+    ``sim_ann_ivfpq``: coarse label-mean centroids (broadcast argmin
+    assignment) followed by adaptive sign-bit subdivision so posting
+    lists stay ≈ ``_IVF_CELL_TARGET`` vectors at ANY corpus size (the
+    round-14 100× probe's fix).  Returns ``(assigned, cent2)`` —
+    ``assigned`` is the MATERIALIZED (vec_id, embedding, cell) table,
+    ``cent2`` the final-cell centroid table (≤ n/target rows,
+    broadcastable)."""
+    from .dedup import materialized
 
-    Structure — exactly what a 100 TB vector store does:
-
-    1. **coarse quantizer**: one centroid per coarse cell (here: the
-       mean vector per ``label``; production runs k-means but the
-       probe structure is identical).  Centroids are tiny and
-       broadcast.
-    2. **assignment**: every vector joins its nearest coarse centroid
-       — map-side argmin against the broadcast centroids — then the
-       assigned cell SUBDIVIDES by the vector's leading sign bits with
-       adaptive depth (bits = ceil(log2(n_cell / 256))), so posting
-       lists stay ≈ ``_IVF_CELL_TARGET`` vectors NO MATTER the corpus
-       size.  The round-14 100× probe caught the fixed-cell version
-       red-handed: label-bounded cells made posting lists grow
-       linearly and collapsed the rerank join into one task — the
-       same quadratic the r4 SemDeDup finding and the mutual-kNN
-       sub-cells already fixed elsewhere.
-    3. **probe**: each query ranks FINAL-cell centroids (means over
-       members, broadcast; their count is ≤ n/256) and searches only
-       the top ``_IVF_NPROBE`` posting lists; exact cosine reranks the
-       candidates.  The query set is capped at ``_IVF_Q`` by md5 rank
-       — a search tier's query volume is an independent knob, not a
-       function of corpus size (the sim_ann_pq rule).
-
-    Recall on the driver fixtures is bounded by probed-fraction
-    (~nprobe/ncells) because the synthetic embeddings are uniform
-    random — the honest worst case, stated rather than hidden; on real
-    clustered corpora IVF recall at nprobe/ncells=0.3 is far higher.
-    At fixture scales every coarse cell is under the target, so the
-    sign-bit depth is 0 and behavior equals the pre-r14 operator.
-    Candidates always carry TRUE cosines (the rerank is exact)."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    dim = embedding_dim(e)
-
-    # 1. centroids: per-dimension mean via posexplode (codegen path)
+    # 1. coarse centroids: per-dimension mean via posexplode (codegen)
     pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         pos.groupBy("label", "pos")
@@ -338,8 +311,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2. assignment: nearest coarse centroid per vector (broadcast
     # argmin, fanned out of the single input split), then adaptive
     # sign-bit subdivision so no posting list outgrows the target
-    from .dedup import materialized
-
     d2 = sq_dist(F.col("embedding"), F.col("centroid"), dim)
     coarse = (
         e.repartition(spark.sparkContext.defaultParallelism)
@@ -382,8 +353,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+    return assigned, cent2
 
-    # 3. probe: constant-Q query set, top-nprobe final cells per query
+
+def _ivf_probes(e: DataFrame, cent2: DataFrame, dim: int | None) -> DataFrame:
+    """The constant-Q probe set: md5-capped queries ranked against the
+    broadcast final-cell centroids, top ``_IVF_NPROBE`` cells each —
+    (query_id, qemb, cell)."""
     q = (
         e.filter(F.col("vec_id") % 50 == 0)
         .orderBy(F.md5(F.col("vec_id").cast("string")))
@@ -392,12 +368,53 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qd2 = sq_dist(F.col("qemb"), F.col("centroid"), dim)
     wq = Window.partitionBy("query_id").orderBy(qd2.asc(), F.col("cell").asc())
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cent2))
         .withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= _IVF_NPROBE)
         .select("query_id", "qemb", "cell")
     )
+
+
+@query("sim_ann_ivf")  # rows-only: recall depends on the quantizer, engine-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the other standard scale path next to
+    hyperplane LSH (``sim_ann_lsh``).
+
+    Structure — exactly what a 100 TB vector store does:
+
+    1. **coarse quantizer**: one centroid per coarse cell (here: the
+       mean vector per ``label``; production runs k-means but the
+       probe structure is identical).  Centroids are tiny and
+       broadcast.
+    2. **assignment**: every vector joins its nearest coarse centroid
+       — map-side argmin against the broadcast centroids — then the
+       assigned cell SUBDIVIDES by the vector's leading sign bits with
+       adaptive depth (bits = ceil(log2(n_cell / 256))), so posting
+       lists stay ≈ ``_IVF_CELL_TARGET`` vectors NO MATTER the corpus
+       size.  The round-14 100× probe caught the fixed-cell version
+       red-handed: label-bounded cells made posting lists grow
+       linearly and collapsed the rerank join into one task — the
+       same quadratic the r4 SemDeDup finding and the mutual-kNN
+       sub-cells already fixed elsewhere.
+    3. **probe**: each query ranks FINAL-cell centroids (means over
+       members, broadcast; their count is ≤ n/256) and searches only
+       the top ``_IVF_NPROBE`` posting lists; exact cosine reranks the
+       candidates.  The query set is capped at ``_IVF_Q`` by md5 rank
+       — a search tier's query volume is an independent knob, not a
+       function of corpus size (the sim_ann_pq rule).
+
+    Recall on the driver fixtures is bounded by probed-fraction
+    (~nprobe/ncells) because the synthetic embeddings are uniform
+    random — the honest worst case, stated rather than hidden; on real
+    clustered corpora IVF recall at nprobe/ncells=0.3 is far higher.
+    At fixture scales every coarse cell is under the target, so the
+    sign-bit depth is 0 and behavior equals the pre-r14 operator.
+    Candidates always carry TRUE cosines (the rerank is exact)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dim = embedding_dim(e)
+    assigned, cent2 = _ivf_build(spark, e, dim)
+    probes = _ivf_probes(e, cent2, dim)
     cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",
@@ -536,6 +553,175 @@ def _pq_adc_batches(books, bc_queries):
             yield out[out.query_id != out.vec_id]
 
     return gen
+
+
+def _ivfpq_adc_pair_batches(books, bc_queries):
+    """mapInPandas kernel for the IVFPQ probe stage: score
+    (query_id, vec_id, code) CANDIDATE PAIRS by asymmetric distance.
+    Unlike ``_pq_adc_batches`` (flat PQ: every code × every query),
+    each input row already names its query — the IVF probe bounded the
+    pairs to the probed posting lists — so the kernel builds the
+    (Q, M, K) lookup tables once per task and scores row i with M
+    lookups in query qidx[i]'s table.  All numpy, Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        dsub = books.shape[2]
+        queries = bc_queries.value
+        qids = np.array([q[0] for q in queries], dtype=np.int64)
+        order = np.argsort(qids)
+        qids_sorted = qids[order]
+        qemb = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])[order]
+        qnorm = np.linalg.norm(qemb, axis=1, keepdims=True)
+        qemb = qemb / np.where(qnorm == 0, 1.0, qnorm)
+        tables = np.empty((len(qids_sorted), _PQ_M, _PQ_K))
+        for m in range(_PQ_M):
+            qb = qemb[:, m * dsub : (m + 1) * dsub]
+            tables[:, m, :] = ((qb[:, None, :] - books[m][None, :, :]) ** 2).sum(
+                axis=2
+            )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = pdf["code"].to_numpy()
+            qidx = np.searchsorted(qids_sorted, pdf["query_id"].to_numpy())
+            sub = np.empty((len(codes), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                sub[:, m] = (codes >> (4 * m)) & 0xF
+            dist = tables[qidx[:, None], np.arange(_PQ_M)[None, :], sub].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc_d2": dist,
+                }
+            )
+
+    return gen
+
+
+#: ADC shortlist per query fed to the exact rerank.  Candidates per
+#: query are ≈ _IVF_NPROBE × _IVF_CELL_TARGET ≈ 768; keeping the ADC
+#: top-128 makes an ADC miss of a true in-cell top-10 neighbor rare
+#: while the rerank still reads only ~1/6 of the probed floats.
+_IVFPQ_SHORTLIST = 128
+
+
+@query("sim_ann_ivfpq")  # rows-only: quantizer + codebook internals are engine-specific
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ composed into the production ANN layout — the FAISS
+    IVFPQ shape a real 100 TB vector store runs (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011), and the
+    last rung of the engine's ANN ladder after hyperplane LSH
+    (``sim_ann_lsh``), flat PQ (``sim_ann_pq``) and exact-rerank IVF
+    (``sim_ann_ivf``):
+
+    1. **train** (offline): per-subspace codebooks on the bounded
+       deterministic sample — identical recipe to ``sim_ann_pq``.
+    2. **index**: every vector gets (a) a final IVF cell from the
+       shared adaptive-subdivision build (posting lists ≈ 256 vectors
+       at any corpus size) and (b) an M×4-bit packed PQ code.  The
+       POSTING LISTS CARRY ONLY (vec_id, code) — 8 bytes + 8 bytes per
+       entry instead of the 256 B float vector; the floats stay in the
+       base table and are touched again only for the final rerank.
+    3. **probe**: the constant-Q query set ranks the broadcast
+       final-cell centroids and opens the top ``_IVF_NPROBE`` lists;
+       candidates are (query_id, vec_id, code) pairs, LSH-free and
+       bounded by nprobe × cell-target per query.
+    4. **ADC scan**: one (M, K) lookup table per query, M table
+       lookups per candidate — no float vector is read during the
+       scan; per-query ADC top-``_IVFPQ_SHORTLIST`` survive.
+    5. **exact rerank**: true cosine on the shortlist (the only stage
+       that reads floats), top-10 per query.
+
+    At 100 TB the scan cost per query is nprobe × cell-target code
+    lookups — CONSTANT under corpus growth because the adaptive
+    subdivision keeps cells at the target and the ADC table build is
+    O(Q·M·K); the round-15 sign-mask scale probe records the
+    flat-per-unit evidence next to the round-14 IVF row.  Recall gate
+    vs the exact ``sim_topk_cosine`` — at the same probe budget it
+    must match plain IVF (the ADC shortlist is wide enough that the
+    compressed scan almost never drops a true in-cell top-10) — lives
+    in tests/test_quality.py."""
+    import numpy as np
+
+    from .dedup import materialized
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dim = embedding_dim(e)
+    # offline: bounded deterministic training sample (sim_ann_pq rule)
+    sample_rows = (
+        e.filter(F.col("vec_id") % 7 == 0).limit(2048).toPandas()["embedding"]
+    )
+    if len(sample_rows) == 0:
+        return spark.createDataFrame(
+            [], "query_id bigint, rnk bigint, vec_id bigint, cos_sim double"
+        )
+    sample = np.stack(sample_rows.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample / np.where(norms == 0, 1.0, norms))
+
+    # index build (offline, O(N) once): one Arrow pass packs the PQ
+    # code, the shared IVF build assigns final cells, and the posting
+    # lists keep ONLY (vec_id, code) — the floats are dropped here and
+    # not read again until the rerank
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        _pq_code_batches(books),
+        "vec_id long, embedding array<float>, code long",
+    ).select("vec_id", "code")
+    assigned, cent2 = _ivf_build(spark, e, dim)
+    postings = materialized(
+        assigned.join(codes, "vec_id").select("cell", "vec_id", "code")
+    )
+
+    # probe: constant-Q queries → top-nprobe cells → (qid, vid, code)
+    probes = _ivf_probes(e, cent2, dim)
+    q = probes.select("query_id", "qemb").distinct()
+    queries = [(r.query_id, list(r.qemb)) for r in q.orderBy("query_id").collect()]
+    bc_queries = spark.sparkContext.broadcast(queries)
+    cand = (
+        probes.select("query_id", "cell")
+        .join(postings, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "code")
+    )
+
+    # ADC scan: codes only, M lookups per pair; keep the per-query
+    # shortlist (bounded: ≤ nprobe × cell-target candidates per query)
+    adc = cand.mapInPandas(
+        _ivfpq_adc_pair_batches(books, bc_queries),
+        "query_id long, vec_id long, adc_d2 double",
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("adc_rank", F.row_number().over(ws))
+        .filter(F.col("adc_rank") <= _IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+
+    # exact rerank: the only stage that touches floats again
+    rer = (
+        shortlist.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qemb"), F.col("embedding"), dim), 5).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "vec_id", "cos_sim")
+    )
 
 
 @query("sim_ann_pq")  # rows-only: codebook/ADC internals are engine-specific

@@ -46,7 +46,10 @@ _REGISTRY: dict[str, Query] = {}
 #: queries register or a round closes.  ``tools/verify_round.py``
 #: fails loudly if any name at the head is already green or any
 #: unevidenced oracle-backed name is missing.
-_DRIVER_PRIORITY: list[str] = []
+_DRIVER_PRIORITY: list[str] = [
+    # rows-only, no clean driver run yet
+    "sim_ann_ivfpq",
+]
 
 #: Names appended here by round-5 modules land right after the backlog
 #: in the driver window.  Kept as a mutation hook so operator modules

@@ -616,3 +616,18 @@ def test_round14_flagship_plan_properties(spark, sf_dir):
 
     a = audit(REGISTRY["sim_ann_ivf"].fn(spark, sf_dir))
     assert a["python_row_at_a_time"] == 0
+
+
+def test_round15_flagship_plan_properties(spark, sf_dir):
+    """Round-15 flagships' audited scale properties, pinned:
+
+    - IVFPQ: the ADC scan is the ONLY Arrow stage in the prepared plan
+      (the offline code-packing pass hides behind the materialized
+      posting-list cache); the rerank cut is TakeOrderedAndProject or
+      a partitioned window, never a global sort; zero row-at-a-time
+      Python."""
+    a = audit(REGISTRY["sim_ann_ivfpq"].fn(spark, sf_dir))
+    assert a["python_arrow"] <= 1
+    assert a["python_row_at_a_time"] == 0
+    assert a["take_ordered"]
+    assert a["broadcast_joins"] >= 2  # probe centroids + rerank queries

@@ -195,6 +195,35 @@ def test_ann_ivf_recall_and_exact_rerank(spark, sf_dir):
             assert abs(exact[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
 
 
+def test_ann_ivfpq_recall_matches_plain_ivf(spark, sf_dir):
+    """The composed IVFPQ layout must not lose recall to compression
+    at the same probe budget: same cells, same nprobe, ADC shortlist
+    wide enough that the compressed scan keeps every true in-cell
+    top-10 the exact-rerank IVF finds (VERDICT r14 #2's gate).  Also:
+    every returned candidate carries the TRUE exact cosine (the rerank
+    reads floats), and exactly 10 rows per probed query."""
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in REGISTRY["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    ivf = REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    ivfpq = REGISTRY["sim_ann_ivfpq"].fn(spark, sf_dir).collect()
+    assert ivfpq, "IVFPQ should return candidates"
+    qset = {r.query_id for r in ivfpq}
+    assert qset == {r.query_id for r in ivf}, "probe query sets must match"
+    per_q = {}
+    for r in ivfpq:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v == 10 for v in per_q.values()), per_q
+    exact_q = {p for p in exact if p[0] in qset}
+    r_ivf = len({(r.query_id, r.vec_id) for r in ivf} & exact_q) / len(exact_q)
+    r_ivfpq = len({(r.query_id, r.vec_id) for r in ivfpq} & exact_q) / len(exact_q)
+    assert r_ivfpq >= r_ivf, f"IVFPQ recall {r_ivfpq:.3f} < IVF {r_ivf:.3f}"
+    for r in ivfpq:
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
 def test_multimodal_framesample_shape(spark, sf_dir):
     """1->N expansion: exactly N_FRAMES rows per document, deterministic."""
     from go_otel_clickhouse_ingestor_spark.operators.multimodal import N_FRAMES
