@@ -1636,3 +1636,123 @@ def test_near_incremental_matches_exact_batch_vs_corpus(spark, sf_dir):
         assert gnew == new and gmd == md, (did, got[did], want[did])
         if jac is not None:
             assert abs(gjac - jac) < 1e-6, (did, gjac, jac)
+
+
+def test_near_index_maintained_two_batch(spark, sf_dir, tmp_path):
+    """The maintained near-dup index's two-batch contract (VERDICT r14
+    #3): build the index from the corpus split, probe batch 1, APPEND
+    batch 1's bands/grams (the O(batch) maintenance step — exactly
+    12·|batch| band rows and |batch| gram rows are written, the corpus
+    is never re-signatured), then probe batch 2 against the UPDATED
+    index and require its decisions to equal the exact 3-gram-Jaccard
+    best matches over corpus ∪ batch1, recomputed independently in
+    DuckDB — the dedup_near_e2e evidence standard applied to the
+    maintenance mechanics."""
+    import duckdb
+
+    from go_otel_clickhouse_ingestor_spark.operators.dedup import (
+        _near_sigs,
+        materialized,
+        near_index_probe,
+        near_index_write,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "near_index")
+    near_index_write(
+        materialized(_near_sigs(d.filter(F.col("doc_id") % 10 < 8))), path
+    )
+    n_bands0 = spark.read.parquet(f"{path}/bands").count()
+    n_grams0 = spark.read.parquet(f"{path}/grams").count()
+
+    b1 = d.filter(F.col("doc_id") % 10 == 8)
+    dec1, sig1 = near_index_probe(spark, path, b1)
+    assert dec1.count() == b1.count()  # act on batch 1's decisions...
+    near_index_write(sig1, path, mode="append")  # ...then maintain
+
+    # O(batch) maintenance: the append wrote exactly batch 1's rows
+    n_b1 = b1.count()
+    assert spark.read.parquet(f"{path}/bands").count() - n_bands0 == 12 * n_b1
+    assert spark.read.parquet(f"{path}/grams").count() - n_grams0 == n_b1
+
+    # batch 2 PLANTS near-dups of batch 1 (doc_id + 10M, a short token
+    # tail appended): its best matches MUST resolve into the rows the
+    # append just wrote — a batch 2 that only matched the original
+    # corpus would never prove the maintenance step worked.  Written to
+    # parquet so Spark and the DuckDB recompute read identical bytes.
+    b2_path = str(tmp_path / "batch2.parquet")
+    b1.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz qq")).alias("text"),
+    ).write.parquet(b2_path)
+    dec2, _sig2 = near_index_probe(spark, path, spark.read.parquet(b2_path))
+    got = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new)
+        for r in dec2.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW corpus AS SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') WHERE doc_id % 10 <= 8"
+    )
+    con.execute(
+        f"CREATE VIEW batch2 AS SELECT doc_id, text FROM "
+        f"read_parquet('{b2_path}/*.parquet')"
+    )
+    want_rows = con.execute("""
+    WITH docs AS (
+      SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM batch2
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS grams
+      FROM tok
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, count(*) AS n_common
+      FROM e b JOIN e c ON b.g = c.g
+      WHERE b.doc_id >= 10000000 AND c.doc_id < 10000000
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(grams) AS s FROM sh),
+    scored AS (
+      SELECT batch_doc, corpus_doc,
+             round(n_common * 1.0 / (sb.s + sc.s - n_common), 6) AS jac
+      FROM inter
+      JOIN sz sb ON batch_doc = sb.doc_id
+      JOIN sz sc ON corpus_doc = sc.doc_id
+      WHERE n_common * 1.0 / (sb.s + sc.s - n_common) >= 0.3
+    ),
+    best AS (
+      SELECT batch_doc, corpus_doc, jac,
+             row_number() OVER (PARTITION BY batch_doc
+                                ORDER BY jac DESC, corpus_doc) AS rk
+      FROM scored
+    )
+    SELECT d.doc_id, b.corpus_doc, b.jac
+    FROM batch2 d
+    LEFT JOIN best b ON b.batch_doc = d.doc_id AND b.rk = 1
+    """).fetchall()
+    want = {did: (md, jac, md is None) for did, md, jac in want_rows}
+    assert set(got) == set(want)
+    n_cross = sum(1 for v in want.values() if v[0] is not None)
+    assert n_cross > 0, "no batch2 near-dups planted against corpus ∪ batch1"
+    # at least one batch-2 doc must match INTO batch 1 (doc_id % 10 == 8)
+    # — otherwise the test never exercises the appended index rows
+    assert any(
+        v[0] is not None and v[0] % 10 == 8 for v in want.values()
+    ), "no batch2→batch1 match: the appended rows were never probed"
+    for did, (md, jac, new) in want.items():
+        gmd, gjac, gnew = got[did]
+        assert gnew == new and gmd == md, (did, got[did], want[did])
+        if jac is not None:
+            assert abs(gjac - jac) < 1e-6, (did, gjac, jac)
