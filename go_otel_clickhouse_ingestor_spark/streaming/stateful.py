@@ -328,6 +328,84 @@ def type_holt_forecast(daily: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Streaming Croston: the stateful twin of the batch
+# ``orders_croston_demand`` query (operators/analytics.py) — separate
+# α=0.5 exponential smoothing of nonzero demand SIZES (z) and of the
+# INTERVALS between demand days (p), forecast = z/p units/day, folded
+# per part as (partkey, demand-day, quantity) rows arrive.  The batch
+# fold is exact dyadic arithmetic over integer sizes/intervals, so the
+# streamed recurrence is bit-identical under ANY micro-batch split of
+# an in-order feed (the Holt/CUSUM equivalence argument, strengthened:
+# no β cross-term, every coefficient is a power of two).
+
+_CROSTON_OUT_SCHEMA = (
+    "partkey long, n_demand_days long, demand_level double, "
+    "mean_interval_days double, forecast_per_day double"
+)
+#: p < 0 is the "no interval yet" sentinel (real intervals are ≥ 1 day)
+#: — avoids nullable-field round-trips through the state store.
+_CROSTON_STATE_SCHEMA = "z double, p double, prev_d long, n long"
+
+
+def _croston_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one part's arriving demand days into Croston (z, p) state.
+    Matches the batch init exactly: the first demand day seeds z = q₁;
+    the second seeds p to its own interval BEFORE the shared update —
+    so p₂ = 0.5·i₂ + 0.5·i₂ = i₂, the recursive-CTE oracle's base
+    case (analytics.py orders_croston_demand)."""
+    z, p, prev_d, n = state.get if state.exists else (0.0, -1.0, 0, 0)
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame()
+    if len(rows):
+        rows = rows.sort_values("d")
+        for d, q in zip(rows["d"].astype(int), rows["q"].astype(int)):
+            if n == 0:
+                z, prev_d = float(q), d
+            else:
+                i = d - prev_d
+                if p < 0:
+                    p = float(i)  # first interval seeds p (batch init)
+                z = 0.5 * q + 0.5 * z
+                p = 0.5 * i + 0.5 * p
+                prev_d = d
+            n += 1
+        state.update((float(z), float(p), int(prev_d), int(n)))
+    started = n >= 2  # single-demand-day parts are excluded batch-side
+    yield pd.DataFrame(
+        {
+            "partkey": [int(key[0])],
+            "n_demand_days": [n],
+            "demand_level": [round(z, 6) if started else None],
+            "mean_interval_days": [round(p, 6) if started else None],
+            "forecast_per_day": [round(z / p, 6) if started else None],
+        }
+    )
+
+
+def part_croston_stream(demand: DataFrame) -> DataFrame:
+    """Per-part streaming Croston state over a (partkey, d, q)
+    demand-day feed (d = days since epoch anchor, q = integer demand).
+    State is four numbers per part — O(|parts|), the same key the
+    batch op's single groupBy shuffles on; update-mode emission per
+    touched part per trigger is the intermittent-demand alerting face
+    (a part whose forecast_per_day crosses a reorder threshold pages
+    the planner without waiting for the nightly batch)."""
+    return (
+        demand.select("partkey", "d", "q")
+        .groupBy("partkey")
+        .applyInPandasWithState(
+            _croston_fold,
+            outputStructType=_CROSTON_OUT_SCHEMA,
+            stateStructType=_CROSTON_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # Round-9: streaming faces of the newest batch analytics.  The batch
 # twins (operators/analytics.py ``events_changepoint_cusum`` /
 # ``events_hysteresis_alerts``) are closed-form set-based plans; these
