@@ -167,6 +167,9 @@ HEADLINE = [
     # round-15 flagships: the composed FAISS-shaped IVFPQ (codes-only
     # scan, exact rerank of the ADC shortlist)
     "sim_ann_ivfpq",
+    # round-15: the near-dup decontamination tier (eval bands broadcast
+    # against the maintained training band index)
+    "decontaminate_near_lsh",
 ]
 
 
@@ -254,7 +257,13 @@ def _calibrate(queries_now: dict[str, float], reps: int, sf_dir: str) -> dict:
 
 
 def _concurrent_sweep(
-    spark, reg, headline: list[str], sf_dir: str, reps: int, workers: int
+    spark,
+    reg,
+    headline: list[str],
+    sf_dir: str,
+    reps: int,
+    workers: int,
+    warmup: bool = True,
 ) -> dict:
     """Concurrency pilot (VERDICT r13 ask #6): run the whole headline
     set per rep through a thread pool sharing ONE session, and time the
@@ -271,8 +280,9 @@ def _concurrent_sweep(
     from concurrent.futures import ThreadPoolExecutor
 
     names = [n for n in headline if reg.get(n) is not None]
-    for name in names:  # serial warm-up: fixture caches + plan cache
-        reg[name].fn(spark, sf_dir).count()
+    if warmup:
+        for name in names:  # serial warm-up: fixture caches + plan cache
+            reg[name].fn(spark, sf_dir).count()
     walls = []
     for _ in range(reps):
         release_persisted()
@@ -380,6 +390,22 @@ def main() -> None:
         "floor_jvm_sec": floor_jvm,
         "floor_arrow_sec": floor_arrow,
     }
+    # Permanent dual bench row (VERDICT r14 #6): the shared-session
+    # 8-worker sweep wall beside the isolated total.  The isolated
+    # protocol charges every query its full scheduler+plan round-trip
+    # with the cluster idle in each gap; the concurrent wall is the
+    # multi-tenant throughput face, and round-over-round drift in THIS
+    # number is the regression signal the per-plan protocol cannot
+    # see.  The isolated loop above already warmed every fixture cache
+    # and plan, so the sweep skips its serial warm-up pass.  Opt out
+    # with SPARK_GRAFT_BENCH_CONCURRENT=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENT", "1") != "0":
+        workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "8"))
+        sweep = _concurrent_sweep(
+            spark, reg, headline, sf_dir, reps=1, workers=workers, warmup=False
+        )
+        summary["concurrent_x8_wall_sec"] = sweep["sweep_wall_min_sec"]
+        summary["concurrent_workers"] = workers
     spark.stop()
     # Box-drift calibration: replay the previous round's tree (same box,
     # same session window) AFTER our own JVM is gone, so the two runs

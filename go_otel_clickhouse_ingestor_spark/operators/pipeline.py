@@ -675,6 +675,78 @@ def decontaminate_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("decontaminate_near_lsh")  # rows-only: xxhash64 band family is engine-specific
+def decontaminate_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE decontamination — the top tier of the ladder
+    after any-shared-gram overlap (``decontaminate_ngram_overlap``)
+    and exact-substring probes (``decontaminate_exact_substring`` /
+    ``_aho_corasick``): flag training documents whose WHOLE-DOCUMENT
+    3-gram Jaccard against any eval doc (doc_id % 20 == 0, the
+    ngram_overlap split) reaches 0.3 — the paraphrased-or-truncated
+    eval-copy class that shares-a-gram flags with no precision and
+    substring probes miss entirely.  Published practice (the GPT-3 §5
+    / Llama decontamination appendices) runs exactly this MinHash
+    tier against eval suites before training.
+
+    Same machinery and scale contract as the maintained near-dup
+    index (``dedup._near_sigs``/``_near_bands``): the EVAL side is the
+    small one, so its bands broadcast and the TRAINING band table —
+    the maintained index at 100 TB — is scanned map-side; the exact
+    verify broadcasts the LSH-bounded pair set into the training gram
+    table, then the surviving (pair + train grams) rows into the eval
+    gram table.  Nothing shuffles O(training corpus).  Emission is
+    per TRAINING doc (the side you act on): best-matching eval doc
+    (jaccard desc, eval_doc asc), its jaccard, and how many eval docs
+    it matched.
+
+    Rows-only (xxhash64 bands, the dedup_minhash_lsh rule); the
+    pytest gate recomputes the exact train×eval Jaccard matches in
+    DuckDB and requires the LSH-fed decisions to land the identical
+    flag set on the fixture's planted near-dups."""
+    from .dedup import _near_bands, _near_sigs, materialized
+
+    d = table(spark, sf_dir, "documents")
+    train_sig = materialized(_near_sigs(d.filter(F.col("doc_id") % 20 != 0)))
+    eval_sig = materialized(_near_sigs(d.filter(F.col("doc_id") % 20 == 0)))
+    probe = _near_bands(eval_sig).select(
+        F.col("doc_id").alias("eval_doc"), "band", "v1", "v2"
+    )
+    cand = (
+        _near_bands(train_sig)
+        .join(F.broadcast(probe), ["band", "v1", "v2"])
+        .select(F.col("doc_id").alias("train_doc"), "eval_doc")
+        .distinct()
+    )
+    ga = train_sig.select(
+        F.col("doc_id").alias("train_doc"), F.col("ghs").alias("grams_t")
+    )
+    gb = eval_sig.select(
+        F.col("doc_id").alias("eval_doc"), F.col("ghs").alias("grams_e")
+    )
+    inter = F.size(F.array_intersect("grams_t", "grams_e"))
+    jac = inter / (F.size("grams_t") + F.size("grams_e") - inter)
+    cva = ga.join(F.broadcast(cand), "train_doc")
+    verified = (
+        gb.join(F.broadcast(cva), "eval_doc")
+        .filter(jac >= 0.3)
+        .select("train_doc", "eval_doc", F.round(jac, 6).alias("jaccard_sim"))
+    )
+    return (
+        verified.groupBy(F.col("train_doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+            F.max(F.struct("jaccard_sim", (-F.col("eval_doc")).alias("neg")))
+            .alias("best"),
+        )
+        .select(
+            "doc_id",
+            (-F.col("best.neg")).cast("long").alias("matched_eval_doc"),
+            F.col("best.jaccard_sim").alias("jaccard_sim"),
+            "n_eval_matches",
+        )
+    )
+
+
 #: Temperature for source-rebalancing (mT5/XLM-R convention α≈0.7:
 #: upsample the tail without letting the head starve it out).
 _TEMP_ALPHA = 0.7

@@ -49,6 +49,7 @@ _REGISTRY: dict[str, Query] = {}
 _DRIVER_PRIORITY: list[str] = [
     # rows-only, no clean driver run yet
     "sim_ann_ivfpq",
+    "decontaminate_near_lsh",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog

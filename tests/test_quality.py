@@ -1756,3 +1756,71 @@ def test_near_index_maintained_two_batch(spark, sf_dir, tmp_path):
         assert gnew == new and gmd == md, (did, got[did], want[did])
         if jac is not None:
             assert abs(gjac - jac) < 1e-6, (did, gjac, jac)
+
+
+def test_decontaminate_near_lsh_matches_exact(spark, sf_dir):
+    """decontaminate_near_lsh's LSH-fed flag set must equal the EXACT
+    train×eval whole-document Jaccard ≥ 0.3 matches (best eval match by
+    jaccard desc, eval_doc asc; n_eval_matches the full count),
+    recomputed independently in DuckDB — the near-dup evidence
+    standard applied to the decontamination tier."""
+    import duckdb
+
+    got = {
+        r.doc_id: (r.matched_eval_doc, r.jaccard_sim, r.n_eval_matches)
+        for r in load_all()["decontaminate_near_lsh"].fn(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want_rows = con.execute("""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS grams
+      FROM tok
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT t.doc_id AS train_doc, v.doc_id AS eval_doc, count(*) AS n_common
+      FROM e t JOIN e v ON t.g = v.g
+      WHERE t.doc_id % 20 <> 0 AND v.doc_id % 20 = 0
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(grams) AS s FROM sh),
+    scored AS (
+      SELECT train_doc, eval_doc,
+             round(n_common * 1.0 / (st.s + se.s - n_common), 6) AS jac
+      FROM inter
+      JOIN sz st ON train_doc = st.doc_id
+      JOIN sz se ON eval_doc = se.doc_id
+      WHERE n_common * 1.0 / (st.s + se.s - n_common) >= 0.3
+    )
+    ,ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY train_doc
+                                   ORDER BY jac DESC, eval_doc ASC) AS rk,
+             count(*) OVER (PARTITION BY train_doc) AS n_eval_matches
+      FROM scored
+    )
+    SELECT train_doc, eval_doc AS matched_eval_doc, jac AS jaccard_sim,
+           n_eval_matches
+    FROM ranked WHERE rk = 1
+    """).fetchall()
+    want = {td: (md, jac, n) for td, md, jac, n in want_rows}
+    assert want, "fixture has no planted train-vs-eval near-dups"
+    assert set(got) == set(want), (
+        set(got) ^ set(want),
+        "flag sets differ",
+    )
+    for td, (md, jac, n) in want.items():
+        gmd, gjac, gn = got[td]
+        assert (gmd, gn) == (md, n), (td, got[td], want[td])
+        assert abs(gjac - jac) < 1e-6, (td, gjac, jac)
