@@ -61,3 +61,55 @@ def dedup_exact_stream(
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def near_dup_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    decisions_path: str,
+):
+    """Streaming ingest against the MAINTAINED near-dup index: the
+    deployment face of ``operators.dedup.near_index_probe`` /
+    ``near_index_write`` (round 15).  Per micro-batch of raw
+    ``(doc_id, text, ...)`` documents, ``foreachBatch``:
+
+    1. **probe** the batch against the index as of the PREVIOUS batch
+       (decisions are forced to disk before any append, so a batch can
+       never LSH-match its own bands — ordering, not luck);
+    2. **act**: decisions land in ``decisions_path`` parquet with the
+       batch id (the downstream keep/drop filter consumes this);
+    3. **maintain**: the batch's bands/grams APPEND to the index — two
+       O(batch) parquet writes — so batch N+1 probes an index that
+       already contains batch N (the two-batch pytest contract,
+       re-proven through a real multi-trigger stream in
+       tests/test_streaming_dedup.py).
+
+    foreachBatch rather than a stateful operator because the state IS
+    a lake table: the band index must outlive the query, serve batch
+    re-probes and the batch-side operators, and hold 100 TB of corpus
+    — none of which fits an executor state store.  At-least-once
+    caveat: a batch replayed after a crash between (2) and (3) appends
+    its bands twice; band rows are idempotent for matching (duplicate
+    index entries produce the same candidate set after the pair
+    ``distinct``), so decisions stay correct — only index storage
+    carries the dup until compaction.
+
+    Returns the ``DataStreamWriter`` (caller sets trigger/checkpoint
+    and starts it)."""
+    from ..operators.dedup import near_index_probe, near_index_write
+    from pyspark.sql import functions as F
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # empty trigger: nothing to probe or append
+        spark = batch_df.sparkSession
+        decisions, sig = near_index_probe(spark, index_path, batch_df)
+        (
+            decisions.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(decisions_path)
+        )
+        near_index_write(sig, index_path, mode="append")
+        sig.unpersist()
+
+    return stream.writeStream.foreachBatch(_ingest).outputMode("append")

@@ -103,3 +103,83 @@ def test_stream_dedup_matches_batch_drop_duplicates(spark, tmp_path):
         .count()
     )
     assert out.count() == batch == 4
+
+
+def test_near_dup_ingest_stream_matches_batch_sequence(spark, sf_dir, tmp_path):
+    """The foreachBatch near-dup ingest must reproduce the batch
+    maintained-index sequence EXACTLY through a real two-trigger
+    stream: trigger 1 probes the corpus-built index, trigger 2 (planted
+    near-copies of trigger 1) probes the index WITH trigger 1's
+    appended bands — decisions per batch equal the batch API run of
+    the same sequence, and the index ends with both appends."""
+    from go_otel_clickhouse_ingestor_spark.operators.dedup import (
+        _near_sigs,
+        materialized,
+        near_index_probe,
+        near_index_write,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.dedup_stream import (
+        near_dup_ingest_stream,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    corpus_sig = materialized(_near_sigs(d.filter(F.col("doc_id") % 10 < 8)))
+    b1 = d.filter(F.col("doc_id") % 10 == 8).select("doc_id", "text")
+    b2 = b1.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz qq")).alias("text"),
+    )
+
+    # ---- batch-API reference sequence on its own index copy
+    ref_path = str(tmp_path / "idx_ref")
+    near_index_write(corpus_sig, ref_path)
+    ref1, sig1 = near_index_probe(spark, ref_path, b1)
+    ref1_rows = {r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new) for r in ref1.collect()}
+    near_index_write(sig1, ref_path, mode="append")
+    ref2, _ = near_index_probe(spark, ref_path, b2)
+    ref2_rows = {r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new) for r in ref2.collect()}
+
+    # ---- the same sequence through the stream
+    idx_path = str(tmp_path / "idx_stream")
+    near_index_write(corpus_sig, idx_path)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    for name, frame in (("a_batch1", b1), ("b_batch2", b2)):
+        rows = [
+            json.dumps({"doc_id": r.doc_id, "text": r.text})
+            for r in frame.collect()
+        ]
+        (feed_dir / f"{name}.json").write_text("\n".join(rows))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed_dir))
+    )
+    dec_path = str(tmp_path / "decisions")
+    q = (
+        near_dup_ingest_stream(stream, idx_path, dec_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = spark.read.parquet(dec_path)
+    got1 = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new)
+        for r in got.filter("doc_id < 10000000").collect()
+    }
+    got2 = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new)
+        for r in got.filter("doc_id >= 10000000").collect()
+    }
+    assert got1 == ref1_rows
+    assert got2 == ref2_rows
+    # trigger 2 really matched into trigger 1's appended rows
+    assert any(
+        md is not None and md % 10 == 8 for md, _j, _n in got2.values()
+    )
+    # and the streamed index carries both appends (corpus + b1 + b2)
+    n_docs = spark.read.parquet(f"{idx_path}/grams").count()
+    assert n_docs == corpus_sig.count() + b1.count() + b2.count()

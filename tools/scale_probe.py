@@ -265,6 +265,57 @@ def linear100_probe(spark, n: int, ops: list[str]) -> dict:
     return out
 
 
+def near_index_probe_scale(spark, n: int) -> dict:
+    """O(batch) probe-cost evidence for the MAINTAINED near-dup index
+    (round-15): build the parquet band/gram index from copy 0's corpus
+    split (1×) and from all N copies' corpus splits (N×), then probe
+    the SAME fixed batch (copy 0's doc_id % 10 >= 8 slice) against
+    each.  The batch is constant and keeps its real planted near-dups
+    in copy 0 (substitution ciphers make cross-copy matches
+    measure-zero), so decisions stay comparable while the index grows
+    N× — a probe wall that stays ~flat is the maintained-index
+    contract measured, not asserted."""
+    from pyspark.sql import functions as F
+
+    from go_otel_clickhouse_ingestor_spark.operators.dedup import (
+        _near_sigs,
+        materialized,
+        near_index_probe,
+        near_index_write,
+    )
+
+    big = build_perm_scaled(spark, n)
+    docs = spark.read.parquet(f"{big}/documents.parquet")
+    batch = docs.filter(
+        (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 10 >= 8)
+    )
+    out: dict = {}
+    for tag, corpus in (
+        ("1x", docs.filter((F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 10 < 8))),
+        (f"{n}x", docs.filter(F.col("doc_id") % 10 < 8)),
+    ):
+        path = f"{SCALE_ROOT}/near_index_{tag}"
+        t0 = time.time()
+        near_index_write(materialized(_near_sigs(corpus)), path)
+        t_build = time.time() - t0
+        t0 = time.time()
+        dec, _sig = near_index_probe(spark, path, batch)
+        n_matched = dec.filter(~F.col("is_new")).count()
+        t_probe = time.time() - t0
+        out[tag] = {
+            "build_s": round(t_build, 2),
+            "probe_s": round(t_probe, 2),
+            "n_matched": n_matched,
+        }
+        print(f"# near_index {tag}: {out[tag]}", file=sys.stderr)
+    out["probe_ratio"] = (
+        round(out[f"{n}x"]["probe_s"] / out["1x"]["probe_s"], 2)
+        if out["1x"]["probe_s"]
+        else None
+    )
+    return out
+
+
 def sem_cell_stats(spark, sf_dir: str) -> dict:
     """SemDeDup blocking diagnostics at this scale: the chosen K, the
     max/mean cell size, and the intra-cell candidate-pair volume
@@ -923,6 +974,13 @@ def main() -> None:
         from go_otel_clickhouse_ingestor_spark.session import get_spark
 
         print(json.dumps({"skew": skew_stress(get_spark("skew-probe"))}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "near_index":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        spark = get_spark("near-index-probe")
+        print(json.dumps({"near_index": {"n": n, **near_index_probe_scale(spark, n)}}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "linear100":
         from go_otel_clickhouse_ingestor_spark.session import get_spark
