@@ -675,7 +675,24 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(codes, "vec_id").select("cell", "vec_id", "code")
     )
 
-    # probe: constant-Q queries → top-nprobe cells → (qid, vid, code)
+    # probe → ADC scan → exact rerank, shared with the persisted-index
+    # path (``sim_ann_index_lake``) so both produce identical answers
+    return _ivfpq_search(spark, e, books, postings, cent2, dim)
+
+
+def _ivfpq_search(
+    spark: SparkSession,
+    e: DataFrame,
+    books,
+    postings: DataFrame,
+    cent2: DataFrame,
+    dim: int | None,
+) -> DataFrame:
+    """The IVFPQ QUERY path (steps 3–5 of ``sim_ann_ivfpq``), factored
+    so the in-memory build and the persisted lake index run the SAME
+    search: constant-Q probe against the (broadcastable) final-cell
+    centroids, codes-only ADC scan over the probed posting lists,
+    exact cosine rerank of the ADC shortlist against the base floats."""
     probes = _ivf_probes(e, cent2, dim)
     q = probes.select("query_id", "qemb").distinct()
     queries = [(r.query_id, list(r.qemb)) for r in q.orderBy("query_id").collect()]
@@ -722,6 +739,155 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("query_id", "rnk", "vec_id", "cos_sim")
     )
+
+
+def _ivfpq_train_books(e: DataFrame):
+    """The bounded deterministic PQ training step shared by the
+    in-memory and persisted index builds: every 7th vector capped at
+    2048 rows, L2-normalized, through ``_pq_train``.  Returns the
+    (M, K, dsub) float64 codebooks, or None on an empty corpus."""
+    import numpy as np
+
+    sample_rows = (
+        e.filter(F.col("vec_id") % 7 == 0).limit(2048).toPandas()["embedding"]
+    )
+    if len(sample_rows) == 0:
+        return None
+    sample = np.stack(sample_rows.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    return _pq_train(sample / np.where(norms == 0, 1.0, norms))
+
+
+def ann_index_build(spark: SparkSession, e: DataFrame, path: str) -> None:
+    """Build the PERSISTED IVFPQ index at ``path`` — the vector-store
+    lifecycle the in-query ``sim_ann_ivfpq`` plan skips.  Three lake
+    tables, exactly the artifacts a FAISS-shaped deployment ships from
+    its offline build to its serving tier:
+
+    - ``codebooks/``: (m, k, c) — the M×K PQ sub-centroids (tiny;
+      read and broadcast at query time),
+    - ``centroids/``: (cell, centroid) — the adaptive-subdivision
+      final-cell means (≤ n/cell-target rows, broadcastable),
+    - ``postings/``: (cell, vec_id, code) — the inverted lists,
+      codes-only (8+8 bytes per entry; the floats stay in the base
+      table and are read only by the exact rerank).
+
+    The build is O(N): one Arrow encode pass + the shared
+    ``_ivf_build`` assignment; at 100 TB it is the same three writes,
+    with ``postings`` partitioned by cell prefix."""
+    dim = embedding_dim(e)
+    books = _ivfpq_train_books(e)
+    if books is None:
+        raise ValueError("ann_index_build: empty corpus, nothing to index")
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        _pq_code_batches(books),
+        "vec_id long, embedding array<float>, code long",
+    ).select("vec_id", "code")
+    assigned, cent2 = _ivf_build(spark, e, dim)
+    rows = [
+        (m, k, books[m][k].tolist())
+        for m in range(books.shape[0])
+        for k in range(books.shape[1])
+    ]
+    spark.createDataFrame(rows, "m int, k int, c array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    cent2.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.join(codes, "vec_id").select("cell", "vec_id", "code").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+    assigned.unpersist()
+
+
+def _ann_books_read(spark: SparkSession, path: str):
+    """Read the persisted PQ codebooks back as the (M, K, dsub) numpy
+    array the Arrow kernels expect — parquet doubles round-trip the
+    trained float64 exactly."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_n = max(r.m for r in rows) + 1
+    k_n = max(r.k for r in rows) + 1
+    books = np.empty((m_n, k_n, len(rows[0].c)))
+    for r in rows:
+        books[r.m][r.k] = r.c
+    return books
+
+
+def ann_index_probe(spark: SparkSession, path: str, e: DataFrame) -> DataFrame:
+    """Serve ANN queries from the PERSISTED index at ``path`` — no
+    rebuild, no re-train: read the codebooks (driver-side, M×K rows),
+    the final-cell centroids (broadcast), and the codes-only postings,
+    then run the SAME ``_ivfpq_search`` as the in-memory plan.  ``e``
+    is the base embeddings table — the query-set source and the float
+    store the exact rerank reads; the index itself never carries a
+    float vector."""
+    books = _ann_books_read(spark, path)
+    cent2 = spark.read.parquet(f"{path}/centroids")
+    postings = spark.read.parquet(f"{path}/postings")
+    return _ivfpq_search(spark, e, books, postings, cent2, embedding_dim(e))
+
+
+def ann_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Incremental index maintenance: PQ-encode a new (vec_id,
+    embedding) batch with the SAVED codebooks, assign each vector to
+    its nearest SAVED final-cell centroid (broadcast argmin — the
+    standard assign-to-existing append; cells are not re-split until
+    the next rebuild/compaction, FAISS's add() semantics), and APPEND
+    the (cell, vec_id, code) rows to ``postings/`` — one O(batch)
+    parquet write, the near-dup ``near_index_write`` contract.  Probes
+    issued after the append see the new vectors; posting lists drift
+    above the cell target as appends accumulate, degrading probe cost
+    linearly in appended volume, which is why production stores pair
+    add() with periodic re-clustering."""
+    books = _ann_books_read(spark, path)
+    cent2 = spark.read.parquet(f"{path}/centroids")
+    dim = embedding_dim(batch)
+    codes = batch.select("vec_id", "embedding").mapInPandas(
+        _pq_code_batches(books),
+        "vec_id long, embedding array<float>, code long",
+    ).select("vec_id", "code")
+    d2 = sq_dist(F.col("embedding"), F.col("centroid"), dim)
+    assign = (
+        batch.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent2))
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", d2).alias("cell"))
+    )
+    assign.join(codes, "vec_id").select("cell", "vec_id", "code").write.mode(
+        "append"
+    ).parquet(f"{path}/postings")
+
+
+@query("sim_ann_index_lake")  # rows-only: quantizer/codebook internals are engine-specific
+def sim_ann_index_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ index as a MAINTAINED LAKE ARTIFACT: build once
+    (``ann_index_build`` → codebooks/centroids/postings parquet),
+    serve every query from the SAVED tables (``ann_index_probe``) —
+    the production lifecycle behind ``sim_ann_ivfpq``'s in-query plan,
+    and the ANN twin of the near-dup band index
+    (``dedup.near_index_write``/``probe``).  The build caches under
+    the fixture-fingerprinted /tmp root (the formats.py discipline:
+    regeneration invalidates, concurrent sf_dirs never evict each
+    other), so repeated runs measure the SERVING path: read ≤ n/256
+    centroid rows + the probed posting lists, never the build.
+    Answers are identical to ``sim_ann_ivfpq`` by construction (same
+    training sample, same cells, same ``_ivfpq_search``) — pinned in
+    tests/test_quality.py, with the append/probe round trip beside
+    it."""
+    import os
+
+    from .formats import _cache_path
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    if not e.take(1):  # empty fixture: nothing to index or probe
+        return spark.createDataFrame(
+            [], "query_id bigint, rnk bigint, vec_id bigint, cos_sim double"
+        )
+    path = _cache_path("annidx", sf_dir)
+    if not os.path.exists(f"{path}/postings/_SUCCESS"):
+        ann_index_build(spark, e, path)
+    return ann_index_probe(spark, path, e)
 
 
 @query("sim_ann_pq")  # rows-only: codebook/ADC internals are engine-specific

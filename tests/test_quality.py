@@ -224,6 +224,98 @@ def test_ann_ivfpq_recall_matches_plain_ivf(spark, sf_dir):
             assert abs(exact[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
 
 
+def test_ann_index_lake_matches_in_memory_plan(spark, sf_dir):
+    """The persisted lake index must serve IDENTICAL answers to the
+    in-query build: same training sample, same cells, same
+    ``_ivfpq_search`` — so a build → write → read → probe round trip
+    through parquet changes nothing.  This is the gate that makes the
+    saved artifact trustworthy: any codebook/centroid/posting
+    round-trip loss would surface as a rank flip here."""
+    a = sorted(map(tuple, REGISTRY["sim_ann_ivfpq"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["sim_ann_index_lake"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_ann_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental maintenance: after ``ann_index_append`` of a new
+    batch, (1) the postings grew by exactly the batch (O(batch) write,
+    nothing rewritten), (2) the centroids/codebooks are untouched
+    (append never retrains), and (3) a probe issued after the append
+    RETRIEVES the appended vectors — planted queries duplicating a
+    batch vector must find it at rank 1 with cosine 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_otel_clickhouse_ingestor_spark.operators import similarity as S
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    batch = e.filter(F.col("vec_id") % 10 >= 8).select("vec_id", "embedding")
+    idx = str(tmp_path / "annidx")
+    S.ann_index_build(spark, base, idx)
+    n0 = spark.read.parquet(f"{idx}/postings").count()
+    cent0 = sorted(r.cell for r in spark.read.parquet(f"{idx}/centroids").collect())
+    S.ann_index_append(spark, idx, batch)
+    assert spark.read.parquet(f"{idx}/postings").count() == n0 + batch.count()
+    cent1 = sorted(r.cell for r in spark.read.parquet(f"{idx}/centroids").collect())
+    assert cent1 == cent0, "append must not touch the coarse structure"
+
+    # planted queries: clones of appended vectors under fresh ids ->
+    # the appended original must come back as the top hit, cosine 1
+    probe_src = batch.orderBy("vec_id").limit(5)
+    clones = probe_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.lit("probe").alias("label"),
+        "embedding",
+    )
+    books = S._ann_books_read(spark, idx)
+    cent2 = spark.read.parquet(f"{idx}/centroids")
+    postings = spark.read.parquet(f"{idx}/postings")
+    probes = (
+        clones.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        )
+        .crossJoin(F.broadcast(cent2))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    S.sq_dist(F.col("qemb"), F.col("centroid")).asc(),
+                    F.col("cell").asc(),
+                )
+            ),
+        )
+        .filter(F.col("cell_rank") <= 3)
+        .select("query_id", "qemb", "cell")
+    )
+    cand = probes.join(postings, "cell").select("query_id", "vec_id", "qemb")
+    top = (
+        cand.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(S.cosine(F.col("qemb"), F.col("embedding")), 5).alias("cs"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cs").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter("rk = 1")
+        .collect()
+    )
+    assert len(top) == 5
+    for r in top:
+        assert r.vec_id == r.query_id - 1_000_000, (
+            "appended vector must be retrievable as its clone's top hit"
+        )
+        assert r.cs == 1.0
+
+
 def test_multimodal_framesample_shape(spark, sf_dir):
     """1->N expansion: exactly N_FRAMES rows per document, deterministic."""
     from go_otel_clickhouse_ingestor_spark.operators.multimodal import N_FRAMES
