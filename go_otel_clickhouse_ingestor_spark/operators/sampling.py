@@ -257,3 +257,117 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang")
     )
+
+
+_CI_RATE = 10  # of 100: the 10% estimation sample
+_CI_Z = 1.96  # normal 95% two-sided critical value
+
+
+@query(
+    "sample_estimate_ci",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             cast(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             {_duck_bucket(
+                 "cast(l_orderkey AS VARCHAR) || '-' || cast(l_linenumber AS VARCHAR)",
+                 100,
+             )} AS bucket
+      FROM lineitem
+    ),
+    est AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*)::BIGINT AS n_sample,
+             sum(price_c)::BIGINT AS s_c,
+             sum(cast(price_c AS HUGEINT) * price_c) AS ss_c
+      FROM c WHERE bucket < {_CI_RATE} GROUP BY 1, 2
+    ),
+    tru AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*)::BIGINT AS n_true,
+             sum(price_c)::BIGINT AS ts_c
+      FROM c GROUP BY 1, 2
+    )
+    SELECT e.l_returnflag, e.l_linestatus, e.n_sample, t.n_true,
+           round(cast(e.s_c AS DOUBLE) / e.n_sample / 100.0, 6) AS est_mean,
+           round({_CI_Z} * sqrt(((cast(e.ss_c AS DOUBLE)
+                    - cast(e.s_c AS DOUBLE) * cast(e.s_c AS DOUBLE) / e.n_sample)
+                   / (e.n_sample - 1)) / e.n_sample) / 100.0, 6) AS ci_half,
+           round(cast(t.ts_c AS DOUBLE) / t.n_true / 100.0, 6) AS true_mean,
+           abs(cast(t.ts_c AS DOUBLE) / t.n_true
+               - cast(e.s_c AS DOUBLE) / e.n_sample)
+             <= {_CI_Z} * sqrt(((cast(e.ss_c AS DOUBLE)
+                    - cast(e.s_c AS DOUBLE) * cast(e.s_c AS DOUBLE) / e.n_sample)
+                   / (e.n_sample - 1)) / e.n_sample) AS covered
+    FROM est e JOIN tru t
+      ON t.l_returnflag = e.l_returnflag AND t.l_linestatus = e.l_linestatus
+    WHERE e.n_sample >= 2
+    """,
+)
+def sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with ERROR BARS — the BlinkDB
+    contract (Agarwal et al., EuroSys 2013): answer a group-by mean
+    from a 10% deterministic hash sample and attach a CLT 95%
+    confidence interval, then AUDIT the estimate against the exact
+    full-scan answer (est, ±half-width, truth, covered) — the audit
+    a production AQP tier runs offline to validate its error model.
+
+    Cross-engine exactness discipline: prices become exact BIGINT
+    cents; per-group sufficient statistics (n, Σx, Σx²) accumulate as
+    BIGINT/DECIMAL(38,0) — order-free — and every float derives from
+    those integers through the same closed formula in both engines
+    (sqrt is IEEE exact-rounded, so identical inputs give identical
+    doubles; the coverage comparison uses the same unrounded values on
+    both sides).  The sample predicate is the md5-bucket rule shared
+    with ``sample_hash_deterministic`` — membership is a pure function
+    of (orderkey, linenumber), so the estimate is rerun- and
+    partition-order-stable, unlike ``TABLESAMPLE``.
+
+    Scale: the sample scan is map-only (hash predicate, no shuffle);
+    both aggregations are partial-agg'd sums of scalars — the full
+    true-mean scan exists only because the AUDIT needs ground truth;
+    the serving path is the sample branch alone, 10× less IO with a
+    stated ±error."""
+    li = table(spark, sf_dir, "lineitem")
+    price_c = F.expr("cast(round(l_extendedprice * 100) as bigint)")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    c = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        price_c.alias("price_c"),
+        hash_bucket(key, 100).alias("bucket"),
+    )
+    est = (
+        c.filter(F.col("bucket") < _CI_RATE)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("price_c").alias("s_c"),
+            F.sum(F.col("price_c").cast("decimal(38,0)") * F.col("price_c")).alias(
+                "ss_c"
+            ),
+        )
+        .filter(F.col("n_sample") >= 2)
+    )
+    tru = c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_true"), F.sum("price_c").alias("ts_c")
+    )
+    s_d = F.col("s_c").cast("double")
+    ss_d = F.col("ss_c").cast("double")
+    n_d = F.col("n_sample")
+    var = ((ss_d - s_d * s_d / n_d) / (n_d - 1)) / n_d
+    half = _CI_Z * F.sqrt(var)
+    est_mean_raw = s_d / n_d
+    true_mean_raw = F.col("ts_c").cast("double") / F.col("n_true")
+    return est.join(tru, ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_sample",
+        "n_true",
+        F.round(est_mean_raw / 100.0, 6).alias("est_mean"),
+        F.round(half / 100.0, 6).alias("ci_half"),
+        F.round(true_mean_raw / 100.0, 6).alias("true_mean"),
+        (F.abs(true_mean_raw - est_mean_raw) <= half).alias("covered"),
+    )
