@@ -7220,3 +7220,147 @@ def orders_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.p"), 6).alias("mean_interval_days"),
         F.round(F.col("st.z") / F.col("st.p"), 6).alias("forecast_per_day"),
     )
+
+
+_EOQ_ORDER_COST = 100  # fixed cost per replenishment order (S)
+_EOQ_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit cost
+_EOQ_SERVICE_Z = 1.65  # one-sided 95% service-level critical value
+
+
+@query(
+    "orders_eoq_safety_stock",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_partkey AS partkey,
+             o.o_orderdate AS oday,
+             cast(round(l.l_quantity) AS BIGINT) AS qty,
+             cast(round(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+             greatest(0, datediff('day', o.o_orderdate, l.l_shipdate)) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    daily AS (
+      SELECT partkey, oday, sum(qty)::BIGINT AS dq
+      FROM li GROUP BY 1, 2
+    ),
+    dstat AS (
+      SELECT partkey,
+             count(*)::BIGINT AS n_days,
+             sum(dq)::BIGINT AS d_total,
+             sum(cast(dq AS HUGEINT) * dq) AS d_sq
+      FROM daily GROUP BY 1
+    ),
+    lstat AS (
+      SELECT partkey,
+             sum(lead_days)::BIGINT AS l_sum,
+             count(*)::BIGINT AS l_n,
+             sum(price_c)::BIGINT AS p_sum,
+             sum(qty)::BIGINT AS q_sum
+      FROM li GROUP BY 1
+    )
+    SELECT d.partkey, d.n_days, d.d_total,
+           round(cast(d.d_total AS DOUBLE) / d.n_days, 6) AS mean_daily,
+           round(sqrt(greatest(0.0, (cast(d.d_sq AS DOUBLE)
+                       - cast(d.d_total AS DOUBLE) * cast(d.d_total AS DOUBLE)
+                         / d.n_days) / (d.n_days - 1))), 6) AS sigma_daily,
+           round(cast(l.l_sum AS DOUBLE) / l.l_n, 6) AS lead_mean_days,
+           round(sqrt(2.0 * d.d_total * {_EOQ_ORDER_COST}
+                      / ({_EOQ_HOLD_RATE} * (cast(l.p_sum AS DOUBLE) / 100.0
+                                             / l.q_sum))), 4) AS eoq,
+           round({_EOQ_SERVICE_Z}
+                 * sqrt(greatest(0.0, (cast(d.d_sq AS DOUBLE)
+                         - cast(d.d_total AS DOUBLE) * cast(d.d_total AS DOUBLE)
+                           / d.n_days) / (d.n_days - 1)))
+                 * sqrt(cast(l.l_sum AS DOUBLE) / l.l_n), 4) AS safety_stock,
+           round(cast(d.d_total AS DOUBLE) / d.n_days
+                 * (cast(l.l_sum AS DOUBLE) / l.l_n)
+                 + {_EOQ_SERVICE_Z}
+                 * sqrt(greatest(0.0, (cast(d.d_sq AS DOUBLE)
+                         - cast(d.d_total AS DOUBLE) * cast(d.d_total AS DOUBLE)
+                           / d.n_days) / (d.n_days - 1)))
+                 * sqrt(cast(l.l_sum AS DOUBLE) / l.l_n), 4) AS reorder_point
+    FROM dstat d JOIN lstat l ON l.partkey = d.partkey
+    WHERE d.n_days >= 5
+    """,
+)
+def orders_eoq_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory POLICY layer on top of the demand models
+    (``orders_croston_demand`` forecasts intermittent rates; this
+    turns demand into order-size and buffer decisions): per part with
+    ≥ 5 demand days, the Wilson EOQ lot size
+    ``sqrt(2·D·S / (h·unit_cost))``, the 95% service-level safety
+    stock ``z·σ_daily·sqrt(L̄)``, and the reorder point
+    ``d̄·L̄ + safety`` — the three numbers every replenishment system
+    recomputes nightly over exactly this orders×lineitem shape.  Lead
+    time is the observed order→ship gap clamped at 0 per row (the
+    synthetic fixture ships some lines before their order date); unit cost is the part's
+    fleet-wide price per unit.
+
+    Cross-engine exactness: quantities/prices/lead-days reduce to
+    exact integer sufficient statistics (n, Σ, Σ² as
+    BIGINT/DECIMAL(38,0)); every derived float — means, σ via the
+    (Σ² − Σ²/n)/(n−1) closed form, and both sqrt chains — evaluates
+    the same expression tree on both engines (IEEE sqrt/div are
+    exact-rounded, so identical integer inputs give bit-identical
+    doubles; constants appear as single literals, never folded
+    arithmetic).
+
+    Scale: one orders⋈lineitem join (orderkey co-partitioned), two
+    partial-agg'd groupBys keyed by part, and a part-keyed join of two
+    scalar-row tables — no windows, no driver state; the plan is the
+    same at 100 TB with the part dimension sharding the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("partkey"),
+        F.to_date("o_orderdate").alias("oday"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+        F.greatest(
+            F.lit(0), F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        ).alias("lead_days"),
+    )
+    daily = j.groupBy("partkey", "oday").agg(F.sum("qty").alias("dq"))
+    dstat = daily.groupBy("partkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dq").alias("d_total"),
+        F.sum(F.col("dq").cast("decimal(38,0)") * F.col("dq")).alias("d_sq"),
+    )
+    lstat = j.groupBy("partkey").agg(
+        F.sum("lead_days").cast("long").alias("l_sum"),
+        F.count(F.lit(1)).alias("l_n"),
+        F.sum("price_c").alias("p_sum"),
+        F.sum("qty").alias("q_sum"),
+    )
+    d_tot = F.col("d_total").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (F.col("d_sq").cast("double") - d_tot * d_tot / F.col("n_days"))
+            / (F.col("n_days") - 1),
+        )
+    )
+    lead_mean = F.col("l_sum").cast("double") / F.col("l_n")
+    unit_cost = F.col("p_sum").cast("double") / 100.0 / F.col("q_sum")
+    mean_daily = d_tot / F.col("n_days")
+    safety = _EOQ_SERVICE_Z * sigma * F.sqrt(lead_mean)
+    return (
+        dstat.filter(F.col("n_days") >= 5)
+        .join(lstat, "partkey")
+        .select(
+            "partkey",
+            "n_days",
+            "d_total",
+            F.round(mean_daily, 6).alias("mean_daily"),
+            F.round(sigma, 6).alias("sigma_daily"),
+            F.round(lead_mean, 6).alias("lead_mean_days"),
+            F.round(
+                F.sqrt(
+                    2.0 * F.col("d_total") * _EOQ_ORDER_COST
+                    / (_EOQ_HOLD_RATE * unit_cost)
+                ),
+                4,
+            ).alias("eoq"),
+            F.round(safety, 4).alias("safety_stock"),
+            F.round(mean_daily * lead_mean + safety, 4).alias("reorder_point"),
+        )
+    )
