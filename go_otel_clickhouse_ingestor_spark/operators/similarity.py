@@ -308,18 +308,28 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
         .select(F.col("label").alias("cell"), "centroid")
     )
 
-    # 2. assignment: nearest coarse centroid per vector (broadcast
-    # argmin, fanned out of the single input split), then adaptive
-    # sign-bit subdivision so no posting list outgrows the target
-    d2 = sq_dist(F.col("embedding"), F.col("centroid"), dim)
+    # 2. assignment: nearest coarse centroid per vector — the centroid
+    # set rides in as ONE broadcast array row and the argmin is a pure
+    # projection (array_min over (d2, cell) structs, ties to the
+    # smallest cell), so the corpus is never shuffled for assignment
+    # (the old crossJoin × groupBy(vec_id) form re-shuffled every
+    # vector through a corpus-sized aggregate — at 100 TB that shuffle
+    # IS the build cost).  The repartition only fans the small fixture
+    # out of its single parquet split; a real corpus arrives pre-split.
+    centarr = cent.agg(F.collect_list(F.struct("cell", "centroid")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                sq_dist(F.col("embedding"), c["centroid"], dim).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
     coarse = (
         e.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cell", d2).alias("pcell"),
-            F.first("embedding").alias("embedding"),
-        )
+        .crossJoin(F.broadcast(centarr))
+        .select("vec_id", "embedding", best["cell"].alias("pcell"))
     )
     depth = coarse.groupBy("pcell").agg(
         F.expr(
