@@ -7364,3 +7364,190 @@ def orders_eoq_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean_daily * lead_mean + safety, 4).alias("reorder_point"),
         )
     )
+
+
+@query(
+    "events_attribution_multi_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                         IGNORE NULLS) OVER wf AS p_ts,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS) OVER wf AS p_eid,
+             first_value(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS) OVER wf AS p_value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER wb AS np_ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                        IGNORE NULLS) OVER wb AS np_eid,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS) OVER wb AS pp_ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS) OVER wb AS pp_eid
+      FROM events
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+             wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    touch AS (
+      SELECT user_id, ts, event_id, event_type, p_eid, p_value,
+             cast(count(*) OVER wp AS BIGINT) AS n,
+             cast(row_number() OVER (PARTITION BY user_id, p_eid
+                                     ORDER BY ts, event_id) AS BIGINT) AS pos
+      FROM seq
+      WHERE event_type <> 'purchase' AND p_ts IS NOT NULL
+        AND p_ts <= ts + INTERVAL 7 DAY
+      WINDOW wp AS (PARTITION BY user_id, p_eid)
+    ),
+    credit AS (
+      SELECT event_type AS channel,
+             cast(round(p_value * (1.0 / n) * 1000000) AS BIGINT) AS lin_u,
+             cast(round(p_value * (CASE WHEN n = 1 THEN 1.0
+                                        WHEN n = 2 THEN 0.5
+                                        WHEN pos = 1 OR pos = n THEN 0.4::DOUBLE
+                                        ELSE 0.2::DOUBLE / (n - 2) END)
+                        * 1000000) AS BIGINT) AS u_u
+      FROM touch
+    ),
+    chan AS (
+      SELECT channel, count(*)::BIGINT AS n_credits,
+             sum(lin_u)::BIGINT AS lin_su, sum(u_u)::BIGINT AS u_su
+      FROM credit GROUP BY 1
+    ),
+    direct AS (
+      SELECT '<direct>' AS channel, count(*)::BIGINT AS n_credits,
+             sum(cast(round(value * 1000000) AS BIGINT))::BIGINT AS lin_su,
+             sum(cast(round(value * 1000000) AS BIGINT))::BIGINT AS u_su
+      FROM seq
+      WHERE event_type = 'purchase'
+        AND (np_ts IS NULL OR np_ts < ts - INTERVAL 7 DAY
+             OR (pp_ts IS NOT NULL
+                 AND (pp_ts > np_ts OR (pp_ts = np_ts AND pp_eid > np_eid))))
+      HAVING count(*) > 0
+    )
+    SELECT channel, n_credits,
+           round(cast(lin_su AS DOUBLE) / 1000000, 4) AS rev_linear,
+           round(cast(u_su AS DOUBLE) / 1000000, 4) AS rev_ushape
+    FROM (SELECT * FROM chan UNION ALL SELECT * FROM direct)
+    """,
+)
+def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-touch attribution beside the last-touch staple
+    (``events_attribution_last_touch``): every non-purchase event
+    credits its NEXT purchase within a 7-day window, and each
+    purchase's revenue is split across its touches under two standard
+    models at once — LINEAR (1/n each) and U-SHAPED (40% first, 40%
+    last, the middle 20% split evenly; 100%/50-50 for 1- and 2-touch
+    paths).  Purchases no touch attributes to (no preceding
+    non-purchase event within 7 days that is newer than the previous
+    purchase) land in '<direct>' at full value under both models —
+    the same direct rule as last-touch, made intervening-purchase
+    aware.
+
+    No joins: one forward IGNORE-NULLS window finds each touch's next
+    purchase, one backward pair of windows classifies direct
+    purchases, and a (user, purchase) window numbers the touch path.
+    Cross-engine float discipline: each touch's credit is ONE
+    double-expression (purchase value × an n/pos-dependent rational,
+    identical expression tree both engines) rounded at 1e-6 and summed
+    as exact BIGINT micro-units — summation order can't move totals.
+
+    Scale: three window passes over the same user-keyed shuffle plus
+    one channel-keyed partial agg; no per-user collect, no self-join —
+    the user partition is the only wide edge, same plan at 100 TB."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    is_p = F.col("event_type") == "purchase"
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(wf).alias("p_ts"),
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(wf)
+        .alias("p_eid"),
+        F.first(F.when(is_p, F.col("value")), ignorenulls=True)
+        .over(wf)
+        .alias("p_value"),
+        F.last(F.when(~is_p, F.col("ts")), ignorenulls=True).over(wb).alias("np_ts"),
+        F.last(F.when(~is_p, F.col("event_id")), ignorenulls=True)
+        .over(wb)
+        .alias("np_eid"),
+        F.last(F.when(is_p, F.col("ts")), ignorenulls=True).over(wb).alias("pp_ts"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(wb)
+        .alias("pp_eid"),
+    )
+    touch = seq.filter(
+        ~is_p
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    wp = Window.partitionBy("user_id", "p_eid")
+    wpo = wp.orderBy("ts", "event_id")
+    touch = touch.select(
+        F.col("event_type").alias("channel"),
+        "p_value",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.row_number().over(wpo).cast("long").alias("pos"),
+    )
+    n, pos = F.col("n"), F.col("pos")
+    share_u = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credit = touch.select(
+        "channel",
+        F.expr("cast(round(p_value * (1.0 / n) * 1000000) as bigint)").alias("lin_u"),
+        (F.round(F.col("p_value") * share_u * 1000000, 0).cast("bigint")).alias("u_u"),
+    )
+    chan = credit.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("lin_u").alias("lin_su"),
+        F.sum("u_u").alias("u_su"),
+    )
+    np_before_pp = F.col("pp_ts").isNotNull() & (
+        (F.col("pp_ts") > F.col("np_ts"))
+        | ((F.col("pp_ts") == F.col("np_ts")) & (F.col("pp_eid") > F.col("np_eid")))
+    )
+    direct = (
+        seq.filter(
+            is_p
+            & (
+                F.col("np_ts").isNull()
+                | (F.col("np_ts") < F.col("ts") - F.expr("INTERVAL 7 DAY"))
+                | np_before_pp
+            )
+        )
+        .select(F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"))
+        .agg(
+            F.lit("<direct>").alias("channel"),
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("v_u").alias("lin_su"),
+            F.sum("v_u").alias("u_su"),
+        )
+        .filter(F.col("n_credits") > 0)
+    )
+    return chan.unionByName(direct).select(
+        "channel",
+        "n_credits",
+        F.round(F.col("lin_su").cast("double") / 1000000, 4).alias("rev_linear"),
+        F.round(F.col("u_su").cast("double") / 1000000, 4).alias("rev_ushape"),
+    )
