@@ -47,9 +47,14 @@ _REGISTRY: dict[str, Query] = {}
 #: fails loudly if any name at the head is already green or any
 #: unevidenced oracle-backed name is missing.
 _DRIVER_PRIORITY: list[str] = [
+    # oracle-backed, no hash evidence yet
+    "orders_eoq_safety_stock",
+    "events_attribution_multi_touch",
+    "sample_estimate_ci",
     # rows-only, no clean driver run yet
     "sim_ann_ivfpq",
     "decontaminate_near_lsh",
+    "sim_ann_index_lake",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
