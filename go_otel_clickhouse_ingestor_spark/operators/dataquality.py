@@ -848,3 +848,101 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_contrib"),
     )
+
+
+#: Candidate FD pairs to profile: (table, lhs, rhs).  Discovery over
+#: every column pair is quadratic in width; a profiler shortlists
+#: pairs (here: the keys and low-cardinality attributes a migration
+#: actually asks about, including two exact-by-construction FDs as
+#: positive controls).
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_suppkey", "l_linestatus"),
+)
+
+
+@query(
+    "dq_functional_dependencies",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_orderstatus' AS rhs,
+             cast(o_orderkey AS VARCHAR) AS a, cast(o_orderstatus AS VARCHAR) AS b
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             cast(o_custkey AS VARCHAR), cast(o_orderpriority AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+             cast(l_orderkey AS VARCHAR), cast(l_returnflag AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+             cast(l_partkey AS VARCHAR), cast(l_suppkey AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_suppkey', 'l_linestatus',
+             cast(l_suppkey AS VARCHAR), cast(l_linestatus AS VARCHAR)
+      FROM lineitem
+    ),
+    g AS (
+      SELECT tbl, lhs, rhs, a, b, count(*)::BIGINT AS c
+      FROM pairs GROUP BY 1, 2, 3, 4, 5
+    ),
+    m AS (
+      SELECT tbl, lhs, rhs, a, max(c)::BIGINT AS mx, sum(c)::BIGINT AS tot
+      FROM g GROUP BY 1, 2, 3, 4
+    )
+    SELECT tbl, lhs, rhs,
+           sum(tot)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_lhs_distinct,
+           sum(mx)::BIGINT AS n_kept,
+           (sum(mx) = sum(tot)) AS fd_holds,
+           round(cast(sum(mx) AS DOUBLE) / sum(tot), 6) AS confidence
+    FROM m GROUP BY 1, 2, 3
+    """,
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency PROFILING (the TANE/Metanome
+    primitive, g3-style error): for each shortlisted column pair
+    A→B, the fraction of rows kept after forcing each A-group to its
+    modal B — confidence 1.0 means the FD holds exactly (the two key
+    pairs are positive controls; the attribute pairs measure how far
+    the fixture is from dependency).  This is the discovery audit a
+    migration runs before declaring constraints the source system
+    (the reference's ClickHouse tables declare none) never enforced.
+
+    Exactness: counts all the way — the only float is the final
+    ratio of two BIGINTs, identically divided and rounded both
+    engines.  Scale: per pair, two partial-aggregated groupBys (the
+    (A,B) agg reduces map-side; the per-A max reduces again) and a
+    3-row final agg — one scan per source table feeding all its
+    pairs, nothing row-expanded, the candidate list is the bounded
+    driver-side dimension."""
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        g = (
+            t.select(
+                F.col(lhs).cast("string").alias("a"),
+                F.col(rhs).cast("string").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        m = g.groupBy("a").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        agg = m.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.sum("tot").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_lhs_distinct"),
+            F.sum("mx").alias("n_kept"),
+            (F.sum("mx") == F.sum("tot")).alias("fd_holds"),
+            F.round(F.sum("mx").cast("double") / F.sum("tot"), 6).alias("confidence"),
+        ).filter(F.col("n_rows").isNotNull())
+        out = agg if out is None else out.unionByName(agg)
+    return out
