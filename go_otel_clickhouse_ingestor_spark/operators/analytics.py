@@ -7551,3 +7551,101 @@ def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("lin_su").cast("double") / 1000000, 4).alias("rev_linear"),
         F.round(F.col("u_su").cast("double") / 1000000, 4).alias("rev_ushape"),
     )
+
+
+@query(
+    "events_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS DATE) AS day,
+             cast(round(cast(sum(cast(value AS DECIMAL(14,4)))
+                             AS DECIMAL(18,4)) * 10000) AS BIGINT) AS y_u
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, y_u,
+             datediff('day', min(day) OVER (PARTITION BY event_type), day)
+               ::BIGINT AS x
+      FROM daily
+    ),
+    win AS (
+      SELECT event_type, day, x, y_u,
+             count(*) OVER w::BIGINT AS n,
+             sum(x) OVER w::BIGINT AS sx,
+             sum(y_u) OVER w::BIGINT AS sy,
+             sum(x * y_u) OVER w::BIGINT AS sxy,
+             sum(x * x) OVER w::BIGINT AS sxx
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, epoch_us(day::TIMESTAMP)::BIGINT AS day_us, n AS n_win,
+           round(cast(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) / 10000.0, 6) AS slope
+    FROM win
+    WHERE n >= 3 AND n * sxx - sx * sx > 0
+    """,
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ordinary-least-squares TREND per event type: the OLS
+    slope of the daily-volume series over a trailing 7-observation
+    window — the local trend detector dashboards run beside the global
+    estimators (``stat_theil_sen_trend``/``stat_mann_kendall`` fit ONE
+    trend to the whole series; this one localizes WHEN the drift
+    starts).  Slope in value-units/day, from the closed form
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+
+    Exactness: daily sums quantize to BIGINT micro-units (the
+    stat_mann_kendall rule); x is the day offset from each series'
+    first day (re-centering keeps n·Σxy within int64); all five window
+    sums are exact integers, and the single division happens on
+    identically-rounded doubles in both engines.  Head-of-series
+    windows with n < 3 (or a degenerate x spread) are excluded on both
+    sides.
+
+    Scale: one (type, day) partial agg, one type-keyed window pass
+    with five running sums — calendar-bounded rows per type, the same
+    plan at any event volume."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr(
+            "cast(round(cast(sum(cast(value as decimal(14,4))) as decimal(18,4))"
+            " * 10000) as bigint)"
+        ).alias("y_u")
+    )
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y_u",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("event_type"))
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = idx.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y_u").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y_u")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    den = n * sxx - sx * sx
+    return win.filter((n >= 3) & (den > 0)).select(
+        "event_type",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        n.alias("n_win"),
+        F.round((n * sxy - sx * sy).cast("double") / den / 10000.0, 6).alias(
+            "slope"
+        ),
+    )
