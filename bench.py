@@ -170,6 +170,16 @@ HEADLINE = [
     # round-15: the near-dup decontamination tier (eval bands broadcast
     # against the maintained training band index)
     "decontaminate_near_lsh",
+    # round-15: the persisted IVFPQ lake index (serving path: saved
+    # centroids/postings, no rebuild), the AQP estimate with CLT error
+    # bars, the EOQ/safety-stock inventory policy layer, join-free
+    # multi-touch attribution, FD profiling, and the rolling OLS trend
+    "sim_ann_index_lake",
+    "sample_estimate_ci",
+    "orders_eoq_safety_stock",
+    "events_attribution_multi_touch",
+    "dq_functional_dependencies",
+    "events_rolling_slope",
 ]
 
 
