@@ -631,3 +631,39 @@ def test_round15_flagship_plan_properties(spark, sf_dir):
     assert a["python_row_at_a_time"] == 0
     assert a["take_ordered"]
     assert a["broadcast_joins"] >= 2  # probe centroids + rerank queries
+
+
+def test_round15_additions_plan_properties(spark, sf_dir):
+    """The later round-15 additions' scale properties, pinned:
+
+    - persisted ANN index: the serving path broadcasts the saved
+      centroids and the query set, reads postings/floats by join —
+      zero sort-merge joins, zero row-at-a-time Python;
+    - AQP estimate: two partial-agg branches over one scan shape and
+      a 6-row join — no window, no sort-merge join on the big side
+      (Catalyst may choose either join for the tiny grouped sides, so
+      only Python-free-ness and agg count are pinned);
+    - multi-touch attribution: window-only (no joins at all except
+      the final tiny union), zero Python;
+    - FD profiling: nothing but partial-agg'd aggregates — zero
+      joins, zero windows on row-expanded inputs, zero Python;
+    - rolling slope: one window pass, zero Python."""
+    a = audit(REGISTRY["sim_ann_index_lake"].fn(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    assert a["python_row_at_a_time"] == 0
+    assert a["broadcast_joins"] >= 2
+
+    a = audit(REGISTRY["sample_estimate_ci"].fn(spark, sf_dir))
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["events_attribution_multi_touch"].fn(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["dq_functional_dependencies"].fn(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0 and a["broadcast_joins"] == 0
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
+
+    a = audit(REGISTRY["events_rolling_slope"].fn(spark, sf_dir))
+    assert a["sort_merge_joins"] == 0
+    assert a["python_arrow"] == 0 and a["python_row_at_a_time"] == 0
