@@ -283,6 +283,42 @@ _IVF_MAX_BITS = 8
 _IVF_Q = 40
 
 
+def _ivf_assign_batches(bc_cents):
+    """mapInPandas kernel for the IVF coarse assignment: nearest
+    centroid per vector via one (B, dim) × (dim, K) BLAS matmul per
+    Arrow batch — ``argmin_k(||c_k||² − 2·x·c_k)`` (the ||x||² term is
+    constant per row and dropped).  ``bc_cents`` is a SparkContext
+    broadcast of the (cell, centroid) list sorted by cell, so argmin's
+    first-match rule breaks ties to the smallest cell."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        cents = bc_cents.value
+        if not cents:  # empty corpus: no centroids, nothing to assign
+            return
+        # pcell is emitted as string (concat_ws renders it the same
+        # way downstream); sorted order in bc_cents preserves the
+        # smallest-cell tie rule under argmin's first-match
+        cells = np.array([str(c[0]) for c in cents])
+        C = np.stack([np.asarray(c[1], dtype=np.float64) for c in cents])
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = cn[None, :] - 2.0 * (X @ C.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "pcell": cells[d2.argmin(axis=1)],
+                }
+            )
+
+    return gen
+
+
 def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
     """The IVF index build shared by ``sim_ann_ivf`` and
     ``sim_ann_ivfpq``: coarse label-mean centroids (broadcast argmin
@@ -308,28 +344,24 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
         .select(F.col("label").alias("cell"), "centroid")
     )
 
-    # 2. assignment: nearest coarse centroid per vector — the centroid
-    # set rides in as ONE broadcast array row and the argmin is a pure
-    # projection (array_min over (d2, cell) structs, ties to the
-    # smallest cell), so the corpus is never shuffled for assignment
-    # (the old crossJoin × groupBy(vec_id) form re-shuffled every
-    # vector through a corpus-sized aggregate — at 100 TB that shuffle
-    # IS the build cost).  The repartition only fans the small fixture
-    # out of its single parquet split; a real corpus arrives pre-split.
-    centarr = cent.agg(F.collect_list(F.struct("cell", "centroid")).alias("cents"))
-    best = F.array_min(
-        F.transform(
-            "cents",
-            lambda c: F.struct(
-                sq_dist(F.col("embedding"), c["centroid"], dim).alias("d2"),
-                c["cell"].alias("cell"),
-            ),
-        )
+    # 2. assignment: nearest coarse centroid per vector, as one
+    # Arrow-batched BLAS pass against the torrent-broadcast centroid
+    # block — argmin over cn − 2·X·Cᵀ per batch, ties to the smallest
+    # cell (FAISS's own assignment shape), so the corpus is never
+    # shuffled for assignment (the old crossJoin × groupBy(vec_id)
+    # form re-shuffled every vector through a corpus-sized aggregate —
+    # at 100 TB that shuffle IS the build cost; an unrolled JVM argmin
+    # expression was tried first and its cells×dim codegen compile
+    # cost seconds per session at ANY data size).  The repartition
+    # only fans the small fixture out of its single parquet split; a
+    # real corpus arrives pre-split.
+    cent_rows = sorted(
+        ((r.cell, list(r.centroid)) for r in cent.collect()), key=lambda t: t[0]
     )
-    coarse = (
-        e.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(centarr))
-        .select("vec_id", "embedding", best["cell"].alias("pcell"))
+    bc_cents = spark.sparkContext.broadcast(cent_rows)
+    coarse = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        _ivf_assign_batches(bc_cents),
+        "vec_id long, embedding array<float>, pcell string",
     )
     depth = coarse.groupBy("pcell").agg(
         F.expr(
