@@ -51,6 +51,8 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_eoq_safety_stock",
     "events_attribution_multi_touch",
     "sample_estimate_ci",
+    "events_rolling_slope",
+    "dq_functional_dependencies",
     # rows-only, no clean driver run yet
     "sim_ann_ivfpq",
     "decontaminate_near_lsh",
