@@ -183,3 +183,76 @@ def test_near_dup_ingest_stream_matches_batch_sequence(spark, sf_dir, tmp_path):
     # and the streamed index carries both appends (corpus + b1 + b2)
     n_docs = spark.read.parquet(f"{idx_path}/grams").count()
     assert n_docs == corpus_sig.count() + b1.count() + b2.count()
+
+
+def test_near_dup_ingest_redelivery_is_effectively_once(spark, sf_dir, tmp_path):
+    """Crash-redelivery contract for the PRODUCTION foreachBatch
+    closure (near_dup_ingest_batch): re-invoking it with the SAME
+    (batch_df, batch_id) — what Structured Streaming does after a
+    failure before the checkpoint commit — must (1) leave the
+    decisions table row-identical (no duplicates, no self-match
+    rewrites from probing its own appended bands), (2) re-append the
+    batch bands (storage dup, tolerated — idempotent for matching),
+    and (3) keep a LATER batch's decisions identical to the
+    never-crashed sequence."""
+    from go_otel_clickhouse_ingestor_spark.operators.dedup import (
+        _near_sigs,
+        materialized,
+        near_index_probe,
+        near_index_write,
+    )
+    from go_otel_clickhouse_ingestor_spark.streaming.dedup_stream import (
+        near_dup_ingest_batch,
+    )
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    corpus_sig = materialized(_near_sigs(d.filter(F.col("doc_id") % 10 < 8)))
+    b1 = d.filter(F.col("doc_id") % 10 == 8).select("doc_id", "text")
+    b2 = b1.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz qq")).alias("text"),
+    )
+
+    # reference: the never-crashed sequence on its own index copy
+    idx_ref = str(tmp_path / "idx_ref")
+    near_index_write(corpus_sig, idx_ref)
+    ref1, s1 = near_index_probe(spark, idx_ref, b1)
+    ref1_rows = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new) for r in ref1.collect()
+    }
+    near_index_write(s1, idx_ref, mode="append")
+    ref2, _ = near_index_probe(spark, idx_ref, b2)
+    ref2_rows = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new) for r in ref2.collect()
+    }
+
+    idx = str(tmp_path / "idx")
+    dec = str(tmp_path / "dec")
+    near_index_write(corpus_sig, idx)
+    ingest = near_dup_ingest_batch(idx, dec)
+
+    ingest(b1, 0)
+    n_grams_once = spark.read.parquet(f"{idx}/grams").count()
+    dec1 = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new)
+        for r in spark.read.parquet(dec).collect()
+    }
+    assert dec1 == ref1_rows
+
+    ingest(b1, 0)  # redelivery of the SAME batch
+    rows_after = spark.read.parquet(dec).collect()
+    assert len(rows_after) == len(dec1), "redelivery must not duplicate decisions"
+    assert {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new) for r in rows_after
+    } == ref1_rows
+    # bands were re-appended (storage dup) ...
+    assert spark.read.parquet(f"{idx}/grams").count() == n_grams_once + b1.count()
+
+    # ... and a later batch still decides exactly as the clean sequence
+    ingest(b2, 1)
+    dec2 = {
+        r.doc_id: (r.matched_doc, r.jaccard_sim, r.is_new)
+        for r in spark.read.parquet(dec).filter("batch_id = 1").collect()
+    }
+    assert dec2 == ref2_rows
