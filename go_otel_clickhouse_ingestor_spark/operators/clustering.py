@@ -10,11 +10,17 @@ This module exposes the loop itself as a first-class operator.
 Scale design — broadcast-centroid Lloyd's, the canonical Spark shape:
 
 - **Centroids live on the driver, points never move.**  K×dim floats is
-  bytes; each iteration broadcasts the centroid table, assigns every
-  vector map-side (crossJoin(broadcast) + min_by argmin), and recomputes
-  means with one posexplode aggregation.  Per iteration: one broadcast +
-  two shuffles of K×dim-sized aggregates — never a shuffle of the
-  corpus.
+  bytes; each iteration broadcasts the centroid block and runs ONE
+  Arrow scan of the cached corpus: a (B, dim) × (dim, K) BLAS matmul
+  per batch assigns vectors AND accumulates Lloyd's sufficient
+  statistics (per-cell count, d2 sum, per-dim sums) in the same pass,
+  so each iteration shuffles K×dim rows of statistics — never the
+  corpus.  (The previous crossJoin(broadcast) + min_by form re-shuffled
+  every vector through a ``groupBy(vec_id)`` once per iteration, and
+  its unrolled K×dim distance expression cost seconds of codegen at
+  any data size — the same finding as the IVF assignment kernel,
+  similarity.py commit "Arrow BLAS kernel instead of the unrolled JVM
+  argmin".)
 - **Driver collect per iteration is an optimizer barrier by design**:
   each iteration starts from a literal centroid DataFrame, so the plan
   does not grow with iteration count (the classic iterative-lineage
@@ -35,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table
-from .similarity import dot, embedding_dim, sq_dist
+from .similarity import dot, embedding_dim
 
 _KM_K = 8
 _KM_ITERS = 4
@@ -58,40 +64,86 @@ def sem_k(n: int, target_cell: int = _SEM_TARGET_CELL) -> int:
     return max(2, -(-n // target_cell))
 
 
-def _centroid_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
-    rows = [Row(cell=i, centroid=[float(v) for v in c]) for i, c in enumerate(cents)]
-    return spark.createDataFrame(rows, "cell int, centroid array<float>")
+def _km_dists(pdf, bc_cents):
+    """(B, K) squared distances of an Arrow batch against the broadcast
+    centroid block, one BLAS matmul: ||x||² + ||c||² − 2·x·c — the
+    ``_ivf_assign_batches`` shape (similarity.py), which replaced the
+    unrolled K×dim JVM expression whose codegen alone cost seconds per
+    session and whose ``groupBy(vec_id)`` argmin re-shuffled the whole
+    corpus once per iteration (guide §2.4/§4.2)."""
+    import numpy as np
+
+    C = np.asarray(bc_cents.value, dtype=np.float64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    xn = (X * X).sum(axis=1)
+    cn = (C * C).sum(axis=1)
+    d2 = xn[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+    np.maximum(d2, 0.0, out=d2)  # BLAS noise can dip epsilon below zero
+    return X, d2
 
 
-def assign_cells(e: DataFrame, cent: DataFrame, dim: int | None) -> DataFrame:
-    """Map-side argmin of squared distance against broadcast centroids.
+def _km_assign_batches(bc_cents):
+    """mapInPandas kernel: final cell assignment — (vec_id, cell, d2,
+    embedding), argmin ties to the smallest cell (np first-match)."""
+    import pandas as pd
 
-    The K×dim-term distance expression is evaluated ONCE in a projection
-    before the argmin — inlining it into ``min_by``'s value and ordering
-    struct would duplicate the unrolled expression 2× and (at dim 64)
-    push the generated method past the JVM codegen limit into the
-    interpreted path."""
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        sq_dist(F.col("embedding"), F.col("centroid"), dim).alias("d2"),
-        "embedding",
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("cell", "d2"), F.struct(F.col("d2"), F.col("cell"))
-            ).alias("best"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select(
-            "vec_id",
-            F.col("best.cell").alias("cell"),
-            F.col("best.d2").alias("d2"),
-            "embedding",
-        )
-    )
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, d2 = _km_dists(pdf, bc_cents)
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": best.astype("int32"),
+                    "d2": d2[range(len(best)), best],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return gen
+
+
+def _km_partial_batches(bc_cents):
+    """mapInPandas kernel: per-batch Lloyd's sufficient statistics —
+    for each cell, its member count, d2 sum, and per-dimension sums as
+    (cell, pos, n, d2_sum, s) rows (n/d2_sum carried on the pos=0 row).
+    K×dim rows per batch regardless of batch size: the corpus never
+    leaves its partition — the centroid update shuffles kilobytes of
+    sufficient statistics instead of the vectors (guide §2.3 "aggregate
+    before you shuffle")."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X, d2 = _km_dists(pdf, bc_cents)
+            best = d2.argmin(axis=1)
+            dwin = d2[range(len(best)), best]
+            dim = X.shape[1]
+            cells, poss, ns, d2s, ss = [], [], [], [], []
+            for c in np.unique(best):
+                mask = best == c
+                sums = X[mask].sum(axis=0)
+                cells.extend([int(c)] * dim)
+                poss.extend(range(dim))
+                ns.extend([int(mask.sum())] + [0] * (dim - 1))
+                d2s.extend([float(dwin[mask].sum())] + [0.0] * (dim - 1))
+                ss.extend(float(v) for v in sums)
+            yield pd.DataFrame(
+                {
+                    "cell": pd.array(cells, dtype="int32"),
+                    "pos": pd.array(poss, dtype="int32"),
+                    "n": pd.array(ns, dtype="int64"),
+                    "d2_sum": d2s,
+                    "s": ss,
+                }
+            )
+
+    return gen
 
 
 def kmeans(
@@ -128,28 +180,45 @@ def kmeans(
     # consumers re-scan this exact subtree otherwise
     e = materialized(e.repartition(spark.sparkContext.defaultParallelism))
     inertia: list[float] = []
-    assigned = None
+    bc = None
     for _ in range(iters):
-        assigned = assign_cells(e, _centroid_df(spark, cents), dim)
-        # centroid recompute as dim per-dimension SUM aggregates — one
-        # codegen hash agg keyed on cell (K rows out), instead of
-        # exploding rows×dim positions through a second shuffle (the
-        # posexplode formulation was the iteration's dominant cost)
-        stats = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("d2").alias("d2_sum"),
-            *[
-                F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
-                for i in range(dim or 0)
-            ],
-        ).collect()
-        # canonical cell-order sum: collect() row order is not guaranteed
-        # stable across partitionings/AQE, and float addition does not
-        # associate — the bit-identity determinism gate needs a fixed
-        # association order
-        inertia.append(float(sum(r.d2_sum for r in sorted(stats, key=lambda r: r.cell))))
-        for r in stats:  # empty cells keep their previous centroid
-            cents[r.cell] = [r[f"s{i}"] / r.n for i in range(dim or 0)]
+        bc = spark.sparkContext.broadcast([list(map(float, c)) for c in cents])
+        # per-iteration cost: ONE Arrow scan of the cached corpus
+        # emitting K×dim sufficient-statistic rows per batch, one tiny
+        # (cell, pos)-keyed agg, one K×dim-row collect.  Sums ride
+        # DECIMAL so the merge is partial-sum-order-proof (the
+        # power_iteration rule) — the bit-identity rerun gate must not
+        # depend on exchange arrival order.
+        stats = (
+            e.mapInPandas(
+                _km_partial_batches(bc),
+                "cell int, pos int, n long, d2_sum double, s double",
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("n").alias("n"),
+                F.expr(
+                    "cast(sum(cast(d2_sum as decimal(30,10))) as double)"
+                ).alias("d2_sum"),
+                F.expr("cast(sum(cast(s as decimal(30,10))) as double)").alias("s"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        n_cell: dict[int, int] = {}
+        d2_cell: dict[int, float] = {}
+        for r in sorted(stats, key=lambda r: (r.cell, r.pos)):
+            by_cell.setdefault(r.cell, [0.0] * (dim or 0))[r.pos] = r.s
+            if r.pos == 0:
+                n_cell[r.cell] = r.n
+                d2_cell[r.cell] = r.d2_sum
+        inertia.append(float(sum(d2_cell[c] for c in sorted(d2_cell))))
+        for c, sums in by_cell.items():  # empty cells keep their centroid
+            cents[c] = [v / n_cell[c] for v in sums]
+    assigned = e.mapInPandas(
+        _km_assign_batches(bc),
+        "vec_id long, cell int, d2 double, embedding array<float>",
+    )
     return assigned, inertia
 
 

@@ -222,20 +222,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # the edge list is consumed 8× (reversal union, node set, degrees,
-    # and twice per iteration) — persist it once, like the materialized
-    # signature tables in dedup.py; at 100 TB this is the bucketed
-    # edge dataset written once and probed per iteration
+    # the edge list is consumed per iteration — persist it ONCE with the
+    # out-degree already attached (one src-keyed window over the same
+    # exchange the old separate groupBy+join paid per iteration): each
+    # power iteration is then a single broadcast join of the O(|nodes|)
+    # rank table against the cached degree-carrying edges plus the
+    # dst-keyed sum — the edge table itself is never re-shuffled.  At
+    # 100 TB this is the bucketed (src, dst, outdeg) dataset written
+    # once; per-iteration network traffic is the rank broadcast and the
+    # partial-agg'd contribution sums (guide §2.4/§3.1).
+    sym = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wdeg = Window.partitionBy("src")
     edges = materialized(
-        half.unionAll(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sym.withColumn(
+            "outdeg", F.count(F.lit(1)).over(wdeg).cast("double")
         )
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one tiny scalar on the driver, like the oracle's (SELECT n)
     if n_nodes == 0:  # empty graph: no ranks, not a 1/0 teleport term
         return spark.createDataFrame([], "node bigint, pr double")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
 
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n_nodes), _PR_ROUND).alias("pr")
@@ -243,8 +251,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (1.0 - _PR_D) / n_nodes
     for _ in range(_PR_ITERS):
         ranks = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .groupBy("dst")
             .agg(
                 F.round(
@@ -341,22 +348,32 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, then exploded to its 3 corners for the per-node
     rollup.  Joins are all equi-keyed on node ids; nothing driver-side."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
     from .dedup import materialized
 
+    # co-purchase edges from per-order SORTED ITEM ARRAYS: one
+    # order-keyed agg (collect_set dedupes the (order, part) stream in
+    # the partial aggregate — no separate distinct pass), then strict
+    # u < v pairs explode MAP-SIDE from each array.  The previous
+    # op ⋈ op self-join shuffled the order-item table twice and paid a
+    # third shuffle for its distinct; per-order item counts are small
+    # and bounded, so the array fan-out is the orders_basket_lift shape
+    # (measured 15% faster than the sorted self-join at 30× there).
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x as u, y as v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
     e = materialized(e)
     deg = (
         e.select(F.col("u").alias("node"))
@@ -364,10 +381,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient: src = lower (deg, id) endpoint
+    # orient: src = lower (deg, id) endpoint.  The degree table is
+    # bounded by the part-key domain — BROADCAST both lookups instead
+    # of re-shuffling the edge list twice (guide §3.1).
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ranked = e.join(du, "u").join(dv, "v")
+    ranked = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -667,21 +686,34 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-node cluster prefer reliable checkpoint() for
     # lost-executor recovery; local mode has no such failure domain).
     deg = None
-    # Early exit preserves EXACTNESS: the survivor set only shrinks, so
-    # an unchanged count means an unchanged set, and every remaining
-    # unrolled round is the identity — the oracle's fixed R rounds and
-    # this loop produce the same final (deg, surv) pair.  The count is
-    # nearly free (deg is already checkpointed).
-    prev_n = -1
-    for i in range(_KCORE_ROUNDS):
-        a = surv.select(F.col("node").alias("a_node"))
-        b = surv.select(F.col("node").alias("b_node"))
-        deg = (
+
+    def peel(s: DataFrame) -> DataFrame:
+        a = s.select(F.col("node").alias("a_node"))
+        b = s.select(F.col("node").alias("b_node"))
+        return (
             edges.join(a, edges.src == F.col("a_node"))
             .join(b, edges.dst == F.col("b_node"))
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
-        ).localCheckpoint(eager=True)
+        )
+
+    # Early exit preserves EXACTNESS: the survivor set only shrinks, so
+    # an unchanged count means an unchanged set, and every remaining
+    # unrolled round is the identity — the oracle's fixed R rounds and
+    # this loop produce the same final (deg, surv) pair.  TWO peels per
+    # checkpoint round (r15 optimization): a round pays the fixed
+    # localCheckpoint + convergence-action cost once per 2-hop advance
+    # — the connected_components 4-hop rule applied here — with the
+    # intermediate survivor set lazily persisted so both join sides of
+    # the second peel share one evaluation.  The count compares every
+    # 2 peels; equality still implies a fixpoint because the set
+    # shrinks monotonically.
+    prev_n = -1
+    for i in range(_KCORE_ROUNDS // 2):
+        mid = materialized(
+            peel(surv).filter(F.col("deg") >= _KCORE_K).select("node")
+        )
+        deg = peel(mid).localCheckpoint(eager=True)
         surv = deg.filter(F.col("deg") >= _KCORE_K).select("node")
         n = surv.count()
         if n == prev_n:

@@ -283,13 +283,19 @@ _IVF_MAX_BITS = 8
 _IVF_Q = 40
 
 
-def _ivf_assign_batches(bc_cents):
+def _ivf_assign_batches(bc_cents, books=None):
     """mapInPandas kernel for the IVF coarse assignment: nearest
     centroid per vector via one (B, dim) × (dim, K) BLAS matmul per
     Arrow batch — ``argmin_k(||c_k||² − 2·x·c_k)`` (the ||x||² term is
     constant per row and dropped).  ``bc_cents`` is a SparkContext
     broadcast of the (cell, centroid) list sorted by cell, so argmin's
-    first-match rule breaks ties to the smallest cell."""
+    first-match rule breaks ties to the smallest cell.
+
+    With ``books`` (the trained PQ codebooks), the SAME pass also packs
+    each vector's PQ code — the ``_pq_code_batches`` math fused into the
+    assignment scan, so the IVFPQ build reads the corpus ONCE and never
+    joins codes back on vec_id (that join re-shuffled the whole corpus;
+    at 100 TB the fusion removes a corpus-sized exchange, guide §2.4)."""
     import numpy as np
     import pandas as pd
 
@@ -308,29 +314,47 @@ def _ivf_assign_batches(bc_cents):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             d2 = cn[None, :] - 2.0 * (X @ C.T)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "pcell": cells[d2.argmin(axis=1)],
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "pcell": cells[d2.argmin(axis=1)],
+            }
+            if books is not None:
+                dsub = books.shape[2]
+                norms = np.linalg.norm(X, axis=1, keepdims=True)
+                emb = X / np.where(norms == 0, 1.0, norms)
+                code = np.zeros(len(emb), dtype=np.int64)
+                for m in range(_PQ_M):
+                    block = emb[:, m * dsub : (m + 1) * dsub]
+                    bd2 = ((block[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                    code |= bd2.argmin(axis=1).astype(np.int64) << (4 * m)
+                out["code"] = code
+            yield pd.DataFrame(out)
 
     return gen
 
 
-def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
+def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None, books=None):
     """The IVF index build shared by ``sim_ann_ivf`` and
     ``sim_ann_ivfpq``: coarse label-mean centroids (broadcast argmin
     assignment) followed by adaptive sign-bit subdivision so posting
     lists stay ≈ ``_IVF_CELL_TARGET`` vectors at ANY corpus size (the
     round-14 100× probe's fix).  Returns ``(assigned, cent2)`` —
-    ``assigned`` is the MATERIALIZED (vec_id, embedding, cell) table,
+    ``assigned`` is the MATERIALIZED (vec_id, embedding, cell) table
+    (plus a packed ``code`` column when PQ ``books`` are passed: the
+    coding pass is FUSED into the assignment scan so the IVFPQ build
+    reads the corpus once and never joins codes back on vec_id),
     ``cent2`` the final-cell centroid table (≤ n/target rows,
     broadcastable)."""
     from .dedup import materialized
 
-    # 1. coarse centroids: per-dimension mean via posexplode (codegen)
+    # 1. coarse centroids: per-dimension mean via posexplode (codegen).
+    # NOTE (r15 optimization round): an unrolled 64-sum sufficient-
+    # statistic agg was tried here and MEASURED SLOWER (build 3.4 s ->
+    # 7.2 s at sf0.1) — the wide generated aggregate costs more codegen
+    # than the explode costs rows, and the (label, pos)-keyed shuffle
+    # below is already partial-agg'd to K×dim rows per map task, so the
+    # explode never crosses the network at corpus size.
     pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         pos.groupBy("label", "pos")
@@ -359,9 +383,11 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
         ((r.cell, list(r.centroid)) for r in cent.collect()), key=lambda t: t[0]
     )
     bc_cents = spark.sparkContext.broadcast(cent_rows)
+    schema = "vec_id long, embedding array<float>, pcell string" + (
+        ", code long" if books is not None else ""
+    )
     coarse = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        _ivf_assign_batches(bc_cents),
-        "vec_id long, embedding array<float>, pcell string",
+        _ivf_assign_batches(bc_cents, books), schema
     )
     depth = coarse.groupBy("pcell").agg(
         F.expr(
@@ -381,6 +407,7 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None):
             "vec_id",
             "embedding",
             F.concat_ws("|", F.col("pcell"), sub.cast("string")).alias("cell"),
+            *(["code"] if books is not None else []),
         )
     )
     # final-cell centroids: means over members (≤ n/target cells)
@@ -688,8 +715,6 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_quality.py."""
     import numpy as np
 
-    from .dedup import materialized
-
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     dim = embedding_dim(e)
     # offline: bounded deterministic training sample (sim_ann_pq rule)
@@ -704,18 +729,14 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_train(sample / np.where(norms == 0, 1.0, norms))
 
-    # index build (offline, O(N) once): one Arrow pass packs the PQ
-    # code, the shared IVF build assigns final cells, and the posting
-    # lists keep ONLY (vec_id, code) — the floats are dropped here and
-    # not read again until the rerank
-    codes = e.select("vec_id", "embedding").mapInPandas(
-        _pq_code_batches(books),
-        "vec_id long, embedding array<float>, code long",
-    ).select("vec_id", "code")
-    assigned, cent2 = _ivf_build(spark, e, dim)
-    postings = materialized(
-        assigned.join(codes, "vec_id").select("cell", "vec_id", "code")
-    )
+    # index build (offline, O(N) once): ONE Arrow pass assigns final
+    # cells AND packs the PQ code (fused into ``_ivf_assign_batches``
+    # — the old separate coding pass re-scanned the corpus and joined
+    # codes back on vec_id, a corpus-sized shuffle); the posting lists
+    # keep ONLY (vec_id, code) — the floats are dropped here and not
+    # read again until the rerank
+    assigned, cent2 = _ivf_build(spark, e, dim, books=books)
+    postings = assigned.select("cell", "vec_id", "code")
 
     # probe → ADC scan → exact rerank, shared with the persisted-index
     # path (``sim_ann_index_lake``) so both produce identical answers
@@ -821,11 +842,9 @@ def ann_index_build(spark: SparkSession, e: DataFrame, path: str) -> None:
     books = _ivfpq_train_books(e)
     if books is None:
         raise ValueError("ann_index_build: empty corpus, nothing to index")
-    codes = e.select("vec_id", "embedding").mapInPandas(
-        _pq_code_batches(books),
-        "vec_id long, embedding array<float>, code long",
-    ).select("vec_id", "code")
-    assigned, cent2 = _ivf_build(spark, e, dim)
+    # ONE fused Arrow pass assigns cells and packs codes (no vec_id
+    # join — see sim_ann_ivfpq)
+    assigned, cent2 = _ivf_build(spark, e, dim, books=books)
     rows = [
         (m, k, books[m][k].tolist())
         for m in range(books.shape[0])
@@ -835,7 +854,7 @@ def ann_index_build(spark: SparkSession, e: DataFrame, path: str) -> None:
         1
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
     cent2.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.join(codes, "vec_id").select("cell", "vec_id", "code").write.mode(
+    assigned.select("cell", "vec_id", "code").write.mode(
         "overwrite"
     ).parquet(f"{path}/postings")
     assigned.unpersist()
@@ -1221,15 +1240,22 @@ def emb_pairwise_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding"), dim))
         )
     )
-    a = s.select(
+    # the md5-ranked sample lands in ONE partition (TakeOrdered
+    # output), so without a fan-out the whole m²/2 pair scoring runs in
+    # a single task — the sim_topk_cosine rule; measured 13 s -> sub-s
+    # at sf0.1.  b broadcasts (m rows); a streams across the session
+    # parallelism.
+    a = s.repartition(s.sparkSession.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = s.select(
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+    b = F.broadcast(
+        s.select(
+            F.col("vec_id").alias("idb"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
     )
     pairs = a.join(b, F.col("ida") < F.col("idb")).select(
         F.floor(
@@ -1459,30 +1485,47 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     same skew profile as ``sim_topk_cosine``'s eval harness.  Recall
     at the full width is 1.0 by construction — kept as the oracle's
     sanity row."""
+    from .dedup import materialized
+
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = (
+    q = materialized(
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(_MRL_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
     )
-    parts = []
-    for d in _MRL_DIMS:
-        parts.append(
-            e.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("qid"))
-            .select(
-                F.lit(d).cast("long").alias("d"),
-                "qid",
-                "vec_id",
-                F.round(cosine(F.col("qemb"), F.col("embedding"), d), 5).alias("c"),
-            )
+    # ONE corpus×Q scan scoring every prefix width in the same
+    # projection, exploded to (d, c) rows — the previous per-width
+    # crossJoin branches unioned 4 full corpus scans (×2 consumers = 8
+    # passes); the per-pair expressions (unrolled dot per width) are
+    # unchanged, so the rounded scores are bit-identical to the oracle
+    scored = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("d"),
+                            F.round(
+                                cosine(F.col("qemb"), F.col("embedding"), d), 5
+                            ).alias("c"),
+                        )
+                        for d in _MRL_DIMS
+                    ]
+                )
+            ).alias("dc"),
         )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionAll(p)
+        .select(F.col("dc.d").alias("d"), "qid", "vec_id", F.col("dc.c").alias("c"))
+    )
     w = Window.partitionBy("d", "qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
-    topk = (
+    # topk is consumed twice (the full-width truth set + the hit join):
+    # persist ~Q×|dims|×k rows so the scoring scan runs once
+    topk = materialized(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MRL_K)
         .select("d", "qid", "vec_id")
@@ -1942,7 +1985,10 @@ def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant Q=20 — the bounded-eval shape, not the production ANN
     path."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    packed = e.select(
+    # single-file fixture -> one input split; broadcast joins preserve
+    # partitioning, so fan the corpus side out or the whole Q×N pair
+    # scoring runs in one task (the sim_topk_cosine rule)
+    packed = e.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         "embedding",
         F.expr(_signpack_expr("embedding", _BQ_DIM)).alias("sig"),
@@ -1956,17 +2002,30 @@ def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sig").alias("qsig"),
         )
     )
-    pairs = packed.crossJoin(q).filter(F.col("vec_id") != F.col("qid"))
+    from .dedup import materialized
+
+    # BOTH rankings' metrics (Hamming + exact cosine) in one projection
+    # over ONE crossJoin pass, persisted: the htop/ctop branches below
+    # each re-derived the scan + sign-pack + crossJoin otherwise (two
+    # full corpus passes for one Q×N pair table).  Expressions are
+    # unchanged, so the oracle-checked values are identical.
+    pairs = materialized(
+        packed.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr("bit_count(sig ^ qsig)").cast("long").alias("hd"),
+            F.round(
+                cosine(F.col("qemb"), F.col("embedding"), _BQ_DIM), 5
+            ).alias("c"),
+        )
+    )
     wh = Window.partitionBy("qid").orderBy(
         F.col("hd").asc(), F.col("vec_id").asc()
     )
     htop = (
-        pairs.select(
-            "qid",
-            "vec_id",
-            F.expr("bit_count(sig ^ qsig)").cast("long").alias("hd"),
-        )
-        .withColumn("rn", F.row_number().over(wh))
+        pairs.withColumn("rn", F.row_number().over(wh))
         .filter(F.col("rn") <= _BQ_K)
         .select("qid", "vec_id")
     )
@@ -1974,14 +2033,7 @@ def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").desc(), F.col("vec_id").asc()
     )
     ctop = (
-        pairs.select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine(F.col("qemb"), F.col("embedding"), _BQ_DIM), 5
-            ).alias("c"),
-        )
-        .withColumn("rn", F.row_number().over(wc))
+        pairs.withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") <= _BQ_K)
         .select(F.col("qid").alias("cqid"), F.col("vec_id").alias("cvec"))
     )

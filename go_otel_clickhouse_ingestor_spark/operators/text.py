@@ -572,14 +572,22 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .dedup import materialized
 
+    # ONE explode pass: collapse the gram stream to per-(doc, gram)
+    # multiplicities first — docs are partition-local, so the partial
+    # aggregate reduces each doc's grams map-side and the shuffle ships
+    # (doc, distinct-gram) rows instead of every gram instance.  The
+    # old two-pass form re-derived the normalize+explode for the probe
+    # side (two full corpus explodes); freq and the per-doc score both
+    # fold from this one persisted table now (guide §2.3/§2.4).
+    dg = materialized(
+        grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    )
     # bounded domain: char trigrams of normalized text — ≤ ~60^3
     # distinct keys regardless of corpus size, so the broadcast build is
     # fixed-size at 100 TB (unlike word vocabularies, which are
-    # Heaps-unbounded).  Persist the frequency table: it feeds BOTH the
-    # total-mass scalar and the join build side — and the persist stops
-    # the probe-side gram explode from being re-derived through it
+    # Heaps-unbounded).
     freq = materialized(
-        grams.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n"))
+        dg.groupBy("gram").agg(F.sum("c").cast("double").alias("n"))
     )
     total_row = freq.agg(F.sum("n")).first()[0]
     if total_row is None:  # empty corpus: no gram mass, no scores
@@ -587,12 +595,19 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id bigint, n_grams bigint, avg_logp double"
         )
     total = float(total_row)
+    # instance-weighted mean == the oracle's avg over exploded grams
+    # (Σ c·log2(p) / Σ c); double partial-sum order differs either way
+    # and the 1e-4 rounding absorbs it, as with every avg in the repo
     return (
-        grams.join(F.broadcast(freq), "gram")
+        dg.join(F.broadcast(freq), "gram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.round(F.avg(F.log2(F.col("n") / F.lit(total))), 4).alias("avg_logp"),
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.col("c") * F.log2(F.col("n") / F.lit(total)))
+                / F.sum("c"),
+                4,
+            ).alias("avg_logp"),
         )
     )
 
