@@ -7310,14 +7310,21 @@ def orders_eoq_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     same at 100 TB with the part dimension sharding the shuffle."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("l_partkey").alias("partkey"),
-        F.to_date("o_orderdate").alias("oday"),
-        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
-        F.greatest(
-            F.lit(0), F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-        ).alias("lead_days"),
+    from .dedup import materialized
+
+    # j feeds three aggregation branches (daily demand, lead-time
+    # stats, unit cost) — persist the joined stream once instead of
+    # re-running the orders⋈lineitem join per branch
+    j = materialized(
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            F.col("l_partkey").alias("partkey"),
+            F.to_date("o_orderdate").alias("oday"),
+            F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+            F.greatest(
+                F.lit(0), F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            ).alias("lead_days"),
+        )
     )
     daily = j.groupBy("partkey", "oday").agg(F.sum("qty").alias("dq"))
     dstat = daily.groupBy("partkey").agg(

@@ -922,27 +922,37 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row final agg — one scan per source table feeding all its
     pairs, nothing row-expanded, the candidate list is the bounded
     driver-side dimension."""
-    out = None
+    # ONE aggregation chain for all candidate pairs (the oracle's own
+    # shape): tag each pair's (a, b) stream with its (tbl, lhs, rhs)
+    # literals, union, and run a single groupBy pipeline.  The previous
+    # per-pair form built 5 independent 3-stage agg chains (15 stages,
+    # 5 scheduler round-trips); this is 3 partial-agg'd shuffles total
+    # with the same integer arithmetic (guide §1.2 — fewer passes).
+    parts = []
     for tbl, lhs, rhs in _FD_CANDIDATES:
         t = table(spark, sf_dir, tbl)
-        g = (
+        parts.append(
             t.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
                 F.col(lhs).cast("string").alias("a"),
                 F.col(rhs).cast("string").alias("b"),
             )
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
         )
-        m = g.groupBy("a").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-        agg = m.agg(
-            F.lit(tbl).alias("tbl"),
-            F.lit(lhs).alias("lhs"),
-            F.lit(rhs).alias("rhs"),
-            F.sum("tot").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_lhs_distinct"),
-            F.sum("mx").alias("n_kept"),
-            (F.sum("mx") == F.sum("tot")).alias("fd_holds"),
-            F.round(F.sum("mx").cast("double") / F.sum("tot"), 6).alias("confidence"),
-        ).filter(F.col("n_rows").isNotNull())
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    pairs = parts[0]
+    for pdf in parts[1:]:
+        pairs = pairs.unionByName(pdf)
+    g = pairs.groupBy("tbl", "lhs", "rhs", "a", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = g.groupBy("tbl", "lhs", "rhs", "a").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    return m.groupBy("tbl", "lhs", "rhs").agg(
+        F.sum("tot").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_lhs_distinct"),
+        F.sum("mx").alias("n_kept"),
+        (F.sum("mx") == F.sum("tot")).alias("fd_holds"),
+        F.round(F.sum("mx").cast("double") / F.sum("tot"), 6).alias("confidence"),
+    )

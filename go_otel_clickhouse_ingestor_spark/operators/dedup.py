@@ -88,27 +88,46 @@ def gram_hashes(
     ``collect_set`` dedupes on its own — to skip a whole corpus-sized
     shuffle.
 
-    Deliberately HOF-free: an earlier formulation built shingles with
-    ``transform``/``element_at`` lambdas, which Spark evaluates
+    Deliberately lambda-free: an earlier formulation built shingles
+    with ``transform``/``element_at`` LAMBDAS, which Spark evaluates
     *interpreted* (outside whole-stage codegen) and re-inlines per
-    consumer — it dominated the dedup bench.  posexplode + window
-    ``lead`` + ``concat_ws`` + ``xxhash64`` all stay inside codegen.
+    consumer — it dominated the dedup bench.  This form explodes the
+    token INDEX sequence and slices with plain ``element_at(ts, i)``
+    column indexing (codegen, no lambda) — the text_trigram_lm_score
+    substring trick applied to word shingles.  A window-``lead``
+    formulation sat in between (r15 optimization round): correct and
+    codegen, but its ``partitionBy(doc_id) orderBy(pos)`` SHUFFLED AND
+    SORTED the whole token stream before a single gram existed —
+    measured as ~70% of dedup_ngram_jaccard's runtime at sf0.1, and a
+    corpus-sized exchange at 100 TB.  This form builds grams entirely
+    map-side (guide §2.4).
 
-    Scale: one shuffle on doc_id for the window (per-document sort of
-    bounded token lists), one for the per-doc distinct; both partial
-    and skew-safe (a document's tokens are bounded, not corpus-sized)."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2 = F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+    Scale: zero shuffles here; the only exchange is the consumer's own
+    (the per-doc distinct below when ``distinct=True``).  fast_tokens
+    on non-empty trimmed text never yields empty tokens; the
+    whitespace-only edge case yields [""], which ``size >= 3`` drops
+    exactly as the old ``t != ''`` filter did."""
     out = (
-        d.select(
-            "doc_id", *keep, F.posexplode(fast_tokens(F.col("text"))).alias("pos", "t")
+        d.select("doc_id", *keep, fast_tokens(F.col("text")).alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            *keep,
+            "ts",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - 2)).alias("i"),
         )
-        .filter(F.col("t") != "")
-        .withColumn("g", F.when(t2.isNotNull(), F.concat_ws(" ", F.col("t"), t1, t2)))
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", *keep, F.xxhash64("g").alias("gh"))
+        .select(
+            "doc_id",
+            *keep,
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at("ts", F.col("i")),
+                    F.element_at("ts", F.col("i") + 1),
+                    F.element_at("ts", F.col("i") + 2),
+                )
+            ).alias("gh"),
+        )
     )
     return out.dropDuplicates(["doc_id", "gh"]) if distinct else out
 
@@ -319,21 +338,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(fast_tokens(F.col("text"))).alias("t")
     ).filter(F.col("t") != "").withColumn("h", F.xxhash64("t"))
-    # per-bit vote: +1 when bit set, -1 otherwise; bit b of the
-    # signature is 1 iff the vote is positive
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+    # per-bit vote (+1 set / -1 clear) as an Arrow sufficient-statistic
+    # kernel: each batch unpacks its token hashes into a (rows, 64) bit
+    # matrix with one vectorized shift and emits per-doc PARTIAL votes
+    # (doc_id, pos, v) — 64 rows per doc per batch.  The old form ran a
+    # 64-column unrolled JVM aggregate over the exploded token stream;
+    # the wide generated aggregate (not the explode) was the stage cost
+    # — the same finding as the k-means argmin (guide §4.2).  Votes are
+    # integer sums, so the kernel is exact and merge-order-proof; token
+    # hashing stays in the JVM (engine hash = xxhash64, unchanged).
+    def _vote_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy().astype(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            docs, inv = np.unique(pdf["doc_id"].to_numpy(), return_inverse=True)
+            set_cnt = np.zeros((len(docs), 64), dtype=np.int64)
+            np.add.at(set_cnt, inv, bits)
+            n = np.bincount(inv, minlength=len(docs)).astype(np.int64)
+            v = 2 * set_cnt - n[:, None]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(docs, 64),
+                    "pos": np.tile(np.arange(64, dtype=np.int32), len(docs)),
+                    "v": v.ravel(),
+                }
+            )
+
+    partial = tok.select("doc_id", "h").mapInPandas(
+        _vote_batches, "doc_id long, pos int, v long"
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(F.shiftleft(bit, b))
-    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # two tiny partial-agg'd shuffles (docs×64 rows, then docs rows)
+    # reassemble the signature: bit pos is set iff the total vote > 0
+    sigs = (
+        partial.groupBy("doc_id", "pos")
+        .agg(F.sum("v").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), pos)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
     bands = sigs.select(
         "doc_id",
         "simhash",

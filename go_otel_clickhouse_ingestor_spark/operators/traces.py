@@ -261,9 +261,18 @@ def spans_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic).  Plan: spans shuffle once on the trace key; the
     ancestor join and both windows reuse that partitioning; output is
     one row per trace."""
+    from ..operators.dedup import materialized
+
     s = _span_tree(spark, sf_dir)
     w = Window.partitionBy("user_id")
-    sized = s.withColumn("n_spans", F.count(F.lit(1)).over(w).cast("long"))
+    # sized is consumed by THREE branches (leaf set, ancestor-join
+    # probe, per-trace span count): persist it so the events scan and
+    # the two user_id windows run once, not per branch (the span-tree
+    # derivation was ~2/3 of this query's runtime at sf0.1)
+    sized = materialized(
+        s.withColumn("n_spans", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    s = sized.select("user_id", "idx", "dur_us")
     leaves = sized.filter(2 * F.col("idx") > F.col("n_spans")).select(
         "user_id", F.col("idx").alias("leaf_idx"), "n_spans"
     )
