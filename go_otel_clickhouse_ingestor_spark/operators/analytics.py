@@ -7310,21 +7310,19 @@ def orders_eoq_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     same at 100 TB with the part dimension sharding the shuffle."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    from .dedup import materialized
-
-    # j feeds three aggregation branches (daily demand, lead-time
-    # stats, unit cost) — persist the joined stream once instead of
-    # re-running the orders⋈lineitem join per branch
-    j = materialized(
-        li.join(o, li.l_orderkey == o.o_orderkey).select(
-            F.col("l_partkey").alias("partkey"),
-            F.to_date("o_orderdate").alias("oday"),
-            F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
-            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
-            F.greatest(
-                F.lit(0), F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-            ).alias("lead_days"),
-        )
+    # NOTE (r15 optimization round): persisting this joined stream for
+    # its three aggregation branches was tried and MEASURED SLOWER
+    # (1.3 s -> 2.5 s at sf0.1 in the back-to-back bench A/B): the join
+    # is orderkey-co-partitioned and every branch partial-aggregates,
+    # so caching 600k wide rows costs more than the extra scans save.
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("partkey"),
+        F.to_date("o_orderdate").alias("oday"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+        F.greatest(
+            F.lit(0), F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        ).alias("lead_days"),
     )
     daily = j.groupBy("partkey", "oday").agg(F.sum("qty").alias("dq"))
     dstat = daily.groupBy("partkey").agg(
