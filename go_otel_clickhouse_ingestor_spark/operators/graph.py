@@ -675,7 +675,9 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    surv = edges.select(F.col("src").alias("node")).distinct()
+    # (The initial survivor set is implicitly ALL nodes — the first
+    # peel below degenerates to a plain degree count, so no distinct
+    # node set is ever materialized.)
     # Iterative state must TRUNCATE LINEAGE each round, not merely
     # persist: every round consumes the previous survivor set twice
     # (both join sides), so the un-truncated logical plan doubles per
@@ -710,9 +712,21 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shrinks monotonically.
     prev_n = -1
     for i in range(_KCORE_ROUNDS // 2):
-        mid = materialized(
-            peel(surv).filter(F.col("deg") >= _KCORE_K).select("node")
-        )
+        if i == 0:
+            # First peel: the survivor set is ALL nodes, so both
+            # survivor joins are identities — the peel is just the raw
+            # degree count (r15 optimization round: two joins dropped
+            # from the first round; provably the same survivor set).
+            first = edges.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            mid = materialized(
+                first.filter(F.col("deg") >= _KCORE_K).select("node")
+            )
+        else:
+            mid = materialized(
+                peel(surv).filter(F.col("deg") >= _KCORE_K).select("node")
+            )
         deg = peel(mid).localCheckpoint(eager=True)
         surv = deg.filter(F.col("deg") >= _KCORE_K).select("node")
         n = surv.count()

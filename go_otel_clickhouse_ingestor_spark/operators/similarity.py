@@ -386,8 +386,20 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None, books=None):
     schema = "vec_id long, embedding array<float>, pcell string" + (
         ", code long" if books is not None else ""
     )
-    coarse = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        _ivf_assign_batches(bc_cents, books), schema
+    # The assignment kernel output is the ONE corpus-sized persist of the
+    # build (r15 optimization round): the adaptive subdivision needs the
+    # per-cell counts BEFORE it can finalize cells, so ``coarse`` is
+    # consumed by the depth aggregate and then streamed again into the
+    # final cell projection — unpersisted, each consumer re-ran the full
+    # Arrow matmul/coding pass (two corpus scans through the Python
+    # boundary per build, guide §2.4/§5).  ``assigned`` itself stays a
+    # cheap broadcast-join projection over the cache: its consumers
+    # re-derive the tiny depth agg from cached batches instead of holding
+    # a second corpus-sized copy.
+    coarse = materialized(
+        e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+            _ivf_assign_batches(bc_cents, books), schema
+        )
     )
     depth = coarse.groupBy("pcell").agg(
         F.expr(
@@ -402,13 +414,11 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None, books=None):
             F.lit(1 << i),
         ).otherwise(F.lit(0))
         sub = term if sub is None else sub + term
-    assigned = materialized(
-        coarse.join(F.broadcast(depth), "pcell").select(
-            "vec_id",
-            "embedding",
-            F.concat_ws("|", F.col("pcell"), sub.cast("string")).alias("cell"),
-            *(["code"] if books is not None else []),
-        )
+    assigned = coarse.join(F.broadcast(depth), "pcell").select(
+        "vec_id",
+        "embedding",
+        F.concat_ws("|", F.col("pcell"), sub.cast("string")).alias("cell"),
+        *(["code"] if books is not None else []),
     )
     # final-cell centroids: means over members (≤ n/target cells)
     cent2 = (
@@ -425,16 +435,24 @@ def _ivf_build(spark: SparkSession, e: DataFrame, dim: int | None, books=None):
     return assigned, cent2
 
 
-def _ivf_probes(e: DataFrame, cent2: DataFrame, dim: int | None) -> DataFrame:
-    """The constant-Q probe set: md5-capped queries ranked against the
-    broadcast final-cell centroids, top ``_IVF_NPROBE`` cells each —
-    (query_id, qemb, cell)."""
-    q = (
+def _ivf_query_set(e: DataFrame) -> DataFrame:
+    """The constant-Q IVF query set: md5-capped every-50th vectors, as
+    (query_id, qemb) — factored out of ``_ivf_probes`` so callers that
+    already hold the collected queries (``_ivfpq_search``) can rank
+    cells from a local relation instead of re-deriving this corpus
+    subtree per consumer."""
+    return (
         e.filter(F.col("vec_id") % 50 == 0)
         .orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(_IVF_Q)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
     )
+
+
+def _ivf_probes(q: DataFrame, cent2: DataFrame, dim: int | None) -> DataFrame:
+    """The constant-Q probe set: the (query_id, qemb) query table ranked
+    against the broadcast final-cell centroids, top ``_IVF_NPROBE``
+    cells each — (query_id, qemb, cell)."""
     qd2 = sq_dist(F.col("qemb"), F.col("centroid"), dim)
     wq = Window.partitionBy("query_id").orderBy(qd2.asc(), F.col("cell").asc())
     return (
@@ -483,7 +501,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     dim = embedding_dim(e)
     assigned, cent2 = _ivf_build(spark, e, dim)
-    probes = _ivf_probes(e, cent2, dim)
+    probes = _ivf_probes(_ivf_query_set(e), cent2, dim)
+    # probes is Q × nprobe rows — AQE broadcasts it from its runtime
+    # size, so the corpus-sized posting-list side is never shuffled
     cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",
@@ -756,10 +776,28 @@ def _ivfpq_search(
     search: constant-Q probe against the (broadcastable) final-cell
     centroids, codes-only ADC scan over the probed posting lists,
     exact cosine rerank of the ADC shortlist against the base floats."""
-    probes = _ivf_probes(e, cent2, dim)
-    q = probes.select("query_id", "qemb").distinct()
+    from .dedup import materialized
+
+    # The bounded Q-row query table, PERSISTED: the old shape derived
+    # ``q`` from the probes DataFrame, so the corpus-scan → crossJoin →
+    # window probe subtree was re-evaluated three times per search (the
+    # q-collect action, the candidate join, and the rerank's
+    # broadcast(q)) — the r15 plan audit counted the same subtree
+    # thrice in one final plan.  Persisting q caches the ONE
+    # TakeOrdered corpus scan; probes and the rerank read Q rows back.
+    # (A createDataFrame local relation was tried instead and measured
+    # 4-8× SLOWER end-to-end: a Python-list relation plans as a
+    # pickled-RDD scan, not a LocalTableScan, and every reference pays
+    # a Python-runner stage.)
+    q = materialized(_ivf_query_set(e))
     queries = [(r.query_id, list(r.qemb)) for r in q.orderBy("query_id").collect()]
     bc_queries = spark.sparkContext.broadcast(queries)
+    probes = _ivf_probes(q, cent2, dim)
+    # No broadcast hint on the candidate/rerank joins: the probes and
+    # shortlist sides are Q-bounded and AQE flips them to broadcast
+    # from their RUNTIME sizes, while a static hint forces the whole
+    # upstream pipeline behind a broadcast-build barrier (measured
+    # ~+0.7 s per query at sf0.1 with identical results).
     cand = (
         probes.select("query_id", "cell")
         .join(postings, "cell")
@@ -782,7 +820,9 @@ def _ivfpq_search(
         .select("query_id", "vec_id")
     )
 
-    # exact rerank: the only stage that touches floats again
+    # exact rerank: the only stage that touches floats again (the
+    # shortlist is Q × _IVFPQ_SHORTLIST rows — AQE broadcasts it from
+    # its runtime size, so the base float table is never shuffled)
     rer = (
         shortlist.join(e.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -857,7 +897,6 @@ def ann_index_build(spark: SparkSession, e: DataFrame, path: str) -> None:
     assigned.select("cell", "vec_id", "code").write.mode(
         "overwrite"
     ).parquet(f"{path}/postings")
-    assigned.unpersist()
 
 
 def _ann_books_read(spark: SparkSession, path: str):

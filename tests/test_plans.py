@@ -623,13 +623,17 @@ def test_round15_flagship_plan_properties(spark, sf_dir):
 
     - IVFPQ: the ADC scan is the ONLY Arrow stage in the prepared plan
       (the offline code-packing pass hides behind the materialized
-      posting-list cache); the rerank cut is TakeOrderedAndProject or
-      a partitioned window, never a global sort; zero row-at-a-time
-      Python."""
+      assignment cache); since the r15 optimization round the Q-row
+      query table is PERSISTED, so its TakeOrdered corpus scan runs
+      once instead of once per consumer (collect, probe ranking,
+      rerank) — the old pin asserted TakeOrdered presence, which held
+      incidentally through the re-derivations; the real invariants
+      are: nothing sort-merges, the bounded sides broadcast, zero
+      row-at-a-time Python."""
     a = audit(REGISTRY["sim_ann_ivfpq"].fn(spark, sf_dir))
     assert a["python_arrow"] <= 1
     assert a["python_row_at_a_time"] == 0
-    assert a["take_ordered"]
+    assert a["sort_merge_joins"] == 0
     assert a["broadcast_joins"] >= 2  # probe centroids + rerank queries
 
 
