@@ -1459,6 +1459,59 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mrl_score_batches(bc_queries):
+    """Arrow kernel scoring every (corpus row × query × prefix width)
+    cosine in one corpus pass: ONE np.cumsum over the elementwise
+    product yields the left-associative prefix dot at ALL widths
+    simultaneously (bit-identical to the unrolled JVM chain and to
+    DuckDB's list_dot_product over list_slice — the _seq_dot rule),
+    and _round_half_away(…, 5) is F.round's rounding mode.  Rows with
+    vec_id == qid are excluded, matching the join condition it
+    replaces.  Row blocks are chunked so the (B, Q, dim) product
+    buffer stays bounded regardless of Arrow batch size."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        qs = bc_queries.value
+        if not qs:
+            return
+        qids = np.array([t[0] for t in qs], dtype=np.int64)
+        qm = np.stack([np.asarray(t[1], dtype=np.float64) for t in qs])
+        widths = np.array(_MRL_DIMS, dtype=np.int64)
+        wix = widths - 1
+        qq_sqrt = np.sqrt(np.cumsum(qm * qm, axis=1)[:, wix])  # (Q, D)
+        nq, nd = len(qids), len(widths)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                emb = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+                vids = chunk["vec_id"].to_numpy().astype(np.int64)
+                nb = len(vids)
+                ee_sqrt = np.sqrt(np.cumsum(emb * emb, axis=1)[:, wix])  # (B, D)
+                prefix = np.cumsum(
+                    emb[:, None, :] * qm[None, :, :], axis=2
+                )[:, :, wix]  # (B, Q, D)
+                c = _round_half_away(
+                    prefix / (qq_sqrt[None, :, :] * ee_sqrt[:, None, :]), 5
+                )
+                keep = (vids[:, None] != qids[None, :])  # (B, Q)
+                keep3 = np.repeat(keep[:, :, None], nd, axis=2).reshape(-1)
+                yield pd.DataFrame(
+                    {
+                        "d": np.tile(np.tile(widths, nq), nb)[keep3],
+                        "qid": np.tile(np.repeat(qids, nd), nb)[keep3],
+                        "vec_id": np.repeat(vids, nq * nd)[keep3],
+                        "c": c.reshape(-1)[keep3],
+                    }
+                )
+
+    return gen
+
+
 #: Matryoshka evaluation grid: nested prefix widths of the stored
 #: embedding (MRL-style), the fixed query-set size, and retrieval
 #: depth.  Q is FIXED (md5-ranked) — eval cost is Q·N·|dims| with
@@ -1513,10 +1566,12 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated-width cosine search (dims 8/16/32/64) against the
     full-width ranking — the measurement behind the "store 64, search
     8, rerank 64" serving pattern modern MRL-trained embedding stacks
-    use to cut memory 8×.  Each prefix width gets its own UNROLLED
-    codegen kernel (the ``dot(…, dim)`` rule — no slice, just the
-    first d multiply-adds of the stored array), so adding widths adds
-    flat expression work, not new Python or array churn.  The query
+    use to cut memory 8×.  All prefix widths are scored by ONE Arrow
+    kernel pass over the corpus (``_mrl_score_batches``): a single
+    sequential cumsum yields every prefix dot at once, so adding
+    widths adds a slice, not new work — and the generated-code form
+    this replaces blew Janino's 64 KB method limit and ran the whole
+    stage INTERPRETED (measured ~6 s of ~7 s at sf0.1).  The query
     set is the md5-ranked first Q=20 vectors (fixed-size, broadcast);
     eval cost is Q·N·|dims| with constant Q — the bounded-eval shape,
     not the production ANN path (that's ``sim_ann_*``).  The windowed
@@ -1527,39 +1582,34 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import materialized
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = materialized(
+    q = (
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(_MRL_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
     )
-    # ONE corpus×Q scan scoring every prefix width in the same
-    # projection, exploded to (d, c) rows — the previous per-width
-    # crossJoin branches unioned 4 full corpus scans (×2 consumers = 8
-    # passes); the per-pair expressions (unrolled dot per width) are
-    # unchanged, so the rounded scores are bit-identical to the oracle
+    # ONE corpus scan scoring every prefix width in a single Arrow
+    # kernel pass.  The previous single-projection form unrolled
+    # (8+16+32+64) = 120 dot terms × 3 dots per width into one
+    # generated method — Janino refused it ("Code grows beyond 64 KB",
+    # 5 hits in the r15 bench stderr) and the WHOLE stage fell back to
+    # INTERPRETED expression evaluation, which was ~6 s of the query's
+    # ~7 s at sf0.1 (guide §4.2: hand batches to vectorized native
+    # code instead).  Exactness is unchanged: np.cumsum is the same
+    # left-associative sequential fold as the unrolled JVM chain (see
+    # _seq_dot), one cumsum yields ALL prefix-width dots at once, and
+    # _round_half_away is F.round's half-away-from-zero mode.  The Q
+    # query rows are a bounded driver scalar (the sim_ann_pq
+    # discipline) re-shipped via torrent broadcast.
+    q_rows = [(r.qid, list(r.qemb)) for r in q.collect()]
+    bc_q = spark.sparkContext.broadcast(q_rows)
     scored = (
         e.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).cast("long").alias("d"),
-                            F.round(
-                                cosine(F.col("qemb"), F.col("embedding"), d), 5
-                            ).alias("c"),
-                        )
-                        for d in _MRL_DIMS
-                    ]
-                )
-            ).alias("dc"),
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            _mrl_score_batches(bc_q),
+            "d long, qid long, vec_id long, c double",
         )
-        .select(F.col("dc.d").alias("d"), "qid", "vec_id", F.col("dc.c").alias("c"))
     )
     w = Window.partitionBy("d", "qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
     # topk is consumed twice (the full-width truth set + the hit join):
