@@ -269,12 +269,21 @@ def semantic_pairs(spark: SparkSession, e: DataFrame) -> DataFrame:
     # while doubling the fixed per-iteration job cost
     assigned, _ = kmeans(spark, e, k=sem_k(n), iters=2)
     # norms once per VECTOR (not per pair: 3× the unrolled dot per pair
-    # blows the codegen method limit and triples the pair-stage cost)
-    nrm = assigned.select(
-        "vec_id",
-        "cell",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"), dim)).alias("nrm"),
+    # blows the codegen method limit and triples the pair-stage cost).
+    # MATERIALIZED: the self-join below consumes this table on BOTH
+    # sides (broadcast build + probe), and `assigned` ends in the Arrow
+    # assignment kernel — unpersisted, the corpus kernel pass ran TWICE
+    # per query (guide §5).  Fixture-scale win is modest (alternating-
+    # session A/B: 4.79 → 4.47 s min, new side won all 3 pairs) because
+    # the pass is ~1 s here; at scale the assignment pass is the
+    # dominant term and runs once instead of twice.
+    nrm = materialized(
+        assigned.select(
+            "vec_id",
+            "cell",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"), dim)).alias("nrm"),
+        )
     )
     a, b = nrm.alias("a"), nrm.alias("b")
     cos = F.round(
