@@ -175,6 +175,10 @@ HEADLINE = [
     # bars, the EOQ/safety-stock inventory policy layer, join-free
     # multi-touch attribution, FD profiling, and the rolling OLS trend
     "sim_ann_index_lake",
+    # round-16 (r15 verdict ask #1): the index BUILD half as its own
+    # timed row — sim_ann_index_lake's row is the serving path only,
+    # this one rebuilds from the parquet inputs every invocation
+    "sim_ann_index_build",
     "sample_estimate_ci",
     "orders_eoq_safety_stock",
     "events_attribution_multi_touch",
@@ -220,6 +224,12 @@ def _calibrate(queries_now: dict[str, float], reps: int, sf_dir: str) -> dict:
              "--", f"BENCH_r{prev_n}.json"],
             cwd=repo, capture_output=True, text=True, check=True,
         ).stdout.strip()
+        if not commit:
+            # BENCH_r{N}.json exists on disk but was never committed (the
+            # driver writes it after the builder's last commit): there is
+            # no prior tree to replay.  The r15 c8 leg crashed here with
+            # `git worktree add … ''` — guard instead of erroring.
+            return {"skipped": f"BENCH_r{prev_n}.json has no adding commit"}
         prev = json.loads(
             subprocess.run(
                 ["git", "show", f"{commit}:BENCH_SUMMARY.json"],

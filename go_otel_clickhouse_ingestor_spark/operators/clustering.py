@@ -182,7 +182,9 @@ def kmeans(
     inertia: list[float] = []
     bc = None
     for _ in range(iters):
-        bc = spark.sparkContext.broadcast([list(map(float, c)) for c in cents])
+        from .dedup import tracked_broadcast
+
+        bc = tracked_broadcast(spark, [list(map(float, c)) for c in cents])
         # per-iteration cost: ONE Arrow scan of the cached corpus
         # emitting K×dim sufficient-statistic rows per batch, one tiny
         # (cell, pos)-keyed agg, one K×dim-row collect.  Sums ride

@@ -71,10 +71,30 @@ def materialized(df: DataFrame) -> DataFrame:
     return df
 
 
+#: SparkContext broadcasts created per query invocation (centroid
+#: blocks, collected query sets).  Tracked like ``_PERSISTED`` so
+#: repeated bench invocations don't accumulate broadcast blocks until
+#: the ContextCleaner happens to GC them (r15 ADVICE).  ``unpersist``
+#: (not ``destroy``): a re-counted plan that still references one
+#: simply re-ships it from the driver.
+_BROADCASTS: list = []
+
+
+def tracked_broadcast(spark, value):
+    """``sparkContext.broadcast`` with release via ``release_persisted``."""
+    bc = spark.sparkContext.broadcast(value)
+    _BROADCASTS.append(bc)
+    while len(_BROADCASTS) > _PERSISTED_CAP:
+        _BROADCASTS.pop(0).unpersist(blocking=False)
+    return bc
+
+
 def release_persisted() -> None:
     """Eagerly unpersist every intermediate still tracked."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist(blocking=False)
+    while _BROADCASTS:
+        _BROADCASTS.pop().unpersist(blocking=False)
 
 
 def gram_hashes(

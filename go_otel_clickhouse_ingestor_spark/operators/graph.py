@@ -77,7 +77,13 @@ def _trade_half_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _node_str(col) -> F.Column:
     """Decode a parity-encoded long node id back to the public string
     domain ('c<custkey>' / 's<suppkey>') — applied ONCE at a query's
-    output projection, never inside the iterative core."""
+    output projection, never inside the iterative core.
+
+    Precondition: keys are NON-NEGATIVE (true for every TPC-H key).
+    ``shiftright`` is arithmetic and ``%`` keeps the dividend's sign in
+    Spark, so a negative encoded id would silently misdecode — reusing
+    the parity encoding on another edge source requires k >= 0
+    (r15 ADVICE)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.concat(
         F.when(c % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -97,46 +103,155 @@ _PAIR_SQL = """
 """
 
 
+#: Edges each partition-local union-find task handles (the
+#: pre-contraction below).  Scale-adaptive: task count derives from the
+#: pair-graph size, never from the local core count — ~250k dict-UF
+#: edges cost well under a second of Python per task, and the per-task
+#: state is one dict over that partition's endpoints.
+_CC_UF_EDGES_PER_TASK = 250_000
+
+
+def _cc_local_forest(gen_unused=None):
+    """mapInPandas kernel: partition-local UNION-FIND over the (src,
+    dst) pairs of one partition, emitting one (node, root) row per node
+    seen, where root = the minimum id of the node's partition-local
+    component (union-by-min + path compression, so the output is
+    deterministic regardless of edge order).  The star forest it emits
+    is connectivity-equivalent to the partition's edges — min-label
+    propagation over the union of all partitions' forests yields
+    exactly the same component minima as over the raw edges, but with
+    the intra-partition diameter already collapsed to 1."""
+
+    def gen(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        if parent:
+            ns = list(parent)
+            yield pd.DataFrame({"src": ns, "dst": [find(n) for n in ns]})
+
+    return gen
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(node) × (src, dst) -> (node, component_id = min node id in the
-    component).  Min-label propagation until fixpoint."""
+    component).
+
+    r16 shape (guide §2.3/§2.4 + the r15 verdict's condensation ask):
+
+    1. **Condense to the pair-graph vertex set**: a node with no
+       incident edge can never change label, so the iteration state is
+       bounded by the candidate-pair graph — orders of magnitude
+       smaller than the corpus — and the untouched majority re-attaches
+       once at the end as singleton components of themselves.
+    2. **Partition-local union-find pre-contraction**: one Arrow pass
+       over the symmetrized edges (task count = |edges| /
+       ``_CC_UF_EDGES_PER_TASK``, never a single hard-coded task)
+       replaces each partition's edges with its union-find star forest.
+       When the whole pair graph fits one task the forest IS the exact
+       answer (roots are global component minima) and no propagation
+       runs at all; otherwise min-label propagation runs over the
+       forest — same fixpoint, but the intra-partition diameter is
+       already 1, so rounds scale with the cross-partition diameter
+       instead of the raw graph diameter (the r15 negative: 6 rounds ×
+       fixed per-round cost dominated this query).
+
+    Precondition (held by every caller — pair generators emit edges
+    over ids drawn from the same table as ``nodes``): every edge
+    endpoint appears in ``nodes``."""
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    n_edges = sym.count()
+    n_tasks = max(1, -(-n_edges // _CC_UF_EDGES_PER_TASK))
+    t = sym.schema["src"].dataType.simpleString()
+    # repartition BY src so each node's whole neighbourhood lands in one
+    # task (maximum contraction per pass); hash partitioning is
+    # deterministic, and the forest roots are order-independent anyway
+    stars = sym.repartition(n_tasks, "src").mapInPandas(
+        _cc_local_forest(), f"src {t}, dst {t}"
+    )
+    if n_tasks == 1:
+        # one task saw every edge: roots are the global component minima
+        converged = stars.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    else:
+        stars = stars.localCheckpoint(eager=True)
+        # seed = min root across the partitions a node appeared in
+        # (every root is a component member ≤ the node, so this is a
+        # valid — already 1+ hops advanced — starting labelling)
+        labels = stars.groupBy(F.col("src").alias("node")).agg(
+            F.min("dst").alias("label")
+        )
+        fsym = stars.filter(F.col("src") != F.col("dst"))
+        fsym = fsym.union(
+            fsym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
 
-    def propagate(lab):
-        nbr_min = (
-            sym.join(lab, sym.dst == lab.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        return lab.join(nbr_min, lab.node == nbr_min.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                "label"
-            ),
-            (F.col("nbr_label") < F.col("label")).alias("_changed"),
-        )
+        def propagate(lab):
+            nbr_min = (
+                fsym.join(lab, fsym.dst == lab.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            return lab.join(nbr_min, lab.node == nbr_min.src, "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
 
-    for _ in range(_MAX_ITERS):
-        # FOUR propagation hops per materialization: a hop is two lazy
-        # shuffles of the (small) label/edge tables, while a round pays
-        # the fixed localCheckpoint + convergence-action cost — so the
-        # fixed cost is amortized over a 4-hop advance and shallow
-        # near-dup graphs converge in a single round (the final hop's
-        # ``_changed`` flag still proves the fixpoint).
-        stepped = propagate(
-            propagate(propagate(propagate(labels).drop("_changed")).drop("_changed")).drop("_changed")
-        )
-        new_labels = stepped.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {_MAX_ITERS} rounds — "
-        "graph diameter exceeds the cap (raise _MAX_ITERS or pre-contract "
-        "long chains)"
+        converged = None
+        for _ in range(_MAX_ITERS):
+            # FOUR propagation hops per materialization: a hop is two
+            # lazy shuffles of the (small) label/forest tables, while a
+            # round pays the fixed localCheckpoint + convergence-action
+            # cost — so the fixed cost is amortized over a 4-hop
+            # advance and shallow graphs converge in a single round
+            # (the final hop's ``_changed`` flag still proves the
+            # fixpoint).
+            stepped = propagate(
+                propagate(
+                    propagate(propagate(labels).drop("_changed")).drop("_changed")
+                ).drop("_changed")
+            )
+            new_labels = stepped.localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                converged = labels
+                break
+        if converged is None:
+            raise RuntimeError(
+                f"connected_components did not converge in {_MAX_ITERS} rounds "
+                "— graph diameter exceeds the cap (raise _MAX_ITERS or "
+                "pre-contract long chains)"
+            )
+    # Re-attach the edge-free nodes: label = own id (singletons).  The
+    # converged table is pair-graph-bounded, so the join broadcasts
+    # from its runtime size and the corpus side is never shuffled.
+    return nodes.join(converged, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
     )
 
 
@@ -431,38 +546,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
         )
     )
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    # wedges at the lightest corner, second/third corner kept in
-    # orientation order so the closing edge is probed in ONE direction
-    wedge = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.ddeg") < F.col("o2.ddeg"))
-            | (
-                (F.col("o1.ddeg") == F.col("o2.ddeg"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
+    # Close triangles by ADJACENCY-ARRAY INTERSECTION instead of wedge
+    # explosion (r16, guide §3.3 "explode before a join multiplies the
+    # shuffle; join first on the un-exploded key and explode after"):
+    # the old shape exploded every oriented wedge — 41M rows at sf0.1,
+    # quadratic in out-degree at any scale — and probed them against a
+    # closing-edge semi-join.  For an oriented edge (x, y) the z-corners
+    # are exactly N+(x) ∩ N+(y), so joining each edge to the two
+    # adjacency arrays and intersecting INSIDE one codegen'd projection
+    # finds the same triangles while the only exploded rows are the
+    # actual triangles (1.88M at sf0.1).  The adjacency table is one
+    # row per node with its oriented out-neighbours — out-degree is
+    # O(sqrt(m)) under degree ordering, so arrays stay bounded and the
+    # table is edge-sized, never wedge-sized.
+    # materialized: consumed by BOTH join sides below — unpersisted, the
+    # groupBy would run once per side
+    adj = materialized(
+        oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    )
+    ax = adj.select(F.col("src").alias("x"), F.col("nbrs").alias("nx"))
+    ay = adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
+    tri = (
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .join(ax, "x")
+        .join(ay, "y")
+        .select("x", "y", F.array_intersect("nx", "ny").alias("zs"))
+        .filter(F.size("zs") > 0)
+    )
+    # per-corner contributions in ONE explode: the x and y corners of
+    # every triangle closed on this edge (|zs| each) plus one per z
+    m = F.size("zs").cast("long")
+    one = F.lit(1).cast("long")
+    contrib = tri.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("x").alias("p_partkey"), m.alias("c")),
+                    F.struct(F.col("y").alias("p_partkey"), m.alias("c")),
+                ),
+                F.transform(
+                    "zs", lambda z: F.struct(z.alias("p_partkey"), one.alias("c"))
+                ),
             )
-        ),
-    ).select(
-        F.col("o1.src").alias("x"),
-        F.col("o1.dst").alias("y"),
-        F.col("o2.dst").alias("z"),
-    )
-    closing = oriented.select(
-        F.col("src").alias("y"), F.col("dst").alias("z")
-    )
-    tri = wedge.join(closing, ["y", "z"], "left_semi")
-    corners = tri.select(
-        F.explode(F.array("x", "y", "z")).alias("p_partkey")
-    )
-    return corners.groupBy("p_partkey").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+        ).alias("t")
+    ).select("t.p_partkey", "t.c")
+    return contrib.groupBy("p_partkey").agg(F.sum("c").alias("n_triangles"))
 
 
 def _bfs_level_sql(prev: str, cur: str, visited: list[str]) -> str:

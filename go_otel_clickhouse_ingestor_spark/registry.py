@@ -46,17 +46,34 @@ _REGISTRY: dict[str, Query] = {}
 #: queries register or a round closes.  ``tools/verify_round.py``
 #: fails loudly if any name at the head is already green or any
 #: unevidenced oracle-backed name is missing.
-_DRIVER_PRIORITY: list[str] = [
-    # oracle-backed, no hash evidence yet
-    "orders_eoq_safety_stock",
-    "events_attribution_multi_touch",
-    "sample_estimate_ci",
-    "events_rolling_slope",
-    "dq_functional_dependencies",
-    # rows-only, no clean driver run yet
-    "sim_ann_ivfpq",
-    "decontaminate_near_lsh",
-    "sim_ann_index_lake",
+_DRIVER_PRIORITY: list[str] = []
+
+#: Driver-evidence RE-CHECK list (r15 verdict ask #6): names that
+#: already carry green driver evidence but whose INTERNALS a round
+#: rewrote — fronted right after the unevidenced backlog so the driver
+#: re-hashes them against the new code.  ``verify_round``'s rotation
+#: gate exempts these (deliberate re-verification, not wasted slots);
+#: ``close_round`` drops every name the newest CORRECTNESS artifact
+#: re-proved.
+_DRIVER_RECHECK: list[str] = [
+    # r16: internals rewritten this round — re-hash against the new code
+    "dedup_cluster_cc",
+    "graph_triangle_count",
+    "orders_basket_lift",
+    "emb_matryoshka_recall",
+    "cluster_kmeans_assign",
+    "dedup_semantic",
+    "graph_pagerank",
+    # r15 verdict ask #6: shared gram kernel changed in r15 while this
+    # name sat outside the window, plus the r15 window-rotated greens
+    "dedup_near_incremental",
+    "emb_mmr_rerank",
+    "events_lttb_downsample",
+    "events_matrix_profile",
+    "events_max_drawdown",
+    "orders_croston_demand",
+    "stat_dft_power",
+    "stat_mann_kendall",
 ]
 
 #: Names appended here by round-5 modules land right after the backlog
@@ -71,9 +88,10 @@ def driver_priority_append(name: str) -> None:
 
 
 def _ordered(names: dict[str, Query]) -> dict[str, Query]:
-    """Registry order = priority list first, then registration order."""
+    """Registry order = unevidenced backlog first, then the re-check
+    list, then registration order."""
     out: dict[str, Query] = {}
-    for n in _DRIVER_PRIORITY:
+    for n in (*_DRIVER_PRIORITY, *_DRIVER_RECHECK):
         if n in names:
             out[n] = names[n]
     for n, q in names.items():

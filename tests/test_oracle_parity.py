@@ -44,3 +44,28 @@ def test_entry_smoke(spark):
 def test_every_query_has_doc():
     for name, q in REGISTRY.items():
         assert q.doc.strip(), f"{name} has no docstring"
+
+
+@pytest.mark.slow
+def test_pagerank_parity_at_sf01(spark):
+    """r15 ADVICE: pagerank's long re-keying relies on the designed
+    per-iteration round(12) absorbing partial-sum order — probabilistic,
+    not guaranteed — so pin a LARGER-sf parity case (sf0.1: 16k nodes,
+    1.2M edges) in the slow tier to catch a future boundary-straddling
+    sum that sf0.001's 500 nodes would miss."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_oracle import compare, duck_connection
+
+    sf = "/root/testdata/sf0.1"
+    q = REGISTRY["graph_pagerank"]
+    spark_pdf = q.fn(spark, sf).toPandas()
+    duck_pdf = duck_connection(sf).execute(q.oracle).fetchdf()
+    assert not compare("graph_pagerank", spark_pdf, duck_pdf)

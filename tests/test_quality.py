@@ -1916,3 +1916,69 @@ def test_decontaminate_near_lsh_matches_exact(spark, sf_dir):
         gmd, gjac, gn = got[td]
         assert (gmd, gn) == (md, n), (td, got[td], want[td])
         assert abs(gjac - jac) < 1e-6, (td, gjac, jac)
+
+
+def test_connected_components_multi_task_forest(spark, monkeypatch):
+    """r16 CC internals: force the MULTI-TASK union-find branch
+    (n_tasks > 1 → star forests + min-label propagation over them) on a
+    39-hop chain — long enough that several propagate rounds must run —
+    plus a cycle and an edge-free node, and pin label equality with the
+    known component minima (the single-task branch is covered by
+    ``test_connected_components_chain_cycle_singleton`` and the oracle
+    differential)."""
+    from go_otel_clickhouse_ingestor_spark.operators import graph as g
+
+    n = 40
+    chain = [(i, i + 1) for i in range(n - 1)]  # diameter 39
+    cyc = [(100, 101), (101, 102), (102, 100)]
+    edges = spark.createDataFrame(chain + cyc, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(100,), (101,), (102,), (999,)], "node long"
+    )
+    monkeypatch.setattr(g, "_CC_UF_EDGES_PER_TASK", 8)
+    got = {r.node: r.label for r in g.connected_components(nodes, edges).collect()}
+    want = {i: 0 for i in range(n)}
+    want.update({100: 100, 101: 100, 102: 100, 999: 999})
+    assert got == want
+
+
+def test_ann_index_build_stats_row(spark, sf_dir):
+    """r16 (verdict ask #1): the BUILD half of the lake lifecycle is a
+    timed query — its stats must describe a real, complete index: one
+    posting per corpus vector, one centroid per posting cell, M×K
+    codebook rows."""
+    from go_otel_clickhouse_ingestor_spark.operators import similarity as s
+    from go_otel_clickhouse_ingestor_spark.tables import table
+
+    stats = {
+        r.artifact: r for r in REGISTRY["sim_ann_index_build"].fn(spark, sf_dir).collect()
+    }
+    n = table(spark, sf_dir, "embeddings").count()
+    assert stats["postings"].n_rows == n
+    assert stats["centroids"].n_rows == stats["postings"].n_cells
+    assert stats["codebooks"].n_rows == s._PQ_M * s._PQ_K
+
+
+def test_mrl_zero_norm_prefix_ranks_last(spark):
+    """r15 ADVICE: a zero-norm embedding PREFIX must score -inf (ranks
+    last under the desc window, as the replaced JVM Divide's NULL did)
+    — numpy division alone would yield NaN, which Spark sorts ABOVE
+    every real cosine."""
+    import numpy as np
+    import pandas as pd
+
+    from go_otel_clickhouse_ingestor_spark.operators.dedup import tracked_broadcast
+    from go_otel_clickhouse_ingestor_spark.operators.similarity import (
+        _mrl_score_batches,
+    )
+
+    bc = tracked_broadcast(spark, [(0, [1.0] * 64)])
+    emb = np.zeros(64)
+    emb[32] = 1.0  # widths 8/16/32 are zero-norm prefixes; 64 is not
+    pdf = pd.DataFrame({"vec_id": [5], "embedding": [emb.tolist()]})
+    out = pd.concat(list(_mrl_score_batches(bc)(iter([pdf]))))
+    byd = {int(r.d): r.c for r in out.itertuples()}
+    assert byd[8] == float("-inf")
+    assert byd[16] == float("-inf")
+    assert byd[32] == float("-inf")
+    assert np.isfinite(byd[64])

@@ -96,6 +96,38 @@ def rotate(dry_run: bool = False) -> list[str]:
     if n_sub != 1:
         print("close_round: could not locate the _DRIVER_PRIORITY literal")
         sys.exit(2)
+    # _DRIVER_RECHECK maintenance: a recheck name that appears in the
+    # NEWEST CORRECTNESS artifact got its re-verification — drop it;
+    # names the window didn't reach stay queued.
+    from go_otel_clickhouse_ingestor_spark.registry import _DRIVER_RECHECK
+
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+    )
+    newest = set(json.load(open(files[-1]))) if files else set()
+    still_queued = [n for n in _DRIVER_RECHECK if n not in newest]
+    if still_queued != list(_DRIVER_RECHECK):
+        rc_body = "".join(f'    "{n}",\n' for n in still_queued)
+        rc_literal = (
+            "_DRIVER_RECHECK: list[str] = []"
+            if not still_queued
+            else "_DRIVER_RECHECK: list[str] = [\n" + rc_body + "]"
+        )
+        new_src, rc_sub = re.subn(
+            r"_DRIVER_RECHECK: list\[str\] = \[[^\]]*\]",
+            rc_literal,
+            new_src,
+            count=1,
+            flags=re.S,
+        )
+        if rc_sub != 1:
+            print("close_round: could not locate the _DRIVER_RECHECK literal")
+            sys.exit(2)
+        print(
+            f"close_round: recheck -> {len(still_queued)} queued "
+            f"({len(_DRIVER_RECHECK) - len(still_queued)} re-proved, dropped)"
+        )
     if new_src != src and not dry_run:
         with open(REGISTRY, "w") as fh:
             fh.write(new_src)
