@@ -928,14 +928,18 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-pair form built 5 independent 3-stage agg chains (15 stages,
     # 5 scheduler round-trips); this is 3 partial-agg'd shuffles total
     # with the same integer arithmetic (guide §1.2 — fewer passes).
+    # The candidate tag rides the two corpus-sized exchanges as ONE
+    # small int (r16, guide §2.3 narrower types): the (tbl, lhs, rhs)
+    # literal strings are ~30 bytes of constant per row — they decode
+    # from the tag AFTER the final 5-row aggregate via a pure-JVM CASE
+    # (not a createDataFrame local relation, which plans as a
+    # pickled-RDD scan with its own Python-runner stage).
     parts = []
-    for tbl, lhs, rhs in _FD_CANDIDATES:
+    for i, (tbl, lhs, rhs) in enumerate(_FD_CANDIDATES):
         t = table(spark, sf_dir, tbl)
         parts.append(
             t.select(
-                F.lit(tbl).alias("tbl"),
-                F.lit(lhs).alias("lhs"),
-                F.lit(rhs).alias("rhs"),
+                F.lit(i).alias("p"),
                 F.col(lhs).cast("string").alias("a"),
                 F.col(rhs).cast("string").alias("b"),
             )
@@ -943,16 +947,33 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = parts[0]
     for pdf in parts[1:]:
         pairs = pairs.unionByName(pdf)
-    g = pairs.groupBy("tbl", "lhs", "rhs", "a", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    m = g.groupBy("tbl", "lhs", "rhs", "a").agg(
-        F.max("c").alias("mx"), F.sum("c").alias("tot")
-    )
-    return m.groupBy("tbl", "lhs", "rhs").agg(
+    g = pairs.groupBy("p", "a", "b").agg(F.count(F.lit(1)).alias("c"))
+    m = g.groupBy("p", "a").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    fin = m.groupBy("p").agg(
         F.sum("tot").alias("n_rows"),
         F.count(F.lit(1)).alias("n_lhs_distinct"),
         F.sum("mx").alias("n_kept"),
         (F.sum("mx") == F.sum("tot")).alias("fd_holds"),
         F.round(F.sum("mx").cast("double") / F.sum("tot"), 6).alias("confidence"),
+    )
+
+    def _decode(pos: int) -> F.Column:
+        col = None
+        for i, cand in enumerate(_FD_CANDIDATES):
+            col = (
+                F.when(F.col("p") == i, F.lit(cand[pos]))
+                if col is None
+                else col.when(F.col("p") == i, F.lit(cand[pos]))
+            )
+        return col
+
+    return fin.select(
+        _decode(0).alias("tbl"),
+        _decode(1).alias("lhs"),
+        _decode(2).alias("rhs"),
+        "n_rows",
+        "n_lhs_distinct",
+        "n_kept",
+        "fd_holds",
+        "confidence",
     )

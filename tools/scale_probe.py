@@ -782,6 +782,49 @@ def _cc_one(spark, n_nodes: int, diameter: int, run_labelprop: bool) -> dict:
     return stats
 
 
+def cc_lp_probe(spark, n: int, diameter: int = 12) -> dict:
+    """Volume scaling point for the r16 ``connected_components`` (semi-
+    join condensation + partition-local union-find): chain components of
+    FIXED shallow diameter (the near-dup regime) at 200k and 200k×n
+    nodes.  The claim under test: per-round state is bounded by the
+    pair graph and the round count tracks the (fixed) component
+    diameter, not the volume — so per-unit cost must stay ≈ flat.
+    Star-contraction's multiset checksum cross-checks the labels at
+    both sizes."""
+    from go_otel_clickhouse_ingestor_spark.operators import graph as G
+
+    base_nodes = 200_000
+    out: dict = {"base_nodes": base_nodes, "n": n, "diameter": diameter}
+    for key, nodes_n in (("at1", base_nodes), ("atN", base_nodes * n)):
+        sf = build_cc_chain(spark, nodes_n, diameter)
+        edges = spark.read.parquet(f"{sf}/edges.parquet")
+        edges.count()  # warm
+        nodes = spark.range(1, nodes_n + 1).select(F.col("id").alias("node"))
+        t0 = time.time()
+        lp = G.connected_components(nodes, edges)
+        lp_fp = lp.filter(F.col("node") != F.col("label")).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        dt = round(time.time() - t0, 2)
+        star_fp = G.star_contraction(edges).filter(
+            F.col("node") != F.col("label")
+        ).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        out[key] = {
+            "nodes": nodes_n,
+            "t_labelprop": dt,
+            "maps_agree": (lp_fp["c"], str(lp_fp["s"]))
+            == (star_fp["c"], str(star_fp["s"])),
+        }
+        print(f"# cc_lp {key}: {out[key]}", file=sys.stderr)
+    out["ratio"] = round(out["atN"]["t_labelprop"] / out["at1"]["t_labelprop"], 2)
+    out["per_unit"] = round(out["ratio"] / n, 4)
+    return out
+
+
 def cc_star_probe(spark, n: int) -> dict:
     """Star contraction vs min-label propagation on controlled-diameter
     chain graphs: (a) diameter sweep 40 → 400 at fixed volume — label
@@ -956,6 +999,14 @@ def main() -> None:
 
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         print(json.dumps({"dtw_topk": dtw_topk_probe(get_spark("dtw-topk-probe"), n)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "cc_lp":
+        from go_otel_clickhouse_ingestor_spark.session import get_spark
+
+        spark = get_spark("scale-probe")
+        spark.range(32).mapInPandas(lambda it: it, "id long").count()
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        print(json.dumps({"cc_lp": cc_lp_probe(spark, n)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "cc_star":
         from go_otel_clickhouse_ingestor_spark.session import get_spark
