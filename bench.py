@@ -212,10 +212,14 @@ def _calibrate(queries_now: dict[str, float], reps: int, sf_dir: str) -> dict:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        rounds = sorted(
-            int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        # only plain BENCH_r{N}.json count as round recordings — the
+        # driver also writes variants like BENCH_r15_c8.json (the
+        # low-core leg), which must not crash the round scan
+        matches = [
+            re.search(r"BENCH_r(\d+)\.json$", p)
             for p in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
-        )
+        ]
+        rounds = sorted(int(m.group(1)) for m in matches if m)
         if not rounds:
             return {"skipped": "no prior BENCH_r*.json"}
         prev_n = rounds[-1]

@@ -111,7 +111,7 @@ _PAIR_SQL = """
 _CC_UF_EDGES_PER_TASK = 250_000
 
 
-def _cc_local_forest(gen_unused=None):
+def _cc_local_forest():
     """mapInPandas kernel: partition-local UNION-FIND over the (src,
     dst) pairs of one partition, emitting one (node, root) row per node
     seen, where root = the minimum id of the node's partition-local
